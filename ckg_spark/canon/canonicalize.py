@@ -1,0 +1,130 @@
+"""Aliased-entity canonicalization: LSH blocking -> exact verify -> CC.
+
+Semantics (shared with the single-process oracle, ckg_spark/oracle.py):
+two terms A, B merge iff
+
+    A.entity_type == B.entity_type  AND
+    ( normalize(A.name) in aliasNorms(B)  OR  normalize(B.name) in aliasNorms(A) )
+
+where aliasNorms(t) = { normalize(s) for s in {t.name} + t.synonyms }.
+
+This is the Spark-scale generalization of the reference's exact alias
+dictionaries (/root/reference src/graphdb_connector/mapping.py:85-142):
+casing/punctuation/token-order variants of a term's preferred name are
+merged into one canonical node; a *synonym* shared by two otherwise
+unrelated terms (multi-mapping, mapping.py:115-142) stays a fan-out, NOT a
+merge — which is why the predicate is anchored on the preferred name.
+
+Two candidate-generation paths, identical final output:
+- ``mode='exact'``: equi-join on the normalized surface (one shuffle of the
+  dimension-sized alias set) — the fast path when the verify predicate is
+  exact match;
+- ``mode='lsh'``: MinHash-LSH banding (ckg_spark/canon/lsh.py) produces
+  candidate pairs, then the exact predicate filters them. Recall is 1.0
+  because identical normalized token sets hash to identical signatures.
+  This is the path that generalizes to fuzzy thresholds (Jaccard < 1).
+
+Cluster representative = min(term id): deterministic canonical node ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cc import connected_components
+from .lsh import lsh_candidate_pairs, minhash_signatures
+from .normalize import with_normalized
+
+_SEP = "\x00"
+
+
+def _alias_norms(terms: DataFrame) -> DataFrame:
+    """(id, entity_type, norm) for every surface (name + synonyms)."""
+    return (
+        terms.select(
+            "id",
+            "entity_type",
+            F.explode(F.concat(F.array("name"), "synonyms")).alias("surface"),
+        )
+        .select("id", "entity_type", with_normalized(F.col("surface")).alias("norm"))
+        .distinct()
+    )
+
+
+def _name_norms(terms: DataFrame) -> DataFrame:
+    return terms.select(
+        "id", "entity_type", with_normalized(F.col("name")).alias("norm")
+    ).distinct()
+
+
+def _verify(names: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Exact predicate: a term's name-norm appears among another term's
+    alias-norms (same entity_type). Returns (id_a < id_b) pairs."""
+    n = names.alias("n")
+    a = aliases.alias("a")
+    hits = n.join(
+        a,
+        (F.col("n.norm") == F.col("a.norm"))
+        & (F.col("n.entity_type") == F.col("a.entity_type"))
+        & (F.col("n.id") != F.col("a.id")),
+    ).select(
+        F.least(F.col("n.id"), F.col("a.id")).alias("src"),
+        F.greatest(F.col("n.id"), F.col("a.id")).alias("dst"),
+    )
+    return hits.distinct()
+
+
+def merge_pairs(terms: DataFrame, mode: str = "lsh") -> DataFrame:
+    """(src, dst) merge edges between term ids."""
+    aliases = _alias_norms(terms)
+    names = _name_norms(terms)
+    if mode == "exact":
+        return _verify(names, aliases)
+    # LSH blocking: items are (term, normalized surface); token set = norm tokens
+    items = aliases.select(
+        F.concat_ws(_SEP, "id", "entity_type", "norm").alias("item_key"),
+        F.split("norm", " ").alias("tokens"),
+    ).distinct()
+    sigs = minhash_signatures(items, "item_key", "tokens")
+    cand_items = lsh_candidate_pairs(sigs)
+    # item pairs -> term pairs (drop same-term, cross-type)
+    parts_a = F.split(F.col("key_a"), _SEP)
+    parts_b = F.split(F.col("key_b"), _SEP)
+    cand_terms = (
+        cand_items.select(
+            parts_a.getItem(0).alias("id_a"),
+            parts_a.getItem(1).alias("ta"),
+            parts_b.getItem(0).alias("id_b"),
+            parts_b.getItem(1).alias("tb"),
+        )
+        .filter((F.col("id_a") != F.col("id_b")) & (F.col("ta") == F.col("tb")))
+        .select(
+            F.least("id_a", "id_b").alias("src"),
+            F.greatest("id_a", "id_b").alias("dst"),
+        )
+        .distinct()
+    )
+    # verify candidates with the exact predicate (inner join restricts to candidates)
+    verified = _verify(names, aliases)
+    return cand_terms.join(verified, on=["src", "dst"], how="inner")
+
+
+def build_canonical_map(terms: DataFrame, mode: str = "lsh") -> DataFrame:
+    """(term_id, node_id): every term maps to its cluster representative
+    (min id in the connected component; itself when unmerged).
+
+    The map is dimension-sized — downstream rewrites broadcast it, so the
+    hub-entity skew of the mention table never shuffles (broadcast joins
+    are skew-immune on the probe side; AQE skew-join covers the rest).
+    """
+    pairs = merge_pairs(terms, mode=mode)
+    comp = connected_components(pairs, "src", "dst")  # only merged nodes appear
+    return (
+        terms.select(F.col("id").alias("term_id"))
+        .join(comp, F.col("term_id") == F.col("node"), "left")
+        .select(
+            "term_id",
+            F.coalesce(F.col("component"), F.col("term_id")).alias("node_id"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Connected components as an iterative DataFrame computation.
+
+No GraphFrames jar is assumed (none ships in this sandbox); this is the
+documented fallback of SURVEY.md §7: min-label propagation to convergence.
+
+Each iteration:
+    label[u] <- min(label[u], min over neighbors v of label[v])
+
+- converges in O(component diameter) rounds — alias-merge components here
+  are near-pair-sized (diameter <= ~4), so 3-5 rounds in practice; swap in
+  large-star/small-star if components with large diameters ever appear;
+- lineage is cut every round with ``localCheckpoint()`` (iterative joins
+  otherwise stack exponentially growing plans — the classic Spark iterative
+  trap);
+- convergence is detected with a cheap aggregate (sum of changed flags),
+  not a collect of labels;
+- the edge list is symmetrized once up front and cached.
+
+Cluster representative = lexicographic min id, which makes canonical node
+ids deterministic (north-rule requirement: no nondeterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.agg(
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("c")
+        ).collect()[0]["c"]
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if not n_changed:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -1,0 +1,129 @@
+"""MinHash signatures + LSH banding for candidate-pair blocking.
+
+Scale rationale: the naive way to find similar alias strings is an all-pairs
+comparison — O(n^2) and impossible at a UMLS-sized vocabulary or a
+10^12-document corpus. MinHash-LSH turns it into:
+
+1. signature: k min-hashes over the token set (vectorized numpy inside an
+   ``applyInPandas``-free ``mapInPandas`` — no shuffle);
+2. banding: explode k hashes into b bands of r rows; equal band-hash =>
+   same bucket (one shuffle, on the band key);
+3. candidate pairs: self-join within buckets (bounded by bucket size);
+   downstream verifies with the exact predicate.
+
+Identical token sets produce identical signatures, so recall is exactly 1.0
+for the exact-normalized-match predicate the KG canonicalizer verifies with;
+for fuzzy thresholds the usual (1/b)^(1/r) s-curve applies.
+
+Hashing is ``xxhash64`` seeded per-row-index — JVM-side where possible,
+numpy (splitmix-style) inside the UDF — fully deterministic, no
+``Math.random``/wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    # deterministic 64-bit token hashes (FNV-1a over utf-8 bytes)
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in t.encode("utf-8"):
+            h = ((h ^ np.uint64(b)) * np.uint64(0x100000001B3)) & _MASK
+        out[i] = h
+    return out
+
+
+def minhash_signatures(
+    items: DataFrame, key_col: str, tokens_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """items(key, tokens: array<string>) -> (key, signature: array<long>).
+
+    Narrow map, no shuffle; numpy-vectorized across the hash dimension.
+    """
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    out_schema = StructType(
+        [
+            StructField("key", StringType(), False),
+            StructField("signature", ArrayType(LongType()), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, sigs = [], []
+            for key, toks in zip(pdf[key_col], pdf[tokens_col]):
+                toks = list(toks) if toks is not None else []
+                if not toks:
+                    sig = np.zeros(num_hashes, dtype=np.uint64)
+                else:
+                    th = _token_hashes(toks)  # (n_tokens,)
+                    # broadcast: (n_tokens, num_hashes) permuted hashes, min over tokens
+                    mixed = _splitmix64(th[:, None] ^ seeds[None, :])
+                    sig = mixed.min(axis=0)
+                keys.append(key)
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"key": keys, "signature": sigs})
+
+    return items.select(
+        F.col(key_col).alias(key_col), F.col(tokens_col).alias(tokens_col)
+    ).mapInPandas(compute, out_schema)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(key, signature) -> distinct candidate pairs (key_a < key_b).
+
+    One shuffle on (band, band_hash); the within-bucket self-join is bounded
+    by bucket size, and the distinct() collapses pairs found in multiple
+    bands before any expensive verification runs.
+    """
+    n = bands * rows_per_band
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        ).alias("band_hash")
+        for b in range(bands)
+    ]
+    buckets = signatures.select(
+        "key",
+        F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .distinct()
+    )
+    _ = n
+    return pairs

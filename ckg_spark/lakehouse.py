@@ -1,0 +1,247 @@
+"""Snapshot-committed parquet table layer (Iceberg-shaped).
+
+The reference loads its graph into Neo4j with idempotent Cypher
+``MERGE ... ON CREATE SET`` in 10k-row periodic commits
+(/root/reference src/graphdb_builder/builder/cypher.yml:20-33, repeated ~100x)
+and gets "backup" by tar-ing the import dir (builder/loader.py:305-320).
+Here the same guarantees come from a table format:
+
+- every write is a **snapshot commit**: data files land first, then a single
+  atomic manifest rename publishes them (readers never see partial writes);
+- ``merge_insert_absent`` is the Cypher-MERGE equivalent — insert rows whose
+  key is not already present (left-anti join against current state);
+- time travel: any previous snapshot id can be read (≙ Iceberg snapshots,
+  and the reference's archive step for free);
+- per-snapshot, per-data-file row counts are recorded in the manifest —
+  the lineage/metrics record the north rule requires (≙ the reference's
+  HDF5 import-stats sink, builder/importer.py:169-265).
+
+On a real cluster this module is replaced 1:1 by Iceberg
+(``df.writeTo(t).append()`` / ``MERGE INTO``); the API here is shaped so the
+swap is mechanical. The local format is plain parquet + a JSON manifest, so
+DuckDB / pyarrow can audit every table.
+
+Scale notes: merge_insert_absent anti-joins on the key columns — a shuffle
+on the key, which Iceberg would also do; dedup-before-merge is pushed into
+the same shuffle. Reads give Spark the list of parquet dirs, so column
+pruning and predicate pushdown reach the scan unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _file_row_counts(data_dir: str) -> list[dict[str, Any]]:
+    """Per-data-file row counts from parquet footers (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, name)
+        try:
+            meta = pq.read_metadata(path)
+            out.append({"file": name, "rows": meta.num_rows, "bytes": os.path.getsize(path)})
+        except Exception:
+            out.append({"file": name, "rows": None, "bytes": os.path.getsize(path)})
+    return out
+
+
+@dataclass
+class Snapshot:
+    id: int
+    op: str
+    dirs: list[str]
+    ts: float
+    rows_written: int
+    files: list[dict[str, Any]] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)
+
+
+class Table:
+    """One snapshot-versioned table rooted at ``<warehouse>/<name>``."""
+
+    def __init__(self, warehouse: str, name: str):
+        self.name = name
+        self.root = os.path.join(warehouse, name)
+        self.manifest_path = os.path.join(self.root, "manifest.json")
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def _load(self) -> dict[str, Any]:
+        if not os.path.exists(self.manifest_path):
+            return {"current": 0, "snapshots": []}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict[str, Any]) -> None:
+        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    def exists(self) -> bool:
+        return self._load()["current"] > 0
+
+    def current_snapshot(self) -> int:
+        return self._load()["current"]
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._load()["snapshots"]]
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        m = self._load()
+        sid = m["current"] if snapshot_id is None else snapshot_id
+        snaps = {s["id"]: s for s in m["snapshots"]}
+        if sid == 0 or sid not in snaps:
+            raise FileNotFoundError(f"table {self.name}: no snapshot {snapshot_id!r}")
+        dirs = [os.path.join(self.root, d) for d in snaps[sid]["dirs"]]
+        return spark.read.parquet(*dirs)
+
+    # -- write ------------------------------------------------------------
+    def _write_data(self, df: DataFrame, partition_by: list[str] | None) -> tuple[str, str]:
+        rel = f"data-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, rel)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return rel, path
+
+    def _commit(
+        self,
+        op: str,
+        dirs: list[str],
+        new_dir_abs: str | None,
+        rows: int,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        m = self._load()
+        sid = m["current"] + 1
+        files = _file_row_counts(new_dir_abs) if new_dir_abs and not _is_partitioned(new_dir_abs) else []
+        if new_dir_abs and not files:
+            files = _walk_row_counts(new_dir_abs)
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "op": op,
+                "dirs": dirs,
+                "ts": time.time(),
+                "rows_written": rows,
+                "files": files,
+                "meta": meta or {},
+            }
+        )
+        m["current"] = sid
+        self._publish(m)
+        return sid
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        rel, path = self._write_data(df, partition_by)
+        rows = sum(f["rows"] or 0 for f in _walk_row_counts(path))
+        return self._commit("overwrite", [rel], path, rows, meta)
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        m = self._load()
+        prev_dirs: list[str] = []
+        if m["current"]:
+            prev_dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
+        rel, path = self._write_data(df, partition_by)
+        rows = sum(f["rows"] or 0 for f in _walk_row_counts(path))
+        return self._commit("append", prev_dirs + [rel], path, rows, meta)
+
+    def merge_insert_absent(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> int:
+        """Insert rows whose key is not already in the table (Cypher-MERGE /
+        Iceberg ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` semantics).
+
+        Re-running the same load is a no-op — the idempotency the reference
+        gets from Neo4j MERGE (cypher.yml:24) and from set()-dedup in every
+        parser (e.g. src/graphdb_builder/databases/parsers/stringParser.py:54-58).
+        """
+        staged = df.dropDuplicates(key_cols)
+        if self.exists():
+            current = self.read(spark)
+            staged = staged.join(current.select(*key_cols), on=key_cols, how="left_anti")
+        return self.append(staged, partition_by=partition_by, meta=meta)
+
+
+def _is_partitioned(data_dir: str) -> bool:
+    return any(
+        os.path.isdir(os.path.join(data_dir, d)) and "=" in d for d in os.listdir(data_dir)
+    )
+
+
+def _walk_row_counts(data_dir: str) -> list[dict[str, Any]]:
+    """Row counts for flat or hive-partitioned dirs."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(dirpath, name)
+            rel = os.path.relpath(path, data_dir)
+            try:
+                out.append(
+                    {
+                        "file": rel,
+                        "rows": pq.read_metadata(path).num_rows,
+                        "bytes": os.path.getsize(path),
+                    }
+                )
+            except Exception:
+                out.append({"file": rel, "rows": None, "bytes": os.path.getsize(path)})
+    return out
+
+
+class Warehouse:
+    """A directory of snapshot tables + a metrics journal."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.metrics_path = os.path.join(root, "_metrics.jsonl")
+
+    def table(self, name: str) -> Table:
+        return Table(self.root, name)
+
+    def log_metric(self, stage: str, **kv: Any) -> None:
+        """Append one lineage/metrics record (≙ the reference's import-stats
+        HDF5 append, src/graphdb_builder/builder/importer.py:169-265)."""
+        rec = {"stage": stage, "ts": time.time(), **kv}
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def metrics(self) -> list[dict[str, Any]]:
+        if not os.path.exists(self.metrics_path):
+            return []
+        with open(self.metrics_path) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,119 @@
+"""Graph materialization: idempotent MERGE into nodes/edges tables.
+
+Replaces the reference's Neo4j load phase (/root/reference
+src/graphdb_builder/builder/loader.py:40-76 executing
+``USING PERIODIC COMMIT 10000 LOAD CSV ... MERGE`` templates from
+builder/cypher.yml):
+
+- ``CREATE CONSTRAINT`` uniqueness (cypher.yml:20) ≙ merge keys:
+  nodes on ``id``, edges on ``(subj, pred, obj)``;
+- Cypher ``MERGE ... ON CREATE SET`` idempotency ≙
+  ``Table.merge_insert_absent`` (re-loads are no-ops);
+- the loader's zero-count warning (loader.py:59-64) ≙ FK validation:
+  edges whose endpoints are missing from the nodes table land in a
+  quarantine table instead of the graph (J7 in SURVEY.md §2.3);
+- per-load row-count stats (builder/importer.py:169-265) ≙
+  ``Warehouse.log_metric`` + per-file counts in each snapshot manifest.
+
+Partitioning: edges by ``pred`` (≙ one TSV per relationship type in the
+reference), nodes by ``label`` — queries that touch one relationship type
+prune to one partition, and MERGE anti-joins only shuffle the touched
+partitions' keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import Warehouse
+
+PUBLICATION_LABEL = "Publication"
+
+
+def build_nodes(
+    terms: DataFrame,
+    canonical_map: DataFrame,
+    mention_urls: DataFrame | None = None,
+) -> DataFrame:
+    """Entity nodes: one row per canonical cluster representative.
+
+    Shape mirrors the reference's entity TSV header ``ID, :LABEL, name,
+    description, type, synonyms`` (ontologies/ontologies_controller.py:142).
+    The cluster's name/description come from the representative (min-id)
+    term — an explicit total order, where the reference relied on dict
+    insertion order (SURVEY.md §2.5 W4). Synonyms = sorted union of all
+    cluster surfaces.
+    """
+    t = terms.join(
+        F.broadcast(canonical_map), terms["id"] == canonical_map["term_id"], "inner"
+    )
+    surfaces = t.select(
+        "node_id", F.explode(F.concat(F.array("name"), "synonyms")).alias("surface")
+    )
+    syn_agg = surfaces.groupBy("node_id").agg(
+        F.array_sort(F.collect_set("surface")).alias("synonyms")
+    )
+    rep = (
+        t.groupBy("node_id")
+        .agg(
+            F.min(F.struct("id", "entity_type", "name", "description")).alias("rep")
+        )
+        .select(
+            F.col("node_id").alias("id"),
+            F.col("rep.entity_type").alias("label"),
+            F.col("rep.name").alias("name"),
+            F.col("rep.description").alias("description"),
+            F.col("rep.entity_type").alias("type"),
+        )
+    )
+    entity_nodes = rep.join(syn_agg, rep["id"] == syn_agg["node_id"], "left").select(
+        "id", "label", "name", "description", "type", "synonyms"
+    )
+    if mention_urls is None:
+        return entity_nodes
+    pub_nodes = mention_urls.select(F.col("url").alias("id")).distinct().select(
+        "id",
+        F.lit(PUBLICATION_LABEL).alias("label"),
+        F.col("id").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(PUBLICATION_LABEL).alias("type"),
+        F.lit(None).cast("array<string>").alias("synonyms"),
+    )
+    return entity_nodes.unionByName(pub_nodes)
+
+
+def materialize_graph(
+    spark: SparkSession,
+    wh: Warehouse,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> dict:
+    """MERGE nodes + FK-validated edges; quarantine orphans; log metrics."""
+    nodes_t = wh.table("nodes")
+    edges_t = wh.table("edges")
+    quarantine_t = wh.table("edges_quarantine")
+
+    nodes_t.merge_insert_absent(spark, nodes, ["id"], partition_by=["label"])
+    node_ids = nodes_t.read(spark).select("id")
+
+    e = edges
+    valid = (
+        e.join(node_ids.withColumnRenamed("id", "subj"), "subj", "left_semi")
+        .join(node_ids.withColumnRenamed("id", "obj"), "obj", "left_semi")
+        .select(*e.columns)
+    )
+    orphan = e.join(valid.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti")
+
+    edges_t.merge_insert_absent(spark, valid, ["subj", "pred", "obj"], partition_by=["pred"])
+    n_orphan = orphan.count()
+    if n_orphan:
+        quarantine_t.append(orphan)
+
+    stats = {
+        "nodes_snapshot": nodes_t.current_snapshot(),
+        "edges_snapshot": edges_t.current_snapshot(),
+        "orphan_edges": n_orphan,
+    }
+    wh.log_metric("materialize", **stats)
+    return stats
