@@ -4,11 +4,14 @@ No GraphFrames jar is assumed (none ships in this sandbox); this is the
 documented fallback of SURVEY.md §7: min-label propagation to convergence.
 
 Each iteration:
-    label[u] <- min(label[u], min over neighbors v of label[v])
+    label[u] <- min(label[u], min over neighbors v of label[v])   (propagate)
+    label[u] <- label[label[u]]                                   (pointer jump)
 
-- converges in O(component diameter) rounds — alias-merge components here
-  are near-pair-sized (diameter <= ~4), so 3-5 rounds in practice; swap in
-  large-star/small-star if components with large diameters ever appear;
+- the pointer-jump step is the standard shortcutting trick (same idea as
+  large-star): distance-to-representative roughly halves every round, so
+  convergence is O(log diameter) instead of O(diameter) — a 30-hop chain
+  closes in ~6 rounds, and the near-pair-sized alias-merge components of
+  the KG close in 2;
 - lineage is cut every round with ``localCheckpoint()`` (iterative joins
   otherwise stack exponentially growing plans — the classic Spark iterative
   trap);
@@ -51,21 +54,32 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+        propagated = labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                "p_label"
+            ),
+        )
+        # pointer jump: label[u] <- label[label[u]] (labels only decrease)
+        jump_src = propagated.select(
+            F.col("node").alias("j_node"), F.col("p_label").alias("j_label")
+        )
+        jumped = (
+            propagated.join(jump_src, propagated["p_label"] == jump_src["j_node"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+                F.least(
+                    F.col("p_label"), F.coalesce(F.col("j_label"), F.col("p_label"))
+                ).alias("new_label"),
             )
             .localCheckpoint()
         )
-        n_changed = updated.agg(
-            F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("c")
-        ).collect()[0]["c"]
-        labels = updated.select("node", F.col("new_label").alias("label"))
+        n_changed = (
+            jumped.join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped.select("node", F.col("new_label").alias("label"))
         if not n_changed:
             break
     return labels.select("node", F.col("label").alias("component"))

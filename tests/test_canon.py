@@ -1,0 +1,77 @@
+"""Canonicalization: LSH blocking == exact join; clusters match the oracle."""
+
+from __future__ import annotations
+
+from ckg_spark.canon import build_canonical_map, connected_components, merge_pairs
+from ckg_spark.canon.normalize import normalize_surface, with_normalized
+from ckg_spark.corpus.vocab import vocab_dataframes
+from ckg_spark.oracle import _merge_clusters
+
+from pyspark.sql import functions as F
+
+
+def test_normalize_python_equals_spark(spark):
+    samples = [
+        "Acute Gastric-Cancer",
+        "cancer gastric acute",
+        "a_b/c,d.e",
+        "  spaced   out  ",
+        "UPPER-case",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r["n"] for r in df.select(with_normalized(F.col("s")).alias("n")).collect()]
+    assert got == [normalize_surface(s) for s in samples]
+
+
+def test_merge_pairs_lsh_equals_exact(spark, vocab):
+    terms, _, _ = vocab_dataframes(spark, vocab)
+    exact = {(r["src"], r["dst"]) for r in merge_pairs(terms, mode="exact").collect()}
+    lsh = {(r["src"], r["dst"]) for r in merge_pairs(terms, mode="lsh").collect()}
+    assert lsh == exact
+    assert len(exact) >= len(vocab.expected_merges)
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "y"), ("q", "q2")],
+        ["src", "dst"],
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == comp["z"] == "x"
+    assert comp["q"] == comp["q2"] == "q"
+
+
+def test_connected_components_chain(spark):
+    """Long chain (worst-case diameter) still converges."""
+    n = 30
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {"n000"}
+
+
+def test_canonical_map_matches_oracle(spark, vocab):
+    terms, _, _ = vocab_dataframes(spark, vocab)
+    got = {
+        r["term_id"]: r["node_id"]
+        for r in build_canonical_map(terms, mode="lsh").collect()
+    }
+    exp = _merge_clusters(vocab)
+    assert got == exp
+    # planted twins actually merged
+    for orig, twin in vocab.expected_merges:
+        assert got[twin] == got[orig] == min(orig, twin)
+    # multi-mapped shared synonyms did NOT merge their hosts
+    shared_hosts = {}
+    for a in vocab.aliases:
+        if a["alias"].startswith("shared"):
+            shared_hosts.setdefault(a["alias"], []).append(a["canonical_id"])
+    checked = 0
+    for alias, hosts in shared_hosts.items():
+        if len(hosts) == 2 and (hosts[0], hosts[1]) not in vocab.expected_merges:
+            a, b = hosts
+            if got[a] != got[b]:
+                checked += 1
+    assert checked > 0
