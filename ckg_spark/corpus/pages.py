@@ -145,13 +145,15 @@ def _gen_one(seed: int, doc_id: int, cfg: PagesConfig) -> tuple[str, int, bytes,
     is_dup = rng.random() < cfg.dup_url_rate
     lang = "en" if rng.random() < cfg.pct_en else rng.choice(_LANGS)
     if is_dup:
-        # repeated-content hub: body comes from one of 17 canonical streams
+        # repeated-content hub: body AND title come from one of 17 canonical
+        # streams, so extracted text is byte-identical across the dup urls
         crng = random.Random(seed * 7_000_003 + (doc_id % 17))
         body = _page_body(crng, cfg, True)
+        title = " ".join(crng.choice(_FILLER) for _ in range(4))
         lang = "en"
     else:
         body = _page_body(rng, cfg, lang == "en")
-    title = " ".join(rng.choice(_FILLER) for _ in range(4))
+        title = " ".join(rng.choice(_FILLER) for _ in range(4))
     html = (
         "<!DOCTYPE html><html><head>"
         f"<title>{title}</title>"

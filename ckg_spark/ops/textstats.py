@@ -1,0 +1,123 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side built-ins (whole-stage codegen) —
+no Python in the hot path — so every expression here is also expressible
+as ANSI SQL for the DuckDB correctness oracle.
+
+These generalize the reference's per-row string munging (lowercasing
+/root/reference src/graphdb_connector/mapping.py:67, split/strip/join and
+regex extraction inventoried in SURVEY.md §2.7) into corpus-level
+quality/statistics operators a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "que", "por"],
+}
+
+
+def tokens_col(text_col: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens_col(text_col))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Sub-word-ish token estimate: count of alphanumeric runs + punctuation
+    marks (a deterministic regex proxy for BPE token counts)."""
+    return F.size(
+        F.filter(
+            F.split(text_col, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda t: F.trim(t) != F.lit(""),
+        )
+    )
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens_col(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text_col: Column) -> Column:
+    no_punct = F.regexp_replace(text_col, r"[^\w\s]", "")
+    return (F.length(text_col) - F.length(no_punct)) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
+
+
+def mean_word_len(text_col: Column) -> Column:
+    toks = tokens_col(text_col)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality in [0,1]-ish: rewards stopword presence and sane
+    word lengths, penalizes punctuation soup. Deterministic column math."""
+    return F.round(
+        F.lit(0.5) * stopword_ratio(text_col)
+        + F.lit(0.5) * (F.lit(1.0) - punct_ratio(text_col))
+        - F.when(mean_word_len(text_col) > 12, 0.25).otherwise(0.0),
+        6,
+    )
+
+
+def langid_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: per-language hit ratios + argmax.
+    (doc_id, score_en, score_de, score_fr, score_es, pred_lang).
+    Ties break alphabetically — fully deterministic."""
+    out = docs.select(F.col(id_col), F.col(text_col))
+    score_cols = []
+    for lang in sorted(STOPWORDS):
+        c = F.round(stopword_ratio(F.col(text_col), lang), 6).alias(f"score_{lang}")
+        score_cols.append(c)
+    scored = out.select(id_col, *score_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Canonical content fingerprint: md5 of the normalized token stream
+    (lowercase, punctuation stripped, single-spaced). Stable under
+    whitespace/case/punctuation noise — the key for exact-dedup at scale."""
+    normalized = F.array_join(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(text_col), r"[^a-z0-9\s]", " "), r"\s+"),
+            lambda t: t != F.lit(""),
+        ),
+        " ",
+    )
+    return F.md5(normalized)
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per doc: tokens, chars, punct/stopword ratios, quality,
+    fingerprint. Single narrow projection — no shuffle."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

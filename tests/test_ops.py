@@ -1,0 +1,207 @@
+"""Training-data ops: dedup suite, simsearch, textstats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ckg_spark.corpus.pages import generate_pages_df
+from ckg_spark.extract import with_extracted_text
+from ckg_spark.ops import dedup, multimodal, simsearch, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def corpus_texts(spark, pages_cfg):
+    """Pages corpus with planted repeated-content hubs (exact dups)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(pages_cfg, n_docs=400, dup_url_rate=0.05)
+    df = with_extracted_text(generate_pages_df(spark, cfg)).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    return df.cache()
+
+
+# -- dedup ----------------------------------------------------------------
+def test_exact_dedup_finds_planted_dups(spark, corpus_texts):
+    groups = dedup.exact_dup_groups(corpus_texts, "doc_id", "text").collect()
+    assert groups, "planted repeated-content hubs must be found"
+    rows = {r["doc_id"]: r["text"] for r in corpus_texts.collect()}
+    for g in groups:
+        assert g["n_docs"] > 1
+        # keeper is the min doc id of the group
+        members = [d for d, t in rows.items() if t == rows[g["keeper_id"]]]
+        assert g["keeper_id"] == min(members)
+        assert g["n_docs"] == len(members)
+
+
+def test_exact_dedup_matches_bruteforce(spark, corpus_texts):
+    rows = [(r["doc_id"], r["text"]) for r in corpus_texts.collect()]
+    by_text: dict[str, list[str]] = {}
+    for d, t in rows:
+        by_text.setdefault(t, []).append(d)
+    exp = {(min(v), len(v)) for v in by_text.values() if len(v) > 1}
+    got = {
+        (r["keeper_id"], r["n_docs"])
+        for r in dedup.exact_dup_groups(corpus_texts, "doc_id", "text").collect()
+    }
+    assert got == exp
+
+
+def test_minhash_lsh_finds_exact_dups_with_jaccard_one(spark, corpus_texts):
+    pairs = dedup.minhash_dup_candidates(
+        corpus_texts, "doc_id", "text", jaccard_threshold=0.99
+    ).collect()
+    assert pairs
+    rows = {r["doc_id"]: r["text"] for r in corpus_texts.collect()}
+    # every exact-dup pair must be found (identical shingle sets -> identical sigs)
+    by_text: dict[str, list[str]] = {}
+    for d, t in rows.items():
+        by_text.setdefault(t, []).append(d)
+    expected_pairs = set()
+    for members in by_text.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expected_pairs.add((ms[i], ms[j]))
+    got_pairs = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert expected_pairs <= got_pairs
+    for r in pairs:
+        if (r["key_a"], r["key_b"]) in expected_pairs:
+            assert r["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w5"), ("c", "x y z q")],
+        ["doc_id", "text"],
+    )
+    cands = spark.createDataFrame([("a", "b"), ("a", "c")], ["key_a", "key_b"])
+    got = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, cands, n=2, threshold=0.0).collect()
+    }
+    # bigrams a: {w1 w2, w2 w3, w3 w4}; b: {w1 w2, w2 w3, w3 w5} -> 2/4
+    assert math.isclose(got[("a", "b")], 0.5)
+    assert got[("a", "c")] == 0.0
+
+
+def test_simhash_near_dups(spark, corpus_texts):
+    pairs = dedup.simhash_dup_candidates(corpus_texts, "doc_id", "text", max_hamming=3)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    rows = {r["doc_id"]: r["text"] for r in corpus_texts.collect()}
+    by_text: dict[str, list[str]] = {}
+    for d, t in rows.items():
+        by_text.setdefault(t, []).append(d)
+    for members in by_text.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                assert (ms[i], ms[j]) in got  # identical text -> hamming 0
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant a near-duplicate vector
+    row0 = emb.filter("vec_id = 0").collect()[0]
+    near = [float(x) * 1.001 for x in row0["embedding"]]
+    extra = spark.createDataFrame(
+        [(100000, near, int(row0["label"]))], ["vec_id", "embedding", "label"]
+    )
+    aug = emb.select("vec_id", "embedding", "label").unionByName(extra)
+    pairs = simsearch.cosine_self_pairs(aug, threshold=0.999, block_col="label")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in got
+
+
+# -- simsearch ------------------------------------------------------------
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    q = list(rows[0]["embedding"])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    qv = np.array(q, dtype=np.float64)
+    cos = (mat @ qv) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(ids, cos.round(6)), key=lambda t: (-t[1], t[0]))[:10]
+    got = [(r["vec_id"], r["cosine"]) for r in simsearch.brute_force_topk(emb, q, k=10).collect()]
+    assert [(int(i), float(c)) for i, c in order] == [(i, c) for i, c in got]
+    assert got[0][0] == 0 and got[0][1] == 1.0
+
+
+def test_ivf_topk_recall(spark, emb):
+    rows = emb.collect()
+    q = list(rows[7]["embedding"])
+    exact = [r["vec_id"] for r in simsearch.brute_force_topk(emb, q, k=5).collect()]
+    with_cells, centroids = simsearch.assign_cells(emb, n_cells=8)
+    approx = [
+        r["vec_id"]
+        for r in simsearch.ivf_topk(with_cells, centroids, q, k=5, nprobe=4).collect()
+    ]
+    # query's own vector always retrieved; recall@5 >= 3/5 with half the cells probed
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+# -- textstats ------------------------------------------------------------
+def test_token_count_and_fingerprint(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World! hello world"), (2, "hello world HELLO WORLD"), (3, "")],
+        ["doc_id", "text"],
+    )
+    stats = {r["doc_id"]: r for r in textstats.doc_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 4
+    # fingerprint ignores case + punctuation -> 1 and 2 collide
+    assert stats[1]["fingerprint"] == stats[2]["fingerprint"]
+    assert stats[3]["n_tokens"] == 0
+
+
+def test_quality_and_langid(spark, docs):
+    out = textstats.langid_scores(docs).collect()
+    assert all(r["pred_lang"] in {"de", "en", "es", "fr"} for r in out)
+    q = textstats.doc_stats(docs).agg(F.min("quality"), F.max("quality")).collect()[0]
+    assert q[0] is not None and q[1] is not None
+    # english prose scores its stopwords
+    en = spark.createDataFrame([(1, "the cat is in the hat and it was good")], ["doc_id", "text"])
+    r = textstats.langid_scores(en).collect()[0]
+    assert r["pred_lang"] == "en"
+
+
+# -- multimodal -----------------------------------------------------------
+def test_multimodal_feature_plumbing(spark, docs):
+    media = multimodal.docs_as_media(docs.limit(50))
+    feats = multimodal.extract_media_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0 and r["width"] is not None
+    # determinism: same payload -> same features
+    feats2 = multimodal.extract_media_features(media.repartition(7)).collect()
+    assert {r["media_id"]: r["features"] for r in feats2} == {
+        r["media_id"]: r["features"] for r in feats
+    }
+
+
+def test_multimodal_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG...")
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame([("v1", 100), ("v2", 10)], ["media_id", "n_frames"])
+    rows = multimodal.frame_sample_plan(media, every_n=30).collect()
+    got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
+    assert got == [("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0)]
