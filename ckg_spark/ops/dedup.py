@@ -76,7 +76,7 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
     return docs.select(
-        F.col(id_col).alias("key"),
+        F.col(id_col).cast("string").alias("key"),
         F.array_distinct(F.transform(idx, shingle_at)).alias("shingles"),
     )
 

@@ -1,0 +1,839 @@
+"""Named query catalog: every operator family from SURVEY.md §2, each as a
+(Spark DataFrame plan, equivalent DuckDB/ANSI SQL) pair over the driver's
+test tables. The SQL string is the independent correctness oracle
+(≙ the reference's YAML Cypher catalog, /root/reference
+src/graphdb_connector/query_utils.py:7-50 and
+src/report_manager/queries/datasets_cypher.yml — retargeted to SQL).
+
+Conventions (the driver hash-compares column-sorted values):
+- every computed column is aliased identically on both sides;
+- counts CAST to BIGINT (DuckDB sum(int) is HUGEINT otherwise);
+- money/ratios CAST to DOUBLE and ROUND(6) on both sides;
+- every LIMIT query has a deterministic total order (unique tiebreak key).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..ops import dedup, simsearch, textstats
+from ..tag import build_automaton, tag_mentions
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible, rows-only check
+    family: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, family: str = ""):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(name, fn, sql, family)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.spark_fn for n, s in CATALOG.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {n: s.sql for n, s in CATALOG.items() if s.sql is not None}
+
+
+# ======================================================================
+# relational core (SURVEY.md §2.2-2.6) over the TPC-H-ish tables
+# ======================================================================
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(l_quantity), 4) AS DOUBLE)                        AS sum_qty,
+           CAST(ROUND(SUM(l_extendedprice), 4) AS DOUBLE)                   AS sum_base_price,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE)                        AS avg_qty,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    family="agg",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6: grouped multi-aggregate with filter pushdown to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    family="join",
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/W3: selective dim filter -> broadcast join chain -> agg -> top-k.
+    customer is the small side; Spark broadcasts it (checked in tests)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_multihop_region_revenue",
+    """
+    SELECT r.r_name AS region,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(o.o_totalprice), 4) AS DOUBLE) AS total_revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name
+    """,
+    family="join",
+)
+def q_multihop_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: 4-hop join chain (≙ Project->Subject->...->Protein Cypher paths,
+    datasets_cypher.yml:12-15). Dims broadcast; only orders shuffles."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_semi_join_big_orders",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    family="filter",
+)
+def q_semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: membership semi-join (≙ valid-publication filter,
+    textminingParser.py:61-62)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "q_anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    family="filter",
+)
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9: blocklist-style anti-join (≙ inactive-concept filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_explode_part_types",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+    family="reshape",
+)
+def q_explode_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: split->explode (≙ expand_cols ';'-group splitting,
+    builder_utils.py:175-189)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "q_pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    family="reshape",
+)
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: long->wide pivot with explicit value list (explicit values keep
+    the plan single-pass — no value-discovery job)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "q_melt_part_measures",
+    """
+    SELECT p_partkey, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    )
+    """,
+    family="reshape",
+)
+def q_melt_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: wide->long melt via stack()."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE), "
+            "'size', CAST(p_size AS DOUBLE)) AS (measure, value)"
+        ),
+    )
+
+
+@register(
+    "q_window_rank_acctbal",
+    """
+    SELECT c_nationkey, c_custkey, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT c_nationkey, c_custkey,
+                 RANK() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+          FROM customer)
+    WHERE rnk <= 3
+    """,
+    family="window",
+)
+def q_window_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: rank-within-group with explicit tiebreak (≙ marker ranking,
+    analytics.py:160-187)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "q_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey
+    FROM (SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    family="window",
+)
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: first-per-group by explicit total order (the reference relied on
+    dict insertion order for 'first synonym', ontologies_controller.py:145 —
+    here the order is explicit, as Spark requires)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+@register(
+    "q_cov_by_brand",
+    """
+    SELECT p_brand,
+           CAST(ROUND(STDDEV(p_retailprice) / AVG(p_retailprice) * 100, 6) AS DOUBLE) AS cov_pct,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY p_brand HAVING COUNT(*) > 1
+    """,
+    family="agg",
+)
+def q_cov_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: coefficient of variation per group (analytics.py:493-544)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.stddev("p_retailprice") / F.avg("p_retailprice") * 100, 6).alias(
+                "cov_pct"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "q_median_price_by_brand",
+    """
+    SELECT p_brand,
+           CAST(ROUND(quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5), 6) AS DOUBLE) AS median_price
+    FROM part GROUP BY p_brand
+    """,
+    family="agg",
+)
+def q_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: exact interpolated median (≙ median-of-replicates,
+    proteomicsParser.py:533-545). percentile() == quantile_cont."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(CAST(p_retailprice AS DOUBLE), 0.5)"), 6).alias(
+            "median_price"
+        )
+    )
+
+
+@register(
+    "q_fold_change_returnflag",
+    """
+    SELECT l_linestatus,
+           CAST(ROUND(AVG(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END)
+                    / AVG(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 6) AS DOUBLE)
+             AS fold_change
+    FROM lineitem
+    GROUP BY l_linestatus
+    HAVING AVG(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END) IS NOT NULL
+       AND AVG(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) IS NOT NULL
+    """,
+    family="agg",
+)
+def q_fold_change_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: group-vs-group fold change via conditional aggregation
+    (analytics.py:2049-2081) — one pass, no self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_a = F.avg(F.when(F.col("l_returnflag") == "A", F.col("l_extendedprice")))
+    avg_n = F.avg(F.when(F.col("l_returnflag") == "N", F.col("l_extendedprice")))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.round(avg_a / avg_n, 6).alias("fold_change"), avg_a.alias("_a"), avg_n.alias("_n"))
+        .filter(F.col("_a").isNotNull() & F.col("_n").isNotNull())
+        .drop("_a", "_n")
+    )
+
+
+@register(
+    "q_union_high_value_parts",
+    """
+    SELECT DISTINCT p_partkey FROM (
+      SELECT p_partkey FROM part WHERE p_retailprice > 1500
+      UNION ALL
+      SELECT p_partkey FROM part WHERE p_size >= 49
+    )
+    """,
+    family="setop",
+)
+def q_union_high_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/A4: union of same-shape outputs + dedup (≙ multi-resource edge
+    union, builder/loader.py:175-186)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_retailprice") > 1500)
+        .select("p_partkey")
+        .unionByName(p.filter(F.col("p_size") >= 49).select("p_partkey"))
+        .distinct()
+    )
+
+
+@register(
+    "q_set_difference_new_orders",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+    """,
+    family="setop",
+)
+def q_set_difference_new_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: set difference (≙ only-new-rows append, wesParser.py:25-26)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+        .subtract(o.filter(F.col("o_totalprice") < 50000).select("o_orderkey"))
+    )
+
+
+@register(
+    "q_events_daily",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """,
+    family="agg",
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on the event stream: daily rollup (batch view of the streaming
+    aggregation in ckg_spark/streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@register(
+    "q_events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY k_bucket
+    """,
+    family="scalar",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: JSON extraction from a string column (semi-structured
+    props ≙ per-edge property bags)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket")
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_regex_route_part",
+    """
+    SELECT CASE WHEN regexp_matches(p_name, '^[a-f]') THEN 'head' ELSE 'tail' END AS route,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(p_retailprice), 6) AS DOUBLE) AS avg_price
+    FROM part GROUP BY route
+    """,
+    family="scalar",
+)
+def q_regex_route_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/F3: regex row routing (≙ isoform routing, uniprotParser.py:83)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.when(F.col("p_name").rlike("^[a-f]"), "head").otherwise("tail").alias("route"),
+            "p_retailprice",
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_topk_events",
+    """
+    SELECT event_id, user_id, CAST(ROUND(value, 6) AS DOUBLE) AS value
+    FROM events ORDER BY value DESC, event_id ASC LIMIT 20
+    """,
+    family="window",
+)
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-k with unique tiebreak; Spark executes TakeOrderedAndProject
+    (per-partition heap + driver merge, no global sort shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+# ======================================================================
+# KG construction over `documents` (dictionary tagging with the REAL
+# Aho-Corasick tagger; oracle = regexp-count SQL over the same inline vocab)
+# ======================================================================
+
+# non-overlapping vocabulary: no surface contains another's token, so
+# leftmost-longest tagging == independent regexp counting (provable equiv.)
+DOC_VOCAB: list[tuple[str, str, str]] = [  # (term_id, surface, parent_id)
+    ("T:CUSTOMER", "customer", "T:DIM"),
+    ("T:HASHJOIN", "hash join", "T:JOINOP"),
+    ("T:MERGE", "merge", "T:JOINOP"),
+    ("T:SPARK", "spark", "T:ENGINE"),
+    ("T:STREAM", "stream", "T:OP"),
+    ("T:VECTOR", "vector", "T:OP"),
+    ("T:WINDOW", "window", "T:OP"),
+]
+
+
+def _doc_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    pages_like = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    ac = build_automaton(
+        [
+            {"canonical_id": tid, "source": "NAME", "alias": surface, "entity_type": "Term"}
+            for tid, surface, _parent in DOC_VOCAB
+        ]
+    )
+    ac_bc = spark.sparkContext.broadcast(ac)
+    return tag_mentions(pages_like, ac_bc, lang="en")
+
+
+def _mentions_cte() -> str:
+    """Shared SQL CTE: per-(doc, term) regexp hit counts on english docs."""
+    per_term = [
+        f"SELECT doc_id, '{tid}' AS term_id, "
+        f"CAST(len(regexp_extract_all(lower(text), '\\b{surface}\\b')) AS BIGINT) AS n_hits "
+        f"FROM documents WHERE lang = 'en'"
+        for tid, surface, _p in DOC_VOCAB
+    ]
+    return (
+        "mentions AS (SELECT * FROM ("
+        + " UNION ALL ".join(per_term)
+        + ") WHERE n_hits > 0)"
+    )
+
+
+@register(
+    "q_kg_mentions",
+    f"""
+    WITH {_mentions_cte()}
+    SELECT CAST(doc_id AS VARCHAR) AS url, term_id, n_hits FROM mentions
+    """,
+    family="kg",
+)
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary tagging via the broadcast Aho-Corasick automaton —
+    the tag/ stage of the KG pipeline run against the documents table.
+    The SQL oracle proves the tagger == token-bounded occurrence counting
+    (equivalent because the inline vocab is overlap-free)."""
+    m = _doc_mentions_df(spark, sf_dir)
+    return m.select(
+        "url",
+        F.col("canonical_id").alias("term_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
+@register(
+    "q_kg_mention_topk",
+    f"""
+    WITH {_mentions_cte()}
+    SELECT term_id, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits
+    FROM mentions GROUP BY term_id
+    ORDER BY n_docs DESC, term_id ASC LIMIT 5
+    """,
+    family="kg",
+)
+def q_kg_mention_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top entities by distinct-document mention count
+    (≙ 'top diseases by publication mentions', SURVEY.md §7)."""
+    m = _doc_mentions_df(spark, sf_dir)
+    return (
+        m.groupBy(F.col("canonical_id").alias("term_id"))
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("term_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "q_kg_comention",
+    f"""
+    WITH {_mentions_cte()}
+    SELECT a.term_id AS subj, b.term_id AS obj,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM mentions a JOIN mentions b
+      ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+    GROUP BY a.term_id, b.term_id
+    """,
+    family="kg",
+)
+def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATED_WITH co-mention edges (link/ stage semantics:
+    jensenlabParser.py:24-50) on the documents corpus."""
+    m = _doc_mentions_df(spark, sf_dir).select("url", "canonical_id").distinct()
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.url") == F.col("b.url"))
+            & (F.col("a.canonical_id") < F.col("b.canonical_id")),
+        )
+        .groupBy(
+            F.col("a.canonical_id").alias("subj"), F.col("b.canonical_id").alias("obj")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_PARENT_VALUES = ", ".join(f"('{tid}', '{parent}')" for tid, _s, parent in DOC_VOCAB)
+
+
+@register(
+    "q_kg_hierarchy_rollup",
+    f"""
+    WITH {_mentions_cte()},
+         parents(term_id, parent_id) AS (VALUES {_PARENT_VALUES})
+    SELECT p.parent_id, CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs
+    FROM mentions m JOIN parents p ON m.term_id = p.term_id
+    GROUP BY p.parent_id
+    """,
+    family="kg",
+)
+def q_kg_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: HAS_PARENT hierarchy expansion + rollup (≙ disease-parent
+    biomarker queries, datasets_cypher.yml:58-66). Parent dim broadcast."""
+    m = _doc_mentions_df(spark, sf_dir)
+    parents = m.sparkSession.createDataFrame(
+        [(tid, parent) for tid, _s, parent in DOC_VOCAB], ["term_id", "parent_id"]
+    )
+    return (
+        m.join(F.broadcast(parents), m["canonical_id"] == parents["term_id"])
+        .groupBy("parent_id")
+        .agg(F.countDistinct("url").alias("n_docs"))
+    )
+
+
+# ======================================================================
+# training-data ops over documents / embeddings
+# ======================================================================
+
+@register(
+    "q_doc_token_stats",
+    r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(AVG(CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS DOUBLE)), 6) AS DOUBLE) AS avg_tokens,
+           CAST(ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    family="textstats",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up by language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(textstats.token_count(F.col("text")).cast("double")), 6).alias(
+            "avg_tokens"
+        ),
+        F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_doc_fingerprint_dups",
+    r"""
+    SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+'), x -> x <> ''), ' ')) AS fingerprint
+          FROM documents)
+    GROUP BY fingerprint HAVING COUNT(*) > 1
+    """,
+    family="dedup",
+)
+def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "q_exact_dup_groups",
+    """
+    SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+    family="dedup",
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dup_groups(docs, "doc_id", "text")
+        .select("content_hash", "n_docs", F.col("keeper_id").cast("long").alias("keeper_id"))
+    )
+
+
+@register("q_minhash_dup_pairs", None, family="dedup")
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (non-SQL: banding + signature)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dup_candidates(docs, "doc_id", "text", jaccard_threshold=0.4)
+
+
+@register("q_simhash_dup_pairs", None, family="dedup")
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (non-SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dup_candidates(docs, "doc_id", "text", max_hamming=3)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "q_embedding_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS DOUBLE) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    family="simsearch",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (JVM-side zip_with/aggregate dot product)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.brute_force_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+@register(
+    "q_embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.label < 2
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+    family="simsearch",
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked on label (bucketed self-join)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") < 2)
+    return simsearch.cosine_self_pairs(emb, threshold=0.5, block_col="label")
+
+
+@register("q_ivf_topk", None, family="simsearch")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN (non-SQL: quantizer + probe pruning)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    with_cells, centroids = simsearch.assign_cells(emb, n_cells=8)
+    return simsearch.ivf_topk(with_cells, centroids, q, k=10, nprobe=4)
+
+
+@register(
+    "q_multimodal_meta",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    family="multimodal",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata path (byte length of the opaque column)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+@register("q_multimodal_features", None, family="multimodal")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (deterministic stub decode)."""
+    from ..ops import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.docs_as_media(docs)
+    return multimodal.extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "width", "height"
+    )

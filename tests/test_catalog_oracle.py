@@ -1,0 +1,86 @@
+"""Local mimic of the driver's correctness gate: every catalog query runs
+on Spark AND its SQL oracle on DuckDB at sf0.01; row count, column names,
+and order-insensitive values must match."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ckg_spark.queries import CATALOG
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    """Column-name-sorted, order-insensitive row multiset with float rounding."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+SQL_QUERIES = sorted(n for n, s in CATALOG.items() if s.sql is not None)
+ROWS_ONLY = sorted(n for n, s in CATALOG.items() if s.sql is None)
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    spec = CATALOG[name]
+    sdf = spec.spark_fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(spec.sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    got = _normalize(srows, scols)
+    exp = _normalize(drows, dcols)
+    assert got == exp, (
+        f"{name}: values differ; first spark={got[:2]} duck={exp[:2]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    spec = CATALOG[name]
+    df = spec.spark_fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(e.oracle_sql()) <= set(e.queries())
