@@ -61,7 +61,7 @@ def _name_norms(terms: DataFrame) -> DataFrame:
 def _verify(names: DataFrame, aliases: DataFrame) -> DataFrame:
     """Exact predicate: a term's name-norm appears among another term's
     alias-norms (same entity_type). Returns (id_a < id_b) pairs."""
-    n = names.alias("n")
+    n = F.broadcast(names).alias("n")  # dimension-sized: never shuffle
     a = aliases.alias("a")
     hits = n.join(
         a,
@@ -82,12 +82,19 @@ def merge_pairs(terms: DataFrame, mode: str = "lsh") -> DataFrame:
     if mode == "exact":
         return _verify(names, aliases)
     # LSH blocking: items are (term, normalized surface); token set = norm tokens
-    items = aliases.select(
-        F.concat_ws(_SEP, "id", "entity_type", "norm").alias("item_key"),
-        F.split("norm", " ").alias("tokens"),
-    ).distinct()
-    sigs = minhash_signatures(items, "item_key", "tokens")
-    cand_items = lsh_candidate_pairs(sigs)
+    items = (
+        aliases.select(
+            F.concat_ws(_SEP, "id", "entity_type", "norm").alias("item_key"),
+            F.split("norm", " ").alias("tokens"),
+        )
+        .distinct()
+        .coalesce(1)  # vocab is dimension-sized; avoid 1-row tasks
+    )
+    # materialize signatures before the banding self-join: both join sides
+    # (and the later verify join) would otherwise re-run the Python UDF
+    # stage once per branch — measured 5x recompute on this plan
+    sigs = minhash_signatures(items, "item_key", "tokens").localCheckpoint()
+    cand_items = lsh_candidate_pairs(sigs, broadcast_build_side=True)
     # item pairs -> term pairs (drop same-term, cross-type)
     parts_a = F.split(F.col("key_a"), _SEP)
     parts_b = F.split(F.col("key_b"), _SEP)
@@ -107,22 +114,74 @@ def merge_pairs(terms: DataFrame, mode: str = "lsh") -> DataFrame:
     )
     # verify candidates with the exact predicate (inner join restricts to candidates)
     verified = _verify(names, aliases)
-    return cand_terms.join(verified, on=["src", "dst"], how="inner")
+    return cand_terms.join(F.broadcast(verified), on=["src", "dst"], how="inner")
 
 
-def build_canonical_map(terms: DataFrame, mode: str = "lsh") -> DataFrame:
+def _driver_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find with path compression; representative = min id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def build_canonical_map(
+    terms: DataFrame, mode: str = "lsh", driver_cc_threshold: int = 1_000_000
+) -> DataFrame:
     """(term_id, node_id): every term maps to its cluster representative
     (min id in the connected component; itself when unmerged).
 
-    The map is dimension-sized — downstream rewrites broadcast it, so the
-    hub-entity skew of the mention table never shuffles (broadcast joins
-    are skew-immune on the probe side; AQE skew-join covers the rest).
+    The merge-pair graph is tiny relative to the corpus (near-dup alias
+    clusters only): even a UMLS-sized vocabulary yields ~1M pairs. Below
+    ``driver_cc_threshold`` the components are solved with union-find on
+    the driver (milliseconds, zero Spark jobs — tests assert it agrees
+    with the distributed loop); above it the iterative pointer-jumping
+    DataFrame CC takes over.
+
+    The resulting map is dimension-sized — downstream rewrites broadcast
+    it, so the hub-entity skew of the mention table never shuffles
+    (broadcast joins are skew-immune on the probe side).
     """
-    pairs = merge_pairs(terms, mode=mode)
-    comp = connected_components(pairs, "src", "dst")  # only merged nodes appear
+    spark = terms.sparkSession
+    pairs = merge_pairs(terms, mode=mode).coalesce(1).localCheckpoint()
+    n_pairs = pairs.count()
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    comp_schema = StructType(
+        [
+            StructField("node", StringType(), False),
+            StructField("component", StringType(), False),
+        ]
+    )
+    if n_pairs <= driver_cc_threshold:
+        import pandas as pd
+
+        mapping = _driver_components(
+            [(r["src"], r["dst"]) for r in pairs.collect()]
+        )
+        items = sorted(mapping.items())
+        comp = spark.createDataFrame(
+            pd.DataFrame(
+                {"node": [k for k, _ in items], "component": [c for _, c in items]}
+            ),
+            comp_schema,
+        )
+    else:
+        comp = connected_components(pairs, "src", "dst")  # only merged nodes appear
     return (
         terms.select(F.col("id").alias("term_id"))
-        .join(comp, F.col("term_id") == F.col("node"), "left")
+        .join(F.broadcast(comp), F.col("term_id") == F.col("node"), "left")
         .select(
             "term_id",
             F.coalesce(F.col("component"), F.col("term_id")).alias("node_id"),

@@ -56,6 +56,7 @@ def connected_components(
         )
         propagated = labels.join(nbr_min, labels["node"] == nbr_min["u"], "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                 "p_label"
             ),
@@ -68,17 +69,14 @@ def connected_components(
             propagated.join(jump_src, propagated["p_label"] == jump_src["j_node"], "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("p_label"), F.coalesce(F.col("j_label"), F.col("p_label"))
                 ).alias("new_label"),
             )
             .localCheckpoint()
         )
-        n_changed = (
-            jumped.join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        n_changed = jumped.filter(F.col("new_label") != F.col("old_label")).count()
         labels = jumped.select("node", F.col("new_label").alias("label"))
         if not n_changed:
             break

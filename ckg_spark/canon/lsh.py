@@ -94,13 +94,20 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    broadcast_build_side: bool = False,
 ) -> DataFrame:
     """(key, signature) -> distinct candidate pairs (key_a < key_b).
 
     One shuffle on (band, band_hash); the within-bucket self-join is bounded
     by bucket size, and the distinct() collapses pairs found in multiple
     bands before any expensive verification runs.
+
+    ``broadcast_build_side=True`` skips the shuffle entirely by broadcasting
+    one side of the self-join — correct ONLY for dimension-sized inputs
+    (vocab canonicalization); corpus-scale dedup must leave it False.
     """
     n = bands * rows_per_band
     band_cols = [
@@ -113,7 +120,7 @@ def lsh_candidate_pairs(
         "key",
         F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
     )
-    a = buckets.alias("a")
+    a = (F.broadcast(buckets) if broadcast_build_side else buckets).alias("a")
     b = buckets.alias("b")
     pairs = (
         a.join(

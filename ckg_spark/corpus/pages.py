@@ -70,6 +70,8 @@ class PagesConfig:
     dup_url_rate: float = 0.001  # repeated-content hub urls
     mentions_min: int = 2
     mentions_max: int = 8
+    words_min: int = 40      # body length; raise for realistic-sized pages
+    words_max: int = 160
     partitions: int = 32
     # filled from vocab:
     surfaces: list[tuple[str, str]] = field(default_factory=list)   # (surface, id)
@@ -111,7 +113,7 @@ def _decorate(rng: random.Random, surface: str) -> str:
 
 def _page_body(rng: random.Random, cfg: PagesConfig, is_en: bool) -> str:
     words: list[str] = []
-    n_words = rng.randint(40, 160)
+    n_words = rng.randint(cfg.words_min, cfg.words_max)
     for _ in range(n_words):
         words.append(rng.choice(_FILLER))
     # splice mentions at random positions

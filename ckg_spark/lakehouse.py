@@ -98,6 +98,20 @@ class Table:
     def snapshots(self) -> list[Snapshot]:
         return [Snapshot(**s) for s in self._load()["snapshots"]]
 
+    def row_count(self, snapshot_id: int | None = None) -> int:
+        """Total rows at a snapshot from the manifest footers — no Spark job.
+        (Manifest-based stats ≙ Iceberg's snapshot summary counts.)"""
+        m = self._load()
+        sid = m["current"] if snapshot_id is None else snapshot_id
+        snaps = {s["id"]: s for s in m["snapshots"]}
+        if sid == 0 or sid not in snaps:
+            return 0
+        total = 0
+        for rel in snaps[sid]["dirs"]:
+            for f in _walk_row_counts(os.path.join(self.root, rel)):
+                total += f["rows"] or 0
+        return total
+
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         m = self._load()
@@ -177,6 +191,7 @@ class Table:
         key_cols: list[str],
         partition_by: list[str] | None = None,
         meta: dict[str, Any] | None = None,
+        assume_unique: bool = False,
     ) -> int:
         """Insert rows whose key is not already in the table (Cypher-MERGE /
         Iceberg ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` semantics).
@@ -184,8 +199,12 @@ class Table:
         Re-running the same load is a no-op — the idempotency the reference
         gets from Neo4j MERGE (cypher.yml:24) and from set()-dedup in every
         parser (e.g. src/graphdb_builder/databases/parsers/stringParser.py:54-58).
+
+        ``assume_unique=True`` skips the staging dedup shuffle when the
+        caller guarantees key uniqueness (e.g. the output of a groupBy on
+        the key) — one less full shuffle of the fact table.
         """
-        staged = df.dropDuplicates(key_cols)
+        staged = df if assume_unique else df.dropDuplicates(key_cols)
         if self.exists():
             current = self.read(spark)
             staged = staged.join(current.select(*key_cols), on=key_cols, how="left_anti")

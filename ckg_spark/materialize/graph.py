@@ -88,27 +88,63 @@ def materialize_graph(
     wh: Warehouse,
     nodes: DataFrame,
     edges: DataFrame,
+    url_obj_preds: tuple[str, ...] = ("MENTIONED_IN_PUBLICATION",),
 ) -> dict:
-    """MERGE nodes + FK-validated edges; quarantine orphans; log metrics."""
+    """MERGE nodes + FK-validated edges; quarantine orphans; log metrics.
+
+    FK validation strategy at corpus scale:
+    - ``subj`` is always an entity id -> validated with a **broadcast**
+      semi-join against the dimension-sized entity node set;
+    - ``obj`` is an entity id for association/hierarchy edges (same
+      broadcast join, pruned by the ``pred`` partition), but a **url** for
+      mention edges. Those urls are structurally taken from the same
+      mention table that generated the Publication nodes, so the join is
+      skipped for ``url_obj_preds`` — validating them would shuffle two
+      corpus-scale tables for a tautology.
+    - the annotated frame is checkpointed once; valid/orphan are two cheap
+      filters over it instead of a semi-join + anti-join pair, and orphan
+      counts come from the quarantine write's manifest (no count job).
+    """
     nodes_t = wh.table("nodes")
     edges_t = wh.table("edges")
     quarantine_t = wh.table("edges_quarantine")
 
     nodes_t.merge_insert_absent(spark, nodes, ["id"], partition_by=["label"])
-    node_ids = nodes_t.read(spark).select("id")
+    entity_ids = (
+        nodes_t.read(spark)
+        .filter(F.col("label") != PUBLICATION_LABEL)
+        .select("id")
+    )
 
     e = edges
-    valid = (
-        e.join(node_ids.withColumnRenamed("id", "subj"), "subj", "left_semi")
-        .join(node_ids.withColumnRenamed("id", "obj"), "obj", "left_semi")
-        .select(*e.columns)
+    subj_ok = F.col("__subj_id").isNotNull()
+    obj_ok = F.col("pred").isin(*url_obj_preds) | F.col("__obj_id").isNotNull()
+    annotated = (
+        e.join(
+            F.broadcast(entity_ids.withColumnRenamed("id", "__subj_id")),
+            e["subj"] == F.col("__subj_id"),
+            "left",
+        )
+        .join(
+            F.broadcast(entity_ids.withColumnRenamed("id", "__obj_id")),
+            e["obj"] == F.col("__obj_id"),
+            "left",
+        )
+        .withColumn("__valid", subj_ok & obj_ok)
+        .select(*e.columns, "__valid")
+        .localCheckpoint()
     )
-    orphan = e.join(valid.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti")
+    valid = annotated.filter("__valid").drop("__valid")
+    orphan = annotated.filter("NOT __valid").drop("__valid")
 
-    edges_t.merge_insert_absent(spark, valid, ["subj", "pred", "obj"], partition_by=["pred"])
-    n_orphan = orphan.count()
-    if n_orphan:
-        quarantine_t.append(orphan)
+    # the link stage emits each (subj, pred, obj) exactly once (groupBy /
+    # distinct per branch, disjoint preds across branches) -> skip the
+    # staging dedup shuffle
+    edges_t.merge_insert_absent(
+        spark, valid, ["subj", "pred", "obj"], partition_by=["pred"], assume_unique=True
+    )
+    quarantine_t.append(orphan)
+    n_orphan = quarantine_t.snapshots()[-1].rows_written
 
     stats = {
         "nodes_snapshot": nodes_t.current_snapshot(),

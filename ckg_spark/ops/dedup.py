@@ -92,8 +92,10 @@ def minhash_dup_candidates(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard:
     (key_a, key_b, jaccard). Shuffles: band bucket join + the verify join."""
-    sh = word_shingles(docs, id_col, text_col, shingle_n)
-    sigs = minhash_signatures(sh, "key", "shingles", num_hashes=num_hashes)
+    # materialize shingles + signatures before the self-joins: each join
+    # branch would otherwise recompute the shingling/UDF stages
+    sh = word_shingles(docs, id_col, text_col, shingle_n).localCheckpoint()
+    sigs = minhash_signatures(sh, "key", "shingles", num_hashes=num_hashes).localCheckpoint()
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
     return verify_jaccard(cands, sh, jaccard_threshold)
 
@@ -181,7 +183,7 @@ def simhash_dup_candidates(
     a bucket-join on (chunk_idx, chunk_value) finds all of them with one
     shuffle — never an all-pairs comparison.
     """
-    sigs = simhash_signatures(docs, id_col, text_col)
+    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
     chunks = sigs.select(
         "key",
         "simhash",

@@ -96,10 +96,16 @@ class KGPipeline:
         rec = self.ckpt.done(name, fp)
         if rec is not None and t.exists():
             return t.read(self.spark, rec.get("snapshot")), True
+        import time as _time
+
+        t0 = _time.perf_counter()
         df, partition_by = compute()
         snap = t.overwrite(df, partition_by=partition_by, meta={"stage": name, "fp": fp})
+        elapsed = round(_time.perf_counter() - t0, 3)
         rows = sum(f["rows"] or 0 for f in t.snapshots()[-1].files)
-        self.wh.log_metric(name, table=table, snapshot=snap, rows=rows, fingerprint=fp)
+        self.wh.log_metric(
+            name, table=table, snapshot=snap, rows=rows, fingerprint=fp, seconds=elapsed
+        )
         self.ckpt.mark(name, fp, snapshot=snap, table=table)
         return t.read(self.spark, snap), False
 
@@ -119,10 +125,19 @@ class KGPipeline:
             if skipped:
                 stats["skipped"].append("pages")
 
-        # stage 2: extraction (fills text; byte-identical per url)
+        # stage 2: extraction (fills text; byte-identical per url). The html
+        # payload is dropped from the output table — downstream stages only
+        # need text, and at corpus scale the binary column must never be
+        # rewritten or shuffled past this point.
         fp_ext = _fingerprint("extract", {}, fp_pages)
         pages_text, skipped = self._stage(
-            "extract", fp_ext, "pages_text", lambda: (with_extracted_text(pages), None)
+            "extract",
+            fp_ext,
+            "pages_text",
+            lambda: (
+                with_extracted_text(pages).select("url", "warc_ts", "text", "lang"),
+                None,
+            ),
         )
         if skipped:
             stats["skipped"].append("extract")
@@ -131,16 +146,9 @@ class KGPipeline:
         fp_tag = _fingerprint("tag", asdict(self.vocab_cfg), fp_ext)
 
         def _tag():
+            etype = {t["id"]: t["entity_type"] for t in self.vocab.terms}
             alias_rows = [
-                {
-                    "canonical_id": a["canonical_id"],
-                    "source": a["source"],
-                    "alias": a["alias"],
-                    "entity_type": next(
-                        t["entity_type"] for t in self.vocab.terms if t["id"] == a["canonical_id"]
-                    ),
-                }
-                for a in self.vocab.aliases
+                {**a, "entity_type": etype[a["canonical_id"]]} for a in self.vocab.aliases
             ]
             ac = build_automaton(alias_rows)
             ac_bc = spark.sparkContext.broadcast(ac)
@@ -185,6 +193,7 @@ class KGPipeline:
             stats.update(mat_stats)
             self.ckpt.mark("materialize", fp_mat, **mat_stats)
 
-        stats["n_triples"] = self.wh.table("edges").read(spark).count()
-        stats["n_nodes"] = self.wh.table("nodes").read(spark).count()
+        # manifest-based counts: no extra Spark jobs
+        stats["n_triples"] = self.wh.table("edges").row_count()
+        stats["n_nodes"] = self.wh.table("nodes").row_count()
         return stats

@@ -665,9 +665,16 @@ _PARENT_VALUES = ", ".join(f"('{tid}', '{parent}')" for tid, _s, parent in DOC_V
 def q_kg_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: HAS_PARENT hierarchy expansion + rollup (≙ disease-parent
     biomarker queries, datasets_cypher.yml:58-66). Parent dim broadcast."""
+    import pandas as pd
+
     m = _doc_mentions_df(spark, sf_dir)
     parents = m.sparkSession.createDataFrame(
-        [(tid, parent) for tid, _s, parent in DOC_VOCAB], ["term_id", "parent_id"]
+        pd.DataFrame(
+            {
+                "term_id": [tid for tid, _s, _p in DOC_VOCAB],
+                "parent_id": [p for _t, _s, p in DOC_VOCAB],
+            }
+        )
     )
     return (
         m.join(F.broadcast(parents), m["canonical_id"] == parents["term_id"])

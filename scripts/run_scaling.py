@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence: the same KG build at local[8] vs local[32]
+on the same pre-generated corpus; reports throughput at both and the
+scaling efficiency, appending the results to BENCH.md.
+
+Efficiency definition (strong scaling on a fixed input, the sandbox proxy
+for N -> 4N executors):
+
+    eff = (throughput_32 / throughput_8) / (32 / 8)
+
+Each level runs in its own subprocess (fresh JVM) so neither inherits warm
+caches from the other. Run count per level is configurable; the median is
+reported (the host is shared, wall-clock is noisy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cores: int, n_docs: int, pages_path: str, words: str, trials: int) -> list[dict]:
+    results = []
+    for _ in range(trials):
+        out = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "bench.py"),
+                "--kg-only", "--cores", str(cores), "--n-docs", str(n_docs),
+                "--pages-path", pages_path, "--words", words,
+            ],
+            capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=300_000)
+    ap.add_argument("--words", default="300,900")
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    workdir = tempfile.mkdtemp(prefix="ckg_scaling_")
+    pages_path = os.path.join(workdir, "pages_raw")
+    subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "bench.py"),
+            "--gen-only", "--pages-path", pages_path,
+            "--n-docs", str(args.n_docs), "--words", args.words,
+        ],
+        check=True, cwd=REPO, capture_output=True, text=True,
+    )
+
+    res_lo = run_level(lo, args.n_docs, pages_path, args.words, args.trials)
+    res_hi = run_level(hi, args.n_docs, pages_path, args.words, args.trials)
+    thr_lo = statistics.median(r["triples_per_sec"] for r in res_lo)
+    thr_hi = statistics.median(r["triples_per_sec"] for r in res_hi)
+    eff = (thr_hi / thr_lo) / (hi / lo)
+
+    summary = {
+        "n_docs": args.n_docs,
+        "words": args.words,
+        "levels": {str(lo): res_lo, str(hi): res_hi},
+        "throughput": {str(lo): thr_lo, str(hi): thr_hi},
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary, indent=1))
+
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n## Scaling run (local[{lo}] vs local[{hi}], {args.n_docs} docs, "
+            f"body {args.words} words)\n\n"
+            f"| level | seconds | triples/sec | docs/sec |\n|---|---|---|---|\n"
+        )
+        for cores, rs in ((lo, res_lo), (hi, res_hi)):
+            r = sorted(rs, key=lambda x: x["seconds"])[len(rs) // 2]
+            f.write(
+                f"| local[{cores}] | {r['seconds']} | {r['triples_per_sec']} | {r['docs_per_sec']} |\n"
+            )
+        f.write(
+            f"\nScaling efficiency ({lo} -> {hi} cores): **{eff:.3f}** "
+            f"(= ({thr_hi:.0f}/{thr_lo:.0f}) / {hi // lo})\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

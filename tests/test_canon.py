@@ -52,6 +52,27 @@ def test_connected_components_chain(spark):
     assert set(comp.values()) == {"n000"}
 
 
+def test_distributed_cc_equals_driver_union_find(spark, vocab):
+    """The >threshold distributed path and the driver fast path agree."""
+    from ckg_spark.canon.canonicalize import _driver_components
+
+    terms, _, _ = vocab_dataframes(spark, vocab)
+    pairs = merge_pairs(terms, mode="exact")
+    pair_list = [(r["src"], r["dst"]) for r in pairs.collect()]
+    exp = _driver_components(pair_list)
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == exp
+
+
+def test_canonical_map_uses_distributed_cc_above_threshold(spark, vocab):
+    terms, _, _ = vocab_dataframes(spark, vocab)
+    a = build_canonical_map(terms, mode="exact", driver_cc_threshold=0)
+    b = build_canonical_map(terms, mode="exact")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_canonical_map_matches_oracle(spark, vocab):
     terms, _, _ = vocab_dataframes(spark, vocab)
     got = {
