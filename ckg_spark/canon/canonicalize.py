@@ -136,24 +136,78 @@ def _driver_components(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in parent}
 
 
+def _driver_merge_pairs(
+    rows: list,
+) -> list[tuple[str, str]]:
+    """Exact merge predicate evaluated with in-memory hash maps — the same
+    hash-join the reference runs per parser process
+    (/root/reference src/graphdb_connector/mapping.py:85-142), used here
+    only when the vocabulary fits on the driver."""
+    from .normalize import normalize_surface
+
+    alias_index: dict[tuple[str, str], set[str]] = {}
+    name_norm: dict[str, tuple[str, str]] = {}
+    for r in rows:
+        tid, etype = r["id"], r["entity_type"]
+        norms = {normalize_surface(r["name"])}
+        norms.update(normalize_surface(s) for s in (r["synonyms"] or []))
+        for n in norms:
+            alias_index.setdefault((etype, n), set()).add(tid)
+        name_norm[tid] = (etype, normalize_surface(r["name"]))
+    pairs: set[tuple[str, str]] = set()
+    for tid, (etype, nn) in name_norm.items():
+        for other in alias_index.get((etype, nn), ()):  # name-norm ∈ aliasNorms(other)
+            if other != tid:
+                pairs.add((min(tid, other), max(tid, other)))
+    return sorted(pairs)
+
+
 def build_canonical_map(
-    terms: DataFrame, mode: str = "lsh", driver_cc_threshold: int = 1_000_000
+    terms: DataFrame,
+    mode: str = "lsh",
+    driver_cc_threshold: int = 1_000_000,
+    driver_vocab_threshold: int = 200_000,
 ) -> DataFrame:
     """(term_id, node_id): every term maps to its cluster representative
     (min id in the connected component; itself when unmerged).
 
-    The merge-pair graph is tiny relative to the corpus (near-dup alias
-    clusters only): even a UMLS-sized vocabulary yields ~1M pairs. Below
-    ``driver_cc_threshold`` the components are solved with union-find on
-    the driver (milliseconds, zero Spark jobs — tests assert it agrees
-    with the distributed loop); above it the iterative pointer-jumping
-    DataFrame CC takes over.
+    Size-aware dispatch — the vocabulary is a *dimension* table, so the
+    right physical plan depends on its size, not the corpus's:
+
+    - ``<= driver_vocab_threshold`` terms: collect once and solve merge
+      pairs + union-find entirely on the driver (milliseconds, 1 Spark
+      job). A few hundred thousand terms is exactly the scale the
+      reference holds in per-process dicts (mapping.py:85-142); burning
+      ~40 Spark stages of fixed scheduling overhead on it would dominate
+      the whole build at any corpus size.
+    - larger: MinHash-LSH blocking + exact verify (``merge_pairs``), then
+      union-find on the driver while the pair list stays under
+      ``driver_cc_threshold``, else the iterative pointer-jumping
+      DataFrame CC. Tests assert all paths agree.
 
     The resulting map is dimension-sized — downstream rewrites broadcast
     it, so the hub-entity skew of the mention table never shuffles
     (broadcast joins are skew-immune on the probe side).
     """
     spark = terms.sparkSession
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    map_schema = StructType(
+        [
+            StructField("term_id", StringType(), False),
+            StructField("node_id", StringType(), False),
+        ]
+    )
+    n_terms = terms.count()
+    if n_terms <= driver_vocab_threshold:
+        rows = terms.select("id", "entity_type", "name", "synonyms").collect()
+        mapping = _driver_components(_driver_merge_pairs(rows))
+        data = sorted((r["id"], mapping.get(r["id"], r["id"])) for r in rows)
+        return spark.createDataFrame(
+            pd.DataFrame({"term_id": [a for a, _ in data], "node_id": [b for _, b in data]}),
+            map_schema,
+        )
     pairs = merge_pairs(terms, mode=mode).coalesce(1).localCheckpoint()
     n_pairs = pairs.count()
     from pyspark.sql.types import StringType, StructField, StructType

@@ -66,11 +66,18 @@ def test_distributed_cc_equals_driver_union_find(spark, vocab):
     assert got == exp
 
 
-def test_canonical_map_uses_distributed_cc_above_threshold(spark, vocab):
+def test_canonical_map_all_paths_agree(spark, vocab):
+    """driver-vocab fast path == distributed pairs + driver CC == fully
+    distributed (LSH pairs + iterative DataFrame CC)."""
     terms, _, _ = vocab_dataframes(spark, vocab)
-    a = build_canonical_map(terms, mode="exact", driver_cc_threshold=0)
-    b = build_canonical_map(terms, mode="exact")
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    fast = build_canonical_map(terms, mode="exact")  # driver fast path (default)
+    mid = build_canonical_map(terms, mode="exact", driver_vocab_threshold=0)
+    full = build_canonical_map(
+        terms, mode="exact", driver_vocab_threshold=0, driver_cc_threshold=0
+    )
+    exp = sorted(map(tuple, fast.collect()))
+    assert sorted(map(tuple, mid.collect())) == exp
+    assert sorted(map(tuple, full.collect())) == exp
 
 
 def test_canonical_map_matches_oracle(spark, vocab):
