@@ -4,8 +4,9 @@ Scale rationale: the naive way to find similar alias strings is an all-pairs
 comparison — O(n^2) and impossible at a UMLS-sized vocabulary or a
 10^12-document corpus. MinHash-LSH turns it into:
 
-1. signature: k min-hashes over the token set (vectorized numpy inside an
-   ``applyInPandas``-free ``mapInPandas`` — no shuffle);
+1. signature: k min-hashes over the token set — fully JVM-side
+   (``xxhash64(seed_i, token)`` inside ``transform``/``array_min``, i.e.
+   whole-stage codegen; no Python workers, no shuffle);
 2. banding: explode k hashes into b bands of r rows; equal band-hash =>
    same bucket (one shuffle, on the band key);
 3. candidate pairs: self-join within buckets (bounded by bucket size);
@@ -15,26 +16,16 @@ Identical token sets produce identical signatures, so recall is exactly 1.0
 for the exact-normalized-match predicate the KG canonicalizer verifies with;
 for fuzzy thresholds the usual (1/b)^(1/r) s-curve applies.
 
-Hashing is ``xxhash64`` seeded per-row-index — JVM-side where possible,
-numpy (splitmix-style) inside the UDF — fully deterministic, no
-``Math.random``/wall-clock anywhere.
+All hashing is deterministic (xxhash64 with literal per-index seeds) —
+no ``Math.random``/wall-clock anywhere. The numpy splitmix/FNV helpers
+remain for the SimHash operator, which needs raw token hashes in Python.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -62,35 +53,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """items(key, tokens: array<string>) -> (key, signature: array<long>).
 
-    Narrow map, no shuffle; numpy-vectorized across the hash dimension.
+    Fully JVM-side: hash family i is ``xxhash64(i, token)``; sig[i] = min
+    over the tokens. A narrow map with zero shuffles and zero Python — the
+    previous pandas-UDF version spent the whole stage in per-byte FNV
+    hashing in Python (the classic UDF-in-the-hot-path trap; SURVEY.md §4).
+
+    Identical token *sets* give identical signatures (min is duplicate- and
+    order-insensitive) — the recall-1.0 property downstream exact verifiers
+    rely on. Empty/null token arrays sign as all-zeros.
     """
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
-    out_schema = StructType(
-        [
-            StructField("key", StringType(), False),
-            StructField("signature", ArrayType(LongType()), False),
-        ]
-    )
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            keys, sigs = [], []
-            for key, toks in zip(pdf[key_col], pdf[tokens_col]):
-                toks = list(toks) if toks is not None else []
-                if not toks:
-                    sig = np.zeros(num_hashes, dtype=np.uint64)
-                else:
-                    th = _token_hashes(toks)  # (n_tokens,)
-                    # broadcast: (n_tokens, num_hashes) permuted hashes, min over tokens
-                    mixed = _splitmix64(th[:, None] ^ seeds[None, :])
-                    sig = mixed.min(axis=0)
-                keys.append(key)
-                sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"key": keys, "signature": sigs})
-
-    return items.select(
-        F.col(key_col).alias(key_col), F.col(tokens_col).alias(tokens_col)
-    ).mapInPandas(compute, out_schema)
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+    sig_cols = [
+        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(F.lit(i), t)))
+        for i in range(1, num_hashes + 1)
+    ]
+    signature = F.transform(F.array(*sig_cols), lambda s: F.coalesce(s, F.lit(0)))
+    return items.select(F.col(key_col).alias("key"), signature.alias("signature"))
 
 
 def lsh_candidate_pairs(

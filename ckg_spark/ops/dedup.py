@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..canon.lsh import _splitmix64, _token_hashes, lsh_candidate_pairs, minhash_signatures
+from ..canon.lsh import lsh_candidate_pairs, minhash_signatures
 
 
 # -- exact ---------------------------------------------------------------
@@ -71,13 +71,26 @@ def bag_of_words_dup_groups(
 # -- shingles + minhash ---------------------------------------------------
 def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingles array<string>) — word n-grams, JVM-side via transform
-    over a token-index sequence (no Python)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
-    return docs.select(
-        F.col(id_col).cast("string").alias("key"),
-        F.array_distinct(F.transform(idx, shingle_at)).alias("shingles"),
+    over a token-index sequence (no Python).
+
+    Two projections on purpose: tokenization materializes into a column
+    BEFORE the per-index lambda touches it. Referencing the split()
+    expression inside the transform lambda re-evaluates the split once per
+    array element (no common-subexpression elimination through higher-order
+    functions) — measured 10x slower than this form."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    tokenized = docs.select(F.col(id_col).cast("string").alias("key"), toks.alias("tk"))
+    tk = F.col("tk")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+    # try_element_at: docs shorter than n tokens index past the end, which
+    # plain element_at rejects under ANSI mode; concat_ws drops the nulls.
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at(tk, i + j + 1) for j in range(n)]
+    )
+    return tokenized.select(
+        "key", F.array_distinct(F.transform(idx, shingle_at)).alias("shingles")
     )
 
 
@@ -142,32 +155,40 @@ _SIMHASH_SCHEMA = StructType(
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over word tokens (numpy-vectorized mapInPandas).
-    Near-identical documents differ in a handful of bits."""
+    """64-bit SimHash over word tokens. Near-identical documents differ in
+    a handful of bits.
+
+    Token hashing happens JVM-side (``xxhash64`` inside ``transform`` —
+    whole-stage codegen); only the 64-way bit-voting runs in Python, numpy-
+    vectorized over the pre-hashed int64 arrays. The original version hashed
+    every token byte-by-byte in Python, which dominated the stage."""
+    hashed = docs.select(
+        F.col(id_col).cast("string").alias("key"),
+        F.transform(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")),
+            lambda t: F.xxhash64(t),
+        ).alias("th"),
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
+        pow2 = (np.uint64(1) << bit_idx).astype(np.uint64)
         for pdf in batches:
             keys, sigs = [], []
-            for key, text in zip(pdf[id_col], pdf[text_col]):
-                toks = str(text).lower().split()
-                if not toks:
-                    keys.append(str(key))
+            for key, th in zip(pdf["key"], pdf["th"]):
+                th = np.asarray(th, dtype=np.int64).view(np.uint64)
+                if th.size == 0:
+                    keys.append(key)
                     sigs.append(0)
                     continue
-                th = _token_hashes(toks)  # (n,)
                 bits = ((th[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
                 acc = (2 * bits - 1).sum(axis=0)  # +1/-1 votes per bit
-                sig = np.uint64(0)
-                for b in np.nonzero(acc > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(b)
-                keys.append(str(key))
-                sigs.append(int(np.int64(sig)))
+                sig = pow2[acc > 0].sum(dtype=np.uint64)
+                keys.append(key)
+                sigs.append(int(sig.astype(np.int64)))
             yield pd.DataFrame({"key": keys, "simhash": sigs})
 
-    return docs.select(F.col(id_col).cast("string").alias(id_col), text_col).mapInPandas(
-        compute, _SIMHASH_SCHEMA
-    )
+    return hashed.mapInPandas(compute, _SIMHASH_SCHEMA)
 
 
 def simhash_dup_candidates(

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # small-file inputs must still fan out across every core: without a
+        # floor, a 2 MB parquet scans as ONE partition and any expensive
+        # narrow map after it (shingling, UDFs) runs single-threaded. The
+        # split size is max(openCostInBytes, totalBytes/minPartitionNum),
+        # so the default 4 MB openCost must come down for the floor to
+        # bite. At 100 TB maxPartitionBytes (128 MB) rules instead.
+        .config("spark.sql.files.minPartitionNum", str(cores))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
