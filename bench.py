@@ -156,6 +156,14 @@ def main() -> None:
             print(json.dumps({"generated": args.pages_path, "n_docs": n_docs}))
             return
         if args.kg_only:
+            # spin up the executor Python worker pool before the timed
+            # section — worker startup is a fixed cost that would otherwise
+            # penalize the faster parallelism level in scaling runs
+            import pandas as _pd
+
+            spark.createDataFrame(_pd.DataFrame({"x": range(1000)})).mapInPandas(
+                lambda it: it, "x long"
+            ).selectExpr("sum(x)").collect()
             kg = kg_throughput(
                 spark, n_docs, args.partitions, workdir,
                 pages_path=args.pages_path, words=words,

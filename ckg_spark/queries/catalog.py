@@ -633,17 +633,23 @@ def q_kg_mention_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASSOCIATED_WITH co-mention edges (link/ stage semantics:
     jensenlabParser.py:24-50) on the documents corpus."""
-    m = _doc_mentions_df(spark, sf_dir).select("url", "canonical_id").distinct()
-    a, b = m.alias("a"), m.alias("b")
+    m = _doc_mentions_df(spark, sf_dir)
+    per_url = m.groupBy("url").agg(
+        F.array_sort(F.collect_set("canonical_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.url") == F.col("b.url"))
-            & (F.col("a.canonical_id") < F.col("b.canonical_id")),
-        )
-        .groupBy(
-            F.col("a.canonical_id").alias("subj"), F.col("b.canonical_id").alias("obj")
-        )
+        per_url.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
@@ -843,4 +849,138 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.docs_as_media(docs)
     return multimodal.extract_media_features(media).select(
         "media_id", "kind", "n_bytes", "width", "height"
+    )
+
+
+# stopword list literals shared by the langid/quality oracles
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in textstats.STOPWORDS.items()}
+_TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@register(
+    "q_doc_quality",
+    rf"""
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(ROUND(pr, 6) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND(swr, 6) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(0.5 * swr + 0.5 * (1.0 - pr)
+                      - CASE WHEN mwl > 12 THEN 0.25 ELSE 0.0 END, 6) AS DOUBLE) AS quality
+    FROM (
+      SELECT doc_id,
+             tk,
+             len(list_filter(tk, t -> list_contains([{_SW['en']}], t)))
+               / greatest(len(tk), 1) AS swr,
+             (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+               / greatest(length(text), 1) AS pr,
+             list_sum(list_transform(tk, t -> length(t))) / greatest(len(tk), 1) AS mwl
+      FROM (SELECT doc_id, text, {_TOKENS_SQL} AS tk FROM documents)
+    )
+    """,
+    family="textstats",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (stopword/punct/word-length heuristics),
+    entirely JVM-side column math (SURVEY.md training-data ops)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(t).cast("long").alias("n_tokens"),
+        F.round(textstats.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(textstats.stopword_ratio(t), 6).alias("stopword_ratio"),
+        textstats.quality_score(t).alias("quality"),
+    )
+
+
+_LANGID_SCORES_SQL = ",\n".join(
+    f"           CAST(ROUND(len(list_filter(tk, t -> list_contains([{_SW[lang]}], t)))"
+    f" / greatest(len(tk), 1), 6) AS DOUBLE) AS score_{lang}"
+    for lang in sorted(textstats.STOPWORDS)
+)
+_LANGID_BEST_SQL = "greatest(" + ", ".join(
+    f"score_{lang}" for lang in sorted(textstats.STOPWORDS)
+) + ")"
+_LANGID_PRED_SQL = "CASE " + " ".join(
+    f"WHEN score_{lang} = {_LANGID_BEST_SQL} THEN '{lang}'"
+    for lang in sorted(textstats.STOPWORDS)
+) + " END"
+
+
+@register(
+    "q_doc_langid",
+    rf"""
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           {_LANGID_PRED_SQL} AS pred_lang
+    FROM (
+      SELECT doc_id,
+{_LANGID_SCORES_SQL}
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents)
+    )
+    """,
+    family="textstats",
+)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic alphabetical
+    tie-break (n-gram-heuristic family; SURVEY.md training-data ops)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.langid_scores(docs, "doc_id", "text")
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tk) - 3, 0) + 2), "
+    "i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))"
+)
+
+
+@register(
+    "q_ngram_jaccard",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents WHERE doc_id < 500)
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(ROUND(len(list_intersect(a.shingles, b.shingles))
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS DOUBLE)
+             AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    family="dedup",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on externally supplied candidate pairs
+    (consecutive doc ids here) — the verify predicate of the LSH path,
+    oracle-checked end to end."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    cands = docs.select(
+        F.col("doc_id").cast("string").alias("key_a"),
+        (F.col("doc_id") + 1).cast("string").alias("key_b"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, cands, "doc_id", "text", n=3, threshold=-1.0)
+    return pairs.select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@register(
+    "q_bow_dup_groups",
+    r"""
+    SELECT bow_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS bow_hash
+          FROM documents)
+    GROUP BY bow_hash HAVING COUNT(*) > 1
+    """,
+    family="dedup",
+)
+def q_bow_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup (sorted token multiset hash) — catches
+    token-shuffled boilerplate byte-hashing misses."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.bag_of_words_dup_groups(docs, "doc_id", "text").select(
+        "bow_hash", "n_docs", F.col("keeper_id").cast("long").alias("keeper_id")
     )
