@@ -77,6 +77,7 @@ def kg_throughput(
     workdir: str,
     pages_path: str | None = None,
     words: tuple[int, int] = (40, 160),
+    terms_per_type: int = 60,
 ) -> dict:
     """Time the full KG build over a pre-generated parquet corpus (the
     corpus is the *input* — its generation is never part of the timing)."""
@@ -84,7 +85,7 @@ def kg_throughput(
     from ckg_spark.corpus.vocab import VocabConfig, generate_vocab
     from ckg_spark.pipeline import KGPipeline
 
-    vocab_cfg = VocabConfig(seed=7, terms_per_type=60)
+    vocab_cfg = VocabConfig(seed=7, terms_per_type=terms_per_type)
     vocab = generate_vocab(vocab_cfg)
     pages_cfg = config_from_vocab(
         vocab,
@@ -130,6 +131,7 @@ def main() -> None:
     ap.add_argument("--pages-path", default=None, help="pre-generated corpus parquet")
     ap.add_argument("--gen-only", action="store_true", help="only generate the corpus to --pages-path")
     ap.add_argument("--words", default="40,160", help="body words min,max")
+    ap.add_argument("--terms-per-type", type=int, default=60, help="vocab size per entity type")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
     words = tuple(int(x) for x in args.words.split(","))
@@ -147,7 +149,7 @@ def main() -> None:
             from ckg_spark.corpus.pages import config_from_vocab, generate_pages_df
             from ckg_spark.corpus.vocab import VocabConfig, generate_vocab
 
-            vocab = generate_vocab(VocabConfig(seed=7, terms_per_type=60))
+            vocab = generate_vocab(VocabConfig(seed=7, terms_per_type=args.terms_per_type))
             cfg = config_from_vocab(
                 vocab, n_docs=n_docs, seed=42, partitions=args.partitions,
                 words_min=words[0], words_max=words[1],
@@ -167,6 +169,7 @@ def main() -> None:
             kg = kg_throughput(
                 spark, n_docs, args.partitions, workdir,
                 pages_path=args.pages_path, words=words,
+                terms_per_type=args.terms_per_type,
             )
             print(json.dumps({"cores": args.cores, **kg}))
             return

@@ -93,12 +93,16 @@ class Vocab:
 
 
 def _base_name(rng: random.Random, used: set[str]) -> str:
-    for _ in range(5000):
+    for attempt in range(5000):
         name = (
             rng.choice(_PREFIX_SYLLABLES)
             + rng.choice(_MID_SYLLABLES)
             + rng.choice(_SUFFIX_SYLLABLES)
         )
+        if attempt >= 200:
+            # the 1,920-name syllable space is exhausted (UMLS-sized vocab
+            # configs) — extend with a deterministic numeric disambiguator
+            name = f"{name} {rng.randint(2, 99999)}"
         if name not in used:
             used.add(name)
             return name

@@ -39,23 +39,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _file_row_counts(data_dir: str) -> list[dict[str, Any]]:
-    """Per-data-file row counts from parquet footers (no Spark job)."""
-    import pyarrow.parquet as pq
-
-    out = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        path = os.path.join(data_dir, name)
-        try:
-            meta = pq.read_metadata(path)
-            out.append({"file": name, "rows": meta.num_rows, "bytes": os.path.getsize(path)})
-        except Exception:
-            out.append({"file": name, "rows": None, "bytes": os.path.getsize(path)})
-    return out
-
-
 @dataclass
 class Snapshot:
     id: int
@@ -139,12 +122,12 @@ class Table:
         new_dir_abs: str | None,
         rows: int,
         meta: dict[str, Any] | None = None,
+        files: list[dict[str, Any]] | None = None,
     ) -> int:
         m = self._load()
         sid = m["current"] + 1
-        files = _file_row_counts(new_dir_abs) if new_dir_abs and not _is_partitioned(new_dir_abs) else []
-        if new_dir_abs and not files:
-            files = _walk_row_counts(new_dir_abs)
+        if files is None:
+            files = _walk_row_counts(new_dir_abs) if new_dir_abs else []
         m["snapshots"].append(
             {
                 "id": sid,
@@ -167,8 +150,9 @@ class Table:
         meta: dict[str, Any] | None = None,
     ) -> int:
         rel, path = self._write_data(df, partition_by)
-        rows = sum(f["rows"] or 0 for f in _walk_row_counts(path))
-        return self._commit("overwrite", [rel], path, rows, meta)
+        files = _walk_row_counts(path)
+        rows = sum(f["rows"] or 0 for f in files)
+        return self._commit("overwrite", [rel], path, rows, meta, files=files)
 
     def append(
         self,
@@ -181,8 +165,9 @@ class Table:
         if m["current"]:
             prev_dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
         rel, path = self._write_data(df, partition_by)
-        rows = sum(f["rows"] or 0 for f in _walk_row_counts(path))
-        return self._commit("append", prev_dirs + [rel], path, rows, meta)
+        files = _walk_row_counts(path)
+        rows = sum(f["rows"] or 0 for f in files)
+        return self._commit("append", prev_dirs + [rel], path, rows, meta, files=files)
 
     def merge_insert_absent(
         self,
@@ -218,27 +203,35 @@ def _is_partitioned(data_dir: str) -> bool:
 
 
 def _walk_row_counts(data_dir: str) -> list[dict[str, Any]]:
-    """Row counts for flat or hive-partitioned dirs."""
+    """Row counts for flat or hive-partitioned dirs. Footer reads release
+    the GIL in pyarrow, so a thread pool turns ~hundreds of serial metadata
+    reads per commit into one parallel sweep."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out = []
+    paths: list[tuple[str, str]] = []
     for dirpath, _dirnames, filenames in os.walk(data_dir):
         for name in sorted(filenames):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(dirpath, name)
-            rel = os.path.relpath(path, data_dir)
-            try:
-                out.append(
-                    {
-                        "file": rel,
-                        "rows": pq.read_metadata(path).num_rows,
-                        "bytes": os.path.getsize(path),
-                    }
-                )
-            except Exception:
-                out.append({"file": rel, "rows": None, "bytes": os.path.getsize(path)})
-    return out
+            if name.endswith(".parquet"):
+                p = os.path.join(dirpath, name)
+                paths.append((os.path.relpath(p, data_dir), p))
+
+    def one(item: tuple[str, str]) -> dict[str, Any]:
+        rel, path = item
+        try:
+            return {
+                "file": rel,
+                "rows": pq.read_metadata(path).num_rows,
+                "bytes": os.path.getsize(path),
+            }
+        except Exception:
+            return {"file": rel, "rows": None, "bytes": os.path.getsize(path)}
+
+    if len(paths) <= 4:
+        return [one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(one, paths))
 
 
 class Warehouse:

@@ -4,8 +4,12 @@ Stage graph (≙ the reference's import -> load two-phase build,
 /root/reference src/graphdb_builder/builder/builder.py:47-129, with the TSV
 intermediate replaced by snapshot tables):
 
-    pages ──ext──> pages_text ──tag──> mentions ──link──┐
-    vocab ──────────────canon──> canonical_map ─────────┴─> triples ──mat──> nodes/edges
+    pages ──(extract ∘ tag, fused narrow maps)──> mentions ──link──┐
+    vocab ──────────────canon──> canonical_map ────────────────────┴─> triples ──mat──> nodes/edges
+
+(``materialize_text=True`` splits the fused stage into
+pages ──ext──> pages_text ──tag──> mentions, committing the extracted
+text as its own resumable snapshot.)
 
 Resume semantics ≙ the reference's marker files
 (src/graphdb_connector/mapping.py:29-40 renames mapping.tsv ->
@@ -34,7 +38,7 @@ from .extract import with_extracted_text
 from .lakehouse import Warehouse
 from .link import all_triples
 from .materialize import build_nodes, materialize_graph
-from .tag import build_automaton, tag_mentions
+from .tag import build_automaton, tag_mentions, tag_pages_fused
 
 
 def _fingerprint(stage: str, cfg: Any, *upstream: str) -> str:
@@ -78,6 +82,7 @@ class KGPipeline:
         vocab_cfg: VocabConfig | None = None,
         pages_cfg: PagesConfig | None = None,
         canon_mode: str = "lsh",
+        materialize_text: bool = False,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root)
@@ -88,6 +93,12 @@ class KGPipeline:
             pages_cfg = config_from_vocab(self.vocab)
         self.pages_cfg = pages_cfg
         self.canon_mode = canon_mode
+        # extract and tag are both narrow maps; fused (default) they run as
+        # ONE stage and the full-corpus text table is never written — at
+        # 100 TB that skips a complete write+read of the corpus. Set True
+        # when several downstream consumers want the extracted text
+        # materialized (the checkpoint then also covers the extract step).
+        self.materialize_text = materialize_text
 
     # -- stages -----------------------------------------------------------
     def _stage(self, name: str, fp: str, table: str, compute) -> tuple[DataFrame, bool]:
@@ -125,25 +136,35 @@ class KGPipeline:
             if skipped:
                 stats["skipped"].append("pages")
 
-        # stage 2: extraction (fills text; byte-identical per url). The html
-        # payload is dropped from the output table — downstream stages only
-        # need text, and at corpus scale the binary column must never be
-        # rewritten or shuffled past this point.
-        fp_ext = _fingerprint("extract", {}, fp_pages)
-        pages_text, skipped = self._stage(
-            "extract",
-            fp_ext,
-            "pages_text",
-            lambda: (
-                with_extracted_text(pages).select("url", "warc_ts", "text", "lang"),
-                None,
-            ),
-        )
-        if skipped:
-            stats["skipped"].append("extract")
+        # stage 2 (+3): extraction (fills text; byte-identical per url) and
+        # tagging (broadcast automaton; lang filter; blocklist). Both are
+        # narrow maps, so by default they FUSE into a single stage: the
+        # corpus-scale text never hits disk, and the html binary column is
+        # dropped at the scan (downstream stages only ever see mentions).
+        # With materialize_text=True the text table is committed as its own
+        # snapshot (its own resume point) and tag reads from it.
+        if self.materialize_text:
+            fp_ext = _fingerprint("extract", {}, fp_pages)
+            pages_text, skipped = self._stage(
+                "extract",
+                fp_ext,
+                "pages_text",
+                lambda: (
+                    with_extracted_text(pages).select("url", "warc_ts", "text", "lang"),
+                    None,
+                ),
+            )
+            if skipped:
+                stats["skipped"].append("extract")
+            tag_input, fp_upstream = pages_text, fp_ext
+        else:
+            tag_input, fp_upstream = pages, fp_pages
 
-        # stage 3: tagging (broadcast automaton; lang filter; blocklist)
-        fp_tag = _fingerprint("tag", asdict(self.vocab_cfg), fp_ext)
+        fp_tag = _fingerprint(
+            "tag",
+            {**asdict(self.vocab_cfg), "fused_extract": not self.materialize_text},
+            fp_upstream,
+        )
 
         def _tag():
             etype = {t["id"]: t["entity_type"] for t in self.vocab.terms}
@@ -152,7 +173,9 @@ class KGPipeline:
             ]
             ac = build_automaton(alias_rows)
             ac_bc = spark.sparkContext.broadcast(ac)
-            return tag_mentions(pages_text, ac_bc, blocklist=blocklist), None
+            if self.materialize_text:
+                return tag_mentions(tag_input, ac_bc, blocklist=blocklist), None
+            return tag_pages_fused(tag_input, ac_bc, blocklist=blocklist), None
 
         mentions, skipped = self._stage("tag", fp_tag, "mentions", _tag)
         if skipped:

@@ -984,3 +984,25 @@ def q_bow_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bag_of_words_dup_groups(docs, "doc_id", "text").select(
         "bow_hash", "n_docs", F.col("keeper_id").cast("long").alias("keeper_id")
     )
+
+
+@register(
+    "q_events_windowed",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    family="streaming",
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch view of the streaming windowed aggregation
+    (ckg_spark/streaming.windowed_event_counts): identical code path runs
+    under Structured Streaming with a watermark; tests assert stream==batch."""
+    from ..streaming import windowed_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    return windowed_event_counts(e, window="1 day")

@@ -1,0 +1,11 @@
+from .incremental import (
+    incremental_mentions,
+    stream_pages,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "incremental_mentions",
+    "stream_pages",
+    "windowed_event_counts",
+]

