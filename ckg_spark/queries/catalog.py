@@ -1006,3 +1006,102 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return windowed_event_counts(e, window="1 day")
+
+
+@register(
+    "q_kg_degree_centrality",
+    f"""
+    WITH {_mentions_cte()},
+         pairs AS (
+           SELECT DISTINCT a.term_id AS subj, b.term_id AS obj
+           FROM mentions a JOIN mentions b
+             ON a.doc_id = b.doc_id AND a.term_id <> b.term_id
+         )
+    SELECT subj AS term_id, CAST(COUNT(DISTINCT obj) AS BIGINT) AS degree
+    FROM pairs GROUP BY subj
+    """,
+    family="graph",
+)
+def q_kg_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the co-mention graph (cheap analog of the
+    reference's eigenvector-centrality analytics,
+    analytics_core/analytics/analytics.py:2278-2290; SURVEY.md §2.8).
+    Computed without a self-join: per-doc entity sets expand to directed
+    pairs in-array, then countDistinct per node."""
+    m = _doc_mentions_df(spark, sf_dir)
+    per_url = m.groupBy("url").agg(
+        F.array_sort(F.collect_set("canonical_id")).alias("ids")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.transform(
+                F.filter(ids, lambda y: y != x),
+                lambda y: F.struct(x.alias("term_id"), y.alias("partner")),
+            ),
+        )
+    )
+    return (
+        per_url.select(F.explode(pair_structs).alias("p"))
+        .select("p.term_id", "p.partner")
+        .groupBy("term_id")
+        .agg(F.countDistinct("partner").alias("degree"))
+    )
+
+
+@register(
+    "q_missing_values_per_group",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(CASE WHEN value >= 10.0 THEN 1 END) AS BIGINT) AS n_missing,
+           CAST(ROUND((COUNT(*) - COUNT(CASE WHEN value >= 10.0 THEN 1 END))
+                 / COUNT(*), 6) AS DOUBLE) AS missing_pct
+    FROM events GROUP BY event_type
+    """,
+    family="agg",
+)
+def q_missing_values_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-group missing-value counts/percentage (analytics.py:188-239
+    drops features under a min_valid threshold). The testdata has no nulls,
+    so 'missing' is modeled as value<10 via when(); the operator shape —
+    conditional count per group — is identical."""
+    e = _t(spark, sf_dir, "events")
+    present = F.count(F.when(F.col("value") >= 10.0, 1))
+    n = F.count(F.lit(1))
+    return e.groupBy("event_type").agg(
+        n.alias("n_rows"),
+        (n - present).alias("n_missing"),
+        F.round((n - present) / n, 6).alias("missing_pct"),
+    )
+
+
+@register(
+    "q_summary_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS mean_qty,
+           CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS std_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(ROUND(AVG(l_extendedprice), 6) AS DOUBLE) AS mean_price,
+           CAST(ROUND(STDDEV_SAMP(l_extendedprice), 6) AS DOUBLE) AS std_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    family="agg",
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: describe()-style summary statistics per group
+    (analytics.py:648-665)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
+    )

@@ -205,3 +205,49 @@ def test_frame_sample_plan(spark):
     rows = multimodal.frame_sample_plan(media, every_n=30).collect()
     got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
     assert got == [("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0)]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from ckg_spark.ops import skew
+
+    import pandas as pd
+
+    # hot key "h" holds 60% of probe rows
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["h"] * 600 + [f"k{i}" for i in range(400)],
+                "pv": list(range(1000)),
+            }
+        )
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": ["h"] + [f"k{i}" for i in range(400)], "bv": list(range(401))})
+    )
+    exp = sorted(map(tuple, probe.join(build, "k").select("k", "pv", "bv").collect()))
+    got = sorted(
+        map(
+            tuple,
+            skew.salted_join(probe, build, "k", salt=4).select("k", "pv", "bv").collect(),
+        )
+    )
+    assert got == exp
+
+
+def test_top_heavy_keys_and_salted_aggregate(spark):
+    from ckg_spark.ops import skew
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["hot"] * 900 + ["cold"] * 100, "v": [1.0] * 900 + [2.0] * 100}
+        )
+    )
+    heavy = {r["k"] for r in skew.top_heavy_keys(df, "k", min_share=0.5).collect()}
+    assert heavy == {"hot"}
+    agg = {
+        r["k"]: (r["total"], r["n_rows"])
+        for r in skew.salted_aggregate(df, "k", "v", salt=4).collect()
+    }
+    assert agg == {"hot": (900.0, 900), "cold": (200.0, 100)}

@@ -1,0 +1,62 @@
+"""YAML knowledge-query catalog over a built graph (parity with the
+reference's query_utils, SURVEY.md §3.3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ckg_spark.corpus.pages import config_from_vocab
+from ckg_spark.corpus.vocab import VocabConfig, generate_vocab
+from ckg_spark.pipeline import KGPipeline
+from ckg_spark.queries.yaml_catalog import (
+    find_queries_involving_nodes,
+    find_queries_involving_relationships,
+    read_knowledge_queries,
+    run_query,
+)
+
+
+@pytest.fixture(scope="module")
+def graph_wh(spark, tmp_path_factory):
+    wh_root = str(tmp_path_factory.mktemp("kq_wh"))
+    vocab_cfg = VocabConfig(seed=7, terms_per_type=30)
+    vocab = generate_vocab(vocab_cfg)
+    pages_cfg = config_from_vocab(vocab, n_docs=150, seed=42, partitions=8)
+    KGPipeline(spark, wh_root, vocab_cfg=vocab_cfg, pages_cfg=pages_cfg).run()
+    return wh_root
+
+
+def test_catalog_loads_and_filters():
+    qs = read_knowledge_queries()
+    assert len(qs) >= 5
+    disease_qs = find_queries_involving_nodes(qs, ["Disease", "Publication"])
+    assert "disease_mentions" in disease_qs
+    assert "entity_associations" not in disease_qs  # no Publication there
+    rel_qs = find_queries_involving_relationships(qs, ["HAS_PARENT"])
+    assert "disease_parents_rollup" in rel_qs
+
+
+def test_disease_mentions_runs(spark, graph_wh):
+    df = run_query(spark, graph_wh, "disease_mentions", {"TOPK": 5})
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["n_docs"] >= rows[-1]["n_docs"]
+
+
+def test_entity_associations_placeholders(spark, graph_wh):
+    # pick a real associated entity from the edges table
+    from ckg_spark.lakehouse import Warehouse
+
+    edges = Warehouse(graph_wh).table("edges").read(spark)
+    some = edges.filter("pred = 'ASSOCIATED_WITH'").select("subj").first()["subj"]
+    df = run_query(
+        spark, graph_wh, "entity_associations",
+        {"ENTITYID": some, "MINSCORE": 1},
+    )
+    assert df.count() >= 1
+
+
+def test_graph_stats(spark, graph_wh):
+    stats = {r["kind"]: r["n"] for r in run_query(spark, graph_wh, "graph_stats").collect()}
+    assert any(k.startswith("node:") for k in stats)
+    assert "edge:MENTIONED_IN_PUBLICATION" in stats
