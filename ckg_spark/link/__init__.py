@@ -1,15 +1,15 @@
 from .triples import (
     TRIPLES_COLUMNS,
-    canonicalize_mentions,
-    mention_edges,
+    all_triples,
     comention_edges,
     hierarchy_edges,
-    all_triples,
+    mention_edges,
+    mentions_per_url,
 )
 
 __all__ = [
     "TRIPLES_COLUMNS",
-    "canonicalize_mentions",
+    "mentions_per_url",
     "mention_edges",
     "comention_edges",
     "hierarchy_edges",

@@ -12,23 +12,26 @@ src/graphdb_builder/databases/parsers/textminingParser.py:93):
   association pairs (databases/parsers/jensenlabParser.py:24-50), scored by
   distinct-document co-mention count;
 - ``(child, HAS_PARENT, parent)`` ≙ oboParser is_a edges
-  (ontologies/parsers/oboParser.py:47-49).
+  (ontologies/parsers/oboParser.py:6-50).
 
-All entity ids are rewritten through the canonical map first (broadcast
-join — the map is dimension-sized, so the hub-entity skew of the mention
-table never hits a shuffled join; this reproduces the alias fan-out +
-dedup semantics of stringParser.py:52-58 with ``dropDuplicates`` replaced
-by groupBy aggregation, i.e. Spark's partial+final hash aggregate).
+Shuffle budget — the whole stage moves the corpus-scale mention table
+through exactly ONE shuffle:
 
-Scale notes: the co-mention self-join shuffles on ``url`` (bounded fan-out:
-mentions per doc are small), then aggregates on the pair key — hub pairs
-are heavy keys, which partial aggregation absorbs map-side. The mention-
-edge aggregation keys on (entity, url) — no single key is hot.
+1. ``mentions_per_url``: broadcast-join the dimension-sized canonical map
+   (alias fan-out of stringParser.py:52-58; broadcast => hub-entity skew
+   never hits a shuffled join), then a single ``groupBy(url)`` collecting
+   the document's entity list. Twin-merge (mentions of canonicalized
+   aliases collapsing to one node) happens *inside the array* with
+   higher-order functions — the per-document entity count is bounded, so
+   the O(k^2) in-array pass is cheap and replaces a second full shuffle on
+   (url, node_id).
+2. ``mention_edges`` explodes that frame — narrow.
+3. ``comention_edges`` expands C(k,2) in-array pairs — narrow — and
+   aggregates on the pair key (a second shuffle, but of the much smaller
+   pair table; hot hub pairs are absorbed map-side by partial agg).
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -52,48 +55,64 @@ def _link_score(n_hits: pd.Series, n_tokens: pd.Series) -> pd.Series:
     return score.round(6)
 
 
-def canonicalize_mentions(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame:
-    """Rewrite mention entity ids through the canonical map and re-aggregate
-    (mentions of merged twins in one doc collapse, hits summed)."""
+def mentions_per_url(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """(url, ents: array<struct<node_id, entity_type, n_hits, n_tokens>>)
+    — one broadcast join + ONE shuffle; canonicalized twins merged in-array
+    (n_hits summed, entity_type = min, exactly the semantics of the
+    previous (url, node_id) hash aggregate; tests assert bit-equality)."""
     m = mentions.join(
         F.broadcast(canonical_map),
         mentions["canonical_id"] == canonical_map["term_id"],
         "inner",
     )
-    return m.groupBy("url", "node_id").agg(
-        F.min("entity_type").alias("entity_type"),
-        F.sum("n_hits").cast("int").alias("n_hits"),
-        F.min("n_tokens").alias("n_tokens"),
+    grouped = m.groupBy("url").agg(
+        F.collect_list(
+            F.struct("node_id", "entity_type", "n_hits", "n_tokens")
+        ).alias("raw")
     )
+    raw = F.col("raw")
+    node_ids = F.array_sort(F.array_distinct(F.transform(raw, lambda e: e["node_id"])))
+    merged = F.transform(
+        node_ids,
+        lambda nid: F.struct(
+            nid.alias("node_id"),
+            F.array_min(
+                F.transform(
+                    F.filter(raw, lambda e: e["node_id"] == nid),
+                    lambda e: e["entity_type"],
+                )
+            ).alias("entity_type"),
+            F.aggregate(
+                F.filter(raw, lambda e: e["node_id"] == nid),
+                F.lit(0),
+                lambda acc, e: acc + e["n_hits"],
+            )
+            .cast("int")
+            .alias("n_hits"),
+            F.array_min(F.transform(raw, lambda e: e["n_tokens"])).alias("n_tokens"),
+        ),
+    )
+    return grouped.select("url", merged.alias("ents"))
 
 
-def mention_edges(mentions_canon: DataFrame) -> DataFrame:
-    return mentions_canon.select(
-        F.col("node_id").alias("subj"),
+def mention_edges(per_url: DataFrame) -> DataFrame:
+    """Narrow explode of the per-document entity lists."""
+    e = per_url.select("url", F.explode("ents").alias("e"))
+    return e.select(
+        F.col("e.node_id").alias("subj"),
         F.lit(MENTIONED_IN).alias("pred"),
         F.col("url").alias("obj"),
         F.lit("dictionary").alias("source"),
-        _link_score(F.col("n_hits"), F.col("n_tokens")).alias("score"),
+        _link_score(F.col("e.n_hits"), F.col("e.n_tokens")).alias("score"),
     )
 
 
-def comention_edges(mentions_canon: DataFrame) -> DataFrame:
-    """Co-mention pairs per document, WITHOUT a self-join.
-
-    The per-document entity count is bounded (a page mentions a handful of
-    vocabulary terms), so the idiomatic-at-scale plan is: one shuffle to
-    collect each url's sorted entity set, a narrow JVM-side expansion of
-    the C(k,2) in-array pairs, and one aggregation shuffle on the pair key.
-    The previous url-equi-self-join formulation shuffled/broadcast the
-    whole mention table twice and re-deduplicated each branch — measured
-    ~5x slower, and its broadcast side grows with the corpus (unsafe at
-    scale), while collect_set here only grows with per-doc mention count.
-    Hot pairs (hub co-mentions) are absorbed map-side by partial
-    aggregation."""
-    per_url = mentions_canon.groupBy("url").agg(
-        F.array_sort(F.collect_set("node_id")).alias("ids")
-    )
-    ids = F.col("ids")
+def comention_edges(per_url: DataFrame) -> DataFrame:
+    """Co-mention pairs per document WITHOUT a self-join: the entity list
+    is already collected per url, so the C(k,2) pairs expand in-array
+    (node_ids are sorted, so subj < obj is positional) and only the pair
+    table shuffles for the final count."""
+    ids = F.transform(F.col("ents"), lambda e: e["node_id"])  # sorted already
     pair_structs = F.flatten(
         F.transform(
             ids,
@@ -144,18 +163,14 @@ def hierarchy_edges(terms: DataFrame, canonical_map: DataFrame) -> DataFrame:
 def all_triples(
     mentions: DataFrame, terms: DataFrame, canonical_map: DataFrame
 ) -> DataFrame:
-    # The canonicalized-mention frame feeds two union branches (mention
-    # edges + the co-mention self-join, which reads it twice more). Without
-    # materialization each branch re-runs the broadcast join + hash
-    # aggregate over the corpus-scale mention table. persist() is not
-    # enough: the branches become *concurrent* stages of the one write job,
-    # and concurrent stages race past a still-empty cache and each compute
-    # it anyway. localCheckpoint(eager=True) runs the computation exactly
-    # once, up front; the stage's table write is the recovery point, so the
-    # truncated lineage costs nothing here.
-    mc = canonicalize_mentions(mentions, canonical_map).localCheckpoint(eager=True)
+    # The per-url frame feeds two union branches; localCheckpoint(eager)
+    # computes its one shuffle exactly once (persist() is not enough: the
+    # branches become concurrent stages of the one write job and race past
+    # a still-empty cache). The stage's table write is the recovery point,
+    # so truncated lineage costs nothing.
+    per_url = mentions_per_url(mentions, canonical_map).localCheckpoint(eager=True)
     return (
-        mention_edges(mc)
-        .unionByName(comention_edges(mc))
+        mention_edges(per_url)
+        .unionByName(comention_edges(per_url))
         .unionByName(hierarchy_edges(terms, canonical_map))
     )
