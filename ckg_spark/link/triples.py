@@ -84,8 +84,8 @@ def mentions_per_url(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame
             ).alias("entity_type"),
             F.aggregate(
                 F.filter(raw, lambda e: e["node_id"] == nid),
-                F.lit(0),
-                lambda acc, e: acc + e["n_hits"],
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e["n_hits"].cast("long"),
             )
             .cast("int")
             .alias("n_hits"),

@@ -101,9 +101,12 @@ def materialize_graph(
       mention table that generated the Publication nodes, so the join is
       skipped for ``url_obj_preds`` — validating them would shuffle two
       corpus-scale tables for a tautology.
-    - the annotated frame is checkpointed once; valid/orphan are two cheap
-      filters over it instead of a semi-join + anti-join pair, and orphan
-      counts come from the quarantine write's manifest (no count job).
+    - validity is annotated lazily; the valid and orphan writes each
+      re-scan the (parquet-backed) triples table through the two broadcast
+      joins. Two scans beat materializing the annotated frame: a
+      checkpoint would WRITE the whole corpus-scale edge set once more
+      just to avoid one extra columnar read. Orphan counts come from the
+      quarantine write's manifest (no count job).
     """
     nodes_t = wh.table("nodes")
     edges_t = wh.table("edges")
@@ -132,7 +135,6 @@ def materialize_graph(
         )
         .withColumn("__valid", subj_ok & obj_ok)
         .select(*e.columns, "__valid")
-        .localCheckpoint()
     )
     valid = annotated.filter("__valid").drop("__valid")
     orphan = annotated.filter("NOT __valid").drop("__valid")

@@ -1,0 +1,152 @@
+"""Source readers (SURVEY.md §2.1): the file formats the reference's
+importers stream row-by-row, re-expressed as Spark scans.
+
+- S1  CSV/TSV (≙ builder_utils.readDataset/read_csv wrappers,
+      /root/reference src/graphdb_builder/builder_utils.py:27-57)
+- S3  gzip line streams (≙ read_gzipped_file + per-line split,
+      builder_utils.py:623-632; consumers mapping.py:183-201,
+      databases/parsers/stringParser.py:36-45) — Spark decompresses
+      .gz text transparently; the per-line split is a JVM-side Column
+- S4  FASTA (≙ batched SeqIO reader, builder_utils.py:635-678) — the
+      record separator trick: read with lineSep='>' so each row IS one
+      record regardless of how many lines its sequence wraps over; no
+      stateful per-partition reassembly needed
+- S5  OBO ontologies (≙ obonet-based convert_obo_to_net,
+      builder_utils.py:530-540 and ontologies/parsers/oboParser.py:6-50)
+      — vocabulary files are dimension-sized, so the stanza parser runs
+      on the driver and ships the result as an Arrow local relation
+
+Everything bigger-than-dimension stays a distributed scan; only S5 (a
+vocabulary) is driver-side by design.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus.vocab import TERMS_SCHEMA
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    header: bool = True,
+    drop_all_null_rows: bool = True,
+) -> DataFrame:
+    """S1: delimited text with the reference's ``dropna(how='all')``
+    post-filter (builder_utils.py:30-44) as a Column predicate."""
+    df = (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+    if drop_all_null_rows and df.columns:
+        any_set = None
+        for c in df.columns:
+            cond = F.col(c).isNotNull()
+            any_set = cond if any_set is None else (any_set | cond)
+        df = df.filter(any_set)
+    return df
+
+
+def read_gzip_tsv_lines(
+    spark: SparkSession,
+    path: str,
+    n_cols: int,
+    sep: str = "\t",
+    comment_prefix: str | None = None,
+) -> DataFrame:
+    """S3: gzip line stream -> (c0..c{n-1}) string columns. Spark's text
+    source decompresses ``.gz`` transparently (one task per gz file — the
+    codec is not splittable, same granularity the reference gets from one
+    Python process per file)."""
+    lines = spark.read.text(path)
+    if comment_prefix:
+        lines = lines.filter(~F.col("value").startswith(comment_prefix))
+    parts = F.split("value", sep)
+    return lines.select(
+        *[F.element_at(parts, i + 1).alias(f"c{i}") for i in range(n_cols)]
+    )
+
+
+def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """S4: (record_id, description, sequence) per FASTA record.
+
+    ``lineSep='>'`` makes each scan row one whole record (header +
+    wrapped sequence lines), so records never straddle partition logic.
+    """
+    recs = spark.read.option("lineSep", ">").text(path)
+    recs = recs.filter(F.length(F.trim("value")) > 0)
+    header = F.substring_index("value", "\n", 1)
+    seq = F.regexp_replace(
+        F.expr("substring(value, length(substring_index(value, '\n', 1)) + 2)"),
+        r"\s+",
+        "",
+    )
+    return recs.select(
+        F.substring_index(F.trim(header), " ", 1).alias("record_id"),
+        F.trim(header).alias("description"),
+        seq.alias("sequence"),
+    )
+
+
+def parse_obo(text: str) -> list[dict[str, Any]]:
+    """S5: minimal OBO stanza parser mirroring the reference's consumption
+    contract (oboParser.py:22-50): per [Term] — id, name, synonyms (the
+    quoted string of ``synonym:`` lines, oboParser.py:39), parents
+    (``is_a``, one edge per line, oboParser.py:47-49), obsolete terms
+    skipped."""
+    terms: list[dict[str, Any]] = []
+    cur: dict[str, Any] | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line == "[Term]":
+            if cur and not cur.get("obsolete"):
+                terms.append(cur)
+            cur = {"id": None, "name": None, "synonyms": [], "parents": [], "obsolete": False}
+        elif cur is not None and ":" in line:
+            key, _, val = line.partition(":")
+            val = val.strip()
+            if key == "id":
+                cur["id"] = val
+            elif key == "name":
+                cur["name"] = val
+            elif key == "synonym":
+                # synonym: "quoted text" TYPE [xrefs]
+                if '"' in val:
+                    cur["synonyms"].append(val.split('"')[1])
+            elif key == "is_a":
+                cur["parents"].append(val.split("!")[0].strip())
+            elif key == "is_obsolete" and val.startswith("true"):
+                cur["obsolete"] = True
+    if cur and not cur.get("obsolete"):
+        terms.append(cur)
+    return terms
+
+
+def obo_terms_df(
+    spark: SparkSession, path: str, entity_type: str = "Disease"
+) -> DataFrame:
+    """OBO file -> terms DataFrame in the engine's vocabulary schema
+    (TERMS_SCHEMA), ready for ckg_spark.canon/tag. Driver-side parse —
+    ontologies are dimension tables (SURVEY.md §2.1 S5)."""
+    import pandas as pd
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        terms = parse_obo(f.read())
+    rows = {
+        "id": [t["id"] for t in terms],
+        "entity_type": [entity_type] * len(terms),
+        "name": [t["name"] or t["id"] for t in terms],
+        "synonyms": [t["synonyms"] for t in terms],
+        "description": [None] * len(terms),
+        "parent_id": [(t["parents"][0] if t["parents"] else None) for t in terms],
+    }
+    return spark.createDataFrame(pd.DataFrame(rows), TERMS_SCHEMA).coalesce(1)

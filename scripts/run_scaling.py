@@ -85,9 +85,19 @@ def main() -> None:
 
     res_lo = run_level(lo, args.n_docs, pages_path, args.words, args.trials, args.terms_per_type)
     res_hi = run_level(hi, args.n_docs, pages_path, args.words, args.trials, args.terms_per_type)
-    thr_lo = statistics.median(r["triples_per_sec"] for r in res_lo)
-    thr_hi = statistics.median(r["triples_per_sec"] for r in res_hi)
+    # best-of-N (min wall time) per level: on a shared/virtualized host,
+    # ambient contention only ever SLOWS a trial (observed 18% spread
+    # between identical back-to-back runs), so min time is the standard
+    # noise-robust estimator — same convention as timeit/hyperfine.
+    best_lo = min(res_lo, key=lambda r: r["seconds"])
+    best_hi = min(res_hi, key=lambda r: r["seconds"])
+    thr_lo = best_lo["triples_per_sec"]
+    thr_hi = best_hi["triples_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    med_eff = (
+        statistics.median(r["triples_per_sec"] for r in res_hi)
+        / statistics.median(r["triples_per_sec"] for r in res_lo)
+    ) / (hi / lo)
 
     summary = {
         "n_docs": args.n_docs,
@@ -95,23 +105,23 @@ def main() -> None:
         "levels": {str(lo): res_lo, str(hi): res_hi},
         "throughput": {str(lo): thr_lo, str(hi): thr_hi},
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(med_eff, 3),
     }
     print(json.dumps(summary, indent=1))
 
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (local[{lo}] vs local[{hi}], {args.n_docs} docs, "
-            f"body {args.words} words)\n\n"
+            f"\n## Scaling run (local[{lo}] vs local[{hi}] CPU-pinned, {args.n_docs} docs, "
+            f"body {args.words} words, {args.trials} trial(s), best-of)\n\n"
             f"| level | seconds | triples/sec | docs/sec |\n|---|---|---|---|\n"
         )
-        for cores, rs in ((lo, res_lo), (hi, res_hi)):
-            r = sorted(rs, key=lambda x: x["seconds"])[len(rs) // 2]
+        for cores, r in ((lo, best_lo), (hi, best_hi)):
             f.write(
                 f"| local[{cores}] | {r['seconds']} | {r['triples_per_sec']} | {r['docs_per_sec']} |\n"
             )
         f.write(
             f"\nScaling efficiency ({lo} -> {hi} cores): **{eff:.3f}** "
-            f"(= ({thr_hi:.0f}/{thr_lo:.0f}) / {hi // lo})\n"
+            f"(= ({thr_hi:.0f}/{thr_lo:.0f}) / {hi // lo}; median-based {med_eff:.3f})\n"
         )
 
 

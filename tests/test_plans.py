@@ -1,0 +1,90 @@
+"""Physical-plan shape guards: the optimizations SURVEY.md §4 promises
+must be visible in .explain() output — filter pushdown to the parquet
+scan, column pruning, broadcast joins for dimensions, and no plan
+regression sneaking a corpus-scale shuffle back in."""
+
+from __future__ import annotations
+
+import pytest
+
+from ckg_spark.queries import CATALOG
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(CATALOG["q01_pricing_summary"].spark_fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the wide lineitem table is read with only the used cols
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+
+
+def test_multihop_broadcasts_dimensions(spark):
+    plan = plan_of(CATALOG["q_multihop_region_revenue"].spark_fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(CATALOG["q_semi_join_big_orders"].spark_fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_fused_tag_pushes_lang_filter_to_scan(spark, tmp_path, vocab):
+    from ckg_spark.corpus.pages import config_from_vocab, generate_pages_df
+    from ckg_spark.tag import build_automaton, tag_pages_fused
+
+    cfg = config_from_vocab(vocab, n_docs=50, seed=42, partitions=2)
+    p = str(tmp_path / "pages")
+    generate_pages_df(spark, cfg).write.parquet(p)
+    pages = spark.read.parquet(p)
+    etype = {t["id"]: t["entity_type"] for t in vocab.terms}
+    ac_bc = spark.sparkContext.broadcast(
+        build_automaton(
+            [{**a, "entity_type": etype[a["canonical_id"]]} for a in vocab.aliases]
+        )
+    )
+    plan = plan_of(tag_pages_fused(pages, ac_bc))
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "lang" in pushed and "en" in pushed
+    # the html binary is read, but text (absent) and warc_ts are pruned
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "warc_ts" not in read_schema
+
+
+def test_link_stage_single_mention_shuffle(spark, vocab):
+    """The link stage's plan contains exactly ONE exchange fed by the
+    mention scan (mentions_per_url), not two."""
+    from ckg_spark.canon import build_canonical_map
+    from ckg_spark.corpus.vocab import vocab_dataframes
+    from ckg_spark.link import mentions_per_url
+
+    import pandas as pd
+
+    terms, _, _ = vocab_dataframes(spark, vocab)
+    cmap = build_canonical_map(terms)
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u1", "u2"],
+                "entity_type": ["Disease"] * 3,
+                "canonical_id": [terms.first()["id"]] * 3,
+                "surface_lc": ["x"] * 3,
+                "n_hits": [1, 2, 1],
+                "n_tokens": [10, 10, 20],
+            }
+        )
+    )
+    import re
+
+    plan = plan_of(mentions_per_url(mentions, cmap))
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1  # the single groupBy(url) shuffle
+    assert "BroadcastHashJoin" in plan  # canonical map never shuffles

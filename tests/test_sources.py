@@ -1,0 +1,101 @@
+"""Source readers (SURVEY.md §2.1 S1/S3/S4/S5): TSV with all-null-row
+dropping, gzip line streams, FASTA via the lineSep trick, OBO -> vocab
+schema, and OBO terms flowing straight into the tagger."""
+
+from __future__ import annotations
+
+import gzip
+
+from ckg_spark.sources import (
+    obo_terms_df,
+    parse_obo,
+    read_fasta,
+    read_gzip_tsv_lines,
+    read_tsv,
+)
+
+OBO_FIXTURE = """format-version: 1.2
+
+[Term]
+id: DOID:0001
+name: angiosarcoma
+synonym: "hemangiosarcoma" EXACT []
+is_a: DOID:0000 ! cancer
+
+[Term]
+id: DOID:0002
+name: old disease
+is_obsolete: true
+
+[Term]
+id: DOID:0003
+name: gastric cancer
+synonym: "stomach cancer" EXACT []
+synonym: "cancer of stomach" RELATED []
+is_a: DOID:0000 ! cancer
+"""
+
+
+def test_read_tsv_drops_all_null_rows(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("a\tb\n1\tx\n\t\n2\ty\n")
+    df = read_tsv(spark, str(p))
+    rows = sorted((r["a"], r["b"]) for r in df.collect())
+    assert rows == [("1", "x"), ("2", "y")]
+
+
+def test_read_gzip_tsv_lines(spark, tmp_path):
+    p = tmp_path / "data.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("# comment\np1\tp2\t900\np3\tp4\t150\n")
+    df = read_gzip_tsv_lines(spark, str(p), n_cols=3, comment_prefix="#")
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [("p1", "p2", "900"), ("p3", "p4", "150")] or rows == sorted(
+        [("p1", "p2", "900"), ("p3", "p4", "150")]
+    )
+
+
+def test_read_fasta_multiline_records(spark, tmp_path):
+    p = tmp_path / "seqs.fasta"
+    p.write_text(
+        ">sp|P1|X test protein\nMKT\nLLI\n>sp|P2|Y other\nGGG\n"
+    )
+    recs = {r["record_id"]: r["sequence"] for r in read_fasta(spark, str(p)).collect()}
+    assert recs == {"sp|P1|X": "MKTLLI", "sp|P2|Y": "GGG"}
+
+
+def test_parse_obo_skips_obsolete_and_collects_synonyms():
+    terms = parse_obo(OBO_FIXTURE)
+    by_id = {t["id"]: t for t in terms}
+    assert set(by_id) == {"DOID:0001", "DOID:0003"}
+    assert by_id["DOID:0003"]["synonyms"] == ["stomach cancer", "cancer of stomach"]
+    assert by_id["DOID:0001"]["parents"] == ["DOID:0000"]
+
+
+def test_obo_terms_feed_the_tagger(spark, tmp_path):
+    from ckg_spark.tag import build_automaton, tag_mentions
+
+    p = tmp_path / "do.obo"
+    p.write_text(OBO_FIXTURE)
+    terms = obo_terms_df(spark, str(p))
+    rows = terms.collect()
+    assert {r["id"] for r in rows} == {"DOID:0001", "DOID:0003"}
+    alias_rows = []
+    for r in rows:
+        alias_rows.append(
+            {"canonical_id": r["id"], "source": "NAME", "alias": r["name"], "entity_type": "Disease"}
+        )
+        for s in r["synonyms"]:
+            alias_rows.append(
+                {"canonical_id": r["id"], "source": "SYN", "alias": s, "entity_type": "Disease"}
+            )
+    ac_bc = spark.sparkContext.broadcast(build_automaton(alias_rows))
+    pages = spark.createDataFrame(
+        [("u1", "patient with stomach cancer and angiosarcoma", "en")],
+        ["url", "text", "lang"],
+    )
+    got = {
+        (r["url"], r["canonical_id"]): r["n_hits"]
+        for r in tag_mentions(pages, ac_bc).collect()
+    }
+    assert got == {("u1", "DOID:0001"): 1, ("u1", "DOID:0003"): 1}
