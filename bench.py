@@ -112,6 +112,14 @@ def kg_throughput(
     t0 = time.perf_counter()
     stats = pipe.run(pages=pages)
     elapsed = time.perf_counter() - t0
+    stage_seconds: dict[str, float] = {}
+    metrics_path = os.path.join(workdir, "warehouse", "_metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("seconds"):
+                    stage_seconds[rec["stage"]] = rec["seconds"]
     return {
         "n_docs": n_docs,
         "n_triples": stats["n_triples"],
@@ -119,6 +127,7 @@ def kg_throughput(
         "seconds": round(elapsed, 3),
         "triples_per_sec": round(stats["n_triples"] / elapsed, 1),
         "docs_per_sec": round(n_docs / elapsed, 1),
+        "stages": stage_seconds,
     }
 
 

@@ -1105,3 +1105,63 @@ def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 6).alias("mean_price"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
     )
+
+
+_PARENT_EDGES_SQL = ", ".join(f"('{tid}', '{parent}')" for tid, _s, parent in DOC_VOCAB)
+
+
+@register(
+    "q_kg_ancestors",
+    f"""
+    WITH RECURSIVE hedges(s, d) AS (VALUES {_PARENT_EDGES_SQL}),
+    reach(s, d, depth) AS (
+      SELECT s, d, 1 FROM hedges
+      UNION ALL
+      SELECT r.s, e.d, r.depth + 1 FROM reach r JOIN hedges e ON e.s = r.d
+    )
+    SELECT s AS subj, d AS obj, CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY s, d
+    """,
+    family="graph",
+)
+def q_kg_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy transitive closure (HAS_PARENT ancestor sets) via the
+    path-doubling iterative self-join — Spark's answer to Cypher
+    variable-length patterns (datasets_cypher.yml:58-66); the DuckDB
+    oracle is the equivalent recursive CTE."""
+    import pandas as pd
+
+    from ..ops.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "subj": [tid for tid, _s, _p in DOC_VOCAB],
+                "obj": [p for _t, _s, p in DOC_VOCAB],
+            }
+        )
+    )
+    tc = transitive_closure(edges)
+    return tc.select("subj", "obj", F.col("min_depth").cast("long").alias("min_depth"))
+
+
+@register(
+    "q_zscore_by_group",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND((l_extendedprice - AVG(l_extendedprice) OVER (PARTITION BY l_returnflag))
+                 / STDDEV_SAMP(l_extendedprice) OVER (PARTITION BY l_returnflag), 6) AS DOUBLE) AS zscore
+    FROM lineitem
+    """,
+    family="window",
+)
+def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (analytics.py:392-414) as window
+    column math — the normalization family of SURVEY.md §2.8 without a
+    grouped-map UDF."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    z = (F.col("l_extendedprice") - F.avg("l_extendedprice").over(w)) / F.stddev_samp(
+        "l_extendedprice"
+    ).over(w)
+    return li.select("l_orderkey", "l_linenumber", F.round(z, 6).alias("zscore"))

@@ -123,6 +123,14 @@ def main() -> None:
             f"\nScaling efficiency ({lo} -> {hi} cores): **{eff:.3f}** "
             f"(= ({thr_hi:.0f}/{thr_lo:.0f}) / {hi // lo}; median-based {med_eff:.3f})\n"
         )
+        if best_lo.get("stages") and best_hi.get("stages"):
+            f.write("\nPer-stage (best trial): | stage | s @lo | s @hi | speedup |\n|---|---|---|---|\n")
+            for stage, s_lo in best_lo["stages"].items():
+                s_hi = best_hi["stages"].get(stage)
+                if s_hi:
+                    f.write(
+                        f"| {stage} | {s_lo} | {s_hi} | {s_lo / s_hi:.2f}x |\n"
+                    )
 
 
 if __name__ == "__main__":

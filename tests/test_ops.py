@@ -251,3 +251,24 @@ def test_top_heavy_keys_and_salted_aggregate(spark):
         for r in skew.salted_aggregate(df, "k", "v", salt=4).collect()
     }
     assert agg == {"hot": (900.0, 900), "cold": (200.0, 100)}
+
+
+def test_transitive_closure_chain_and_dag(spark):
+    from ckg_spark.ops.graph import transitive_closure
+
+    # 20-deep chain: closure has n*(n+1)/2 pairs, min_depth correct
+    n = 20
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], ["subj", "obj"]
+    )
+    tc = {(r["subj"], r["obj"]): r["min_depth"] for r in transitive_closure(edges).collect()}
+    assert len(tc) == n * (n + 1) // 2
+    assert tc[("n00", f"n{n:02d}")] == n
+    assert tc[("n05", "n06")] == 1
+    # diamond: two paths, min depth wins
+    dag = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")],
+        ["subj", "obj"],
+    )
+    got = {(r["subj"], r["obj"]): r["min_depth"] for r in transitive_closure(dag).collect()}
+    assert got[("a", "d")] == 1  # direct edge shorter than the 2-hop paths
