@@ -1165,3 +1165,24 @@ def q_zscore_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice"
     ).over(w)
     return li.select("l_orderkey", "l_linenumber", F.round(z, 6).alias("zscore"))
+
+
+@register(
+    "q_corr_by_group",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS qty_price_corr,
+           CAST(ROUND(corr(l_discount, l_tax), 6) AS DOUBLE) AS disc_tax_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    family="agg",
+)
+def q_corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation per group (the correlation family of
+    analytics.py:1005-1180, the SQL-expressible core: Pearson r as a
+    distributed aggregate, no driver-side matrix)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax_corr"),
+    )

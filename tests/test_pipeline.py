@@ -124,3 +124,51 @@ def test_materialized_text_path_identical(spark, built, tmp_path):
     assert fused == staged
     assert pipe2.wh.table("pages_text").exists()
     assert "extract" in {m["stage"] for m in pipe2.wh.metrics()}
+
+
+def test_crash_mid_pipeline_resumes_from_last_snapshot(spark, tmp_path, monkeypatch):
+    """Kill the job after the tag stage commits (canon raises); the restart
+    must skip pages+tag (their snapshots are committed) and produce the
+    same graph as an uninterrupted run."""
+    import ckg_spark.pipeline as pl
+
+    vocab_cfg = VocabConfig(seed=7, terms_per_type=20)
+    vocab = generate_vocab(vocab_cfg)
+    pages_cfg = config_from_vocab(vocab, n_docs=120, seed=42, partitions=4)
+
+    wh_crash = str(tmp_path / "wh_crash")
+    boom = RuntimeError("simulated executor loss")
+
+    def exploding_canon(*a, **kw):
+        raise boom
+
+    monkeypatch.setattr(pl, "build_canonical_map", exploding_canon)
+    pipe = pl.KGPipeline(spark, wh_crash, vocab_cfg=vocab_cfg, pages_cfg=pages_cfg)
+    with pytest.raises(RuntimeError, match="simulated"):
+        pipe.run()
+    monkeypatch.undo()
+
+    # tag snapshot committed before the crash; canon/link/materialize absent
+    from ckg_spark.lakehouse import Warehouse
+
+    wh = Warehouse(wh_crash)
+    assert wh.table("mentions").exists()
+    assert not wh.table("edges").exists()
+
+    # restart: pages + tag skip, the rest runs
+    pipe2 = pl.KGPipeline(spark, wh_crash, vocab_cfg=vocab_cfg, pages_cfg=pages_cfg)
+    stats = pipe2.run()
+    assert {"pages", "tag"} <= set(stats["skipped"])
+    assert "canon" not in stats["skipped"]
+
+    # identical output to an uninterrupted build
+    wh_clean = str(tmp_path / "wh_clean")
+    pl.KGPipeline(spark, wh_clean, vocab_cfg=vocab_cfg, pages_cfg=pages_cfg).run()
+    got = sorted(
+        tuple(r) for r in wh.table("edges").read(spark).select("subj", "pred", "obj").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in Warehouse(wh_clean).table("edges").read(spark).select("subj", "pred", "obj").collect()
+    )
+    assert got == exp
