@@ -1186,3 +1186,46 @@ def q_corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("disc_tax_corr"),
     )
+
+
+@register(
+    "q_welch_ttest",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS m1,
+             AVG(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS m2,
+             VAR_SAMP(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS v1,
+             VAR_SAMP(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS v2,
+             COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n1,
+             COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS DOUBLE) AS t_stat
+    FROM s WHERE n1 > 1 AND n2 > 1
+    """,
+    family="stats",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic per group, fully distributed (the
+    hypothesis-test family of analytics.py:1229-1277 without per-feature
+    pandas UDFs: conditional aggregation + column math)."""
+    li = _t(spark, sf_dir, "lineitem")
+    f_q = F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))
+    o_q = F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))
+    s = li.groupBy("l_returnflag").agg(
+        F.avg(f_q).alias("m1"),
+        F.avg(o_q).alias("m2"),
+        F.var_samp(f_q).alias("v1"),
+        F.var_samp(o_q).alias("v2"),
+        F.count(f_q).alias("n1"),
+        F.count(o_q).alias("n2"),
+    )
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "l_returnflag", "n1", "n2", F.round(t, 6).alias("t_stat")
+    )
