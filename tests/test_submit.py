@@ -1,0 +1,41 @@
+"""The spark-submit --py-files deployment path (north rule) builds the
+graph end-to-end from the zipped package."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_submit_build_end_to_end(spark, vocab, tmp_path):
+    from ckg_spark.corpus.pages import config_from_vocab, generate_pages_df
+
+    pages_dir = str(tmp_path / "pages")
+    cfg = config_from_vocab(vocab, n_docs=300, seed=42, partitions=4)
+    generate_pages_df(spark, cfg).write.parquet(pages_dir)
+
+    wh = str(tmp_path / "wh")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "submit_build.py"),
+            "--pages", pages_dir, "--warehouse", wh,
+            "--master", "local[4]", "--terms-per-type", "30",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert stats["n_triples"] > 0 and stats["orphan_edges"] == 0
+    # the graph tables exist and are readable by an independent session
+    edges = spark.read.parquet(*[
+        os.path.join(wh, "edges", d)
+        for d in os.listdir(os.path.join(wh, "edges"))
+        if d.startswith("data-")
+    ])
+    assert edges.count() == stats["n_triples"]
