@@ -128,17 +128,40 @@ class AhoCorasick:
         ]
 
 
-def build_automaton(alias_rows) -> AhoCorasick:
+def build_automaton(alias_rows, engine: str = "hash"):
     """alias_rows: iterable of dicts with keys canonical_id, source, alias
     (+ optionally entity_type resolved by the caller into the payload).
 
     Payload = (entity_type, canonical_id). Surfaces shorter than 3 chars are
-    dropped (noise guard, ≙ the reference's curated dictionaries)."""
-    ac = AhoCorasick()
+    dropped (noise guard, ≙ the reference's curated dictionaries).
+
+    Engines (identical matches, property-tested equivalent):
+    - ``'hash'`` (default): first-word-indexed hash tagger
+      (ckg_spark.tag.rx.HashTagger) — C-speed tokenization + dict lookups,
+      the fastest;
+    - ``'regex'``: trie-regex (slower than AC in CPython: the engine probes
+      the alternation at every position — kept as a second reference);
+    - ``'aho'``: pure-Python Aho-Corasick, the semantics reference."""
+    surface_payloads: dict[str, list[tuple]] = {}
     for row in alias_rows:
         surface = row["alias"].lower().strip()
         if len(surface) < 3:
             continue
-        ac.add(surface, (row.get("entity_type", ""), row["canonical_id"]))
+        payload = (row.get("entity_type", ""), row["canonical_id"])
+        lst = surface_payloads.setdefault(surface, [])
+        if payload not in lst:
+            lst.append(payload)
+    if engine == "hash":
+        from .rx import HashTagger
+
+        return HashTagger(surface_payloads)
+    if engine == "regex":
+        from .rx import RegexTagger
+
+        return RegexTagger(surface_payloads)
+    ac = AhoCorasick()
+    for surface, payloads in surface_payloads.items():
+        for payload in payloads:
+            ac.add(surface, payload)
     ac.build()
     return ac

@@ -129,3 +129,88 @@ def test_no_mentions_from_non_english(spark, vocab, pages_cfg):
     mentions = tag_mentions(pages_text, ac_bc)
     non_en = pages_text.filter("lang <> 'en'").select("url")
     assert mentions.join(non_en, "url", "inner").count() == 0
+
+
+def _engines(vocab):
+    from ckg_spark.tag import build_automaton
+
+    etype = {t["id"]: t["entity_type"] for t in vocab.terms}
+    rows = [{**a, "entity_type": etype[a["canonical_id"]]} for a in vocab.aliases]
+    return [build_automaton(rows, engine=e) for e in ("aho", "regex", "hash")]
+
+
+def test_all_engines_equal_on_corpus(vocab, pages_cfg):
+    """Trie-regex and hash taggers produce identical matches to the
+    Aho-Corasick reference over the full synthetic corpus."""
+    from ckg_spark.corpus.pages import _gen_one
+    from ckg_spark.extract.html_text import extract_text
+
+    aho, rx, hsh = _engines(vocab)
+    for i in range(150):
+        _url, _ts, html, _lang = _gen_one(pages_cfg.seed, i, pages_cfg)
+        text = extract_text(html)
+        exp = sorted(aho.find(text))
+        assert sorted(rx.find(text)) == exp, text[:200]
+        assert sorted(hsh.find(text)) == exp, text[:200]
+
+
+def test_regex_engine_equals_aho_adversarial():
+    from ckg_spark.tag import build_automaton
+
+    rows = [
+        {"canonical_id": "A", "alias": "gastric"},
+        {"canonical_id": "B", "alias": "gastric cancer"},
+        {"canonical_id": "C", "alias": "cancer"},
+        {"canonical_id": "D", "alias": "alpha-beta"},
+        {"canonical_id": "E", "alias": "alpha"},
+        {"canonical_id": "F", "alias": "x1 y2"},
+        {"canonical_id": "G", "alias": "shared syn"},
+        {"canonical_id": "H", "alias": "shared syn"},  # multi-mapping fan-out
+    ]
+    aho = build_automaton(rows, engine="aho")
+    rx = build_automaton(rows, engine="regex")
+    hsh = build_automaton(rows, engine="hash")
+    cases = [
+        "gastric cancer clinic",          # longest wins
+        "gastric cancerous growth",       # long candidate fails boundary -> short
+        "agastric cancer",                # leading boundary violation
+        "alpha-beta blocker and alpha",   # hyphenated + plain
+        "the x1 y2 code x1 y23",          # digit boundary at the end
+        "shared syn here",                # two payloads, one span
+        "GASTRIC Cancer",                 # case-insensitivity
+        "cancer. gastric, cancer-free",   # punctuation boundaries
+        "",                               # empty text
+        "ggastric cancer gastric",        # prefix noise then real match
+    ]
+    for text in cases:
+        exp = sorted(aho.find(text))
+        assert sorted(rx.find(text)) == exp, text
+        assert sorted(hsh.find(text)) == exp, text
+
+
+def test_regex_engine_equals_aho_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ckg_spark.tag import build_automaton
+
+    rows = [
+        {"canonical_id": "A", "alias": "abc"},
+        {"canonical_id": "B", "alias": "abc def"},
+        {"canonical_id": "C", "alias": "def"},
+        {"canonical_id": "D", "alias": "a-b"},
+        {"canonical_id": "E", "alias": "xy1"},
+    ]
+    aho = build_automaton(rows, engine="aho")
+    rx = build_automaton(rows, engine="regex")
+    hsh = build_automaton(rows, engine="hash")
+    alphabet = st.sampled_from(list("abcdef xy1-._,!é5"))
+
+    @given(st.text(alphabet=alphabet, max_size=60))
+    @settings(max_examples=500, deadline=None)
+    def check(text):
+        exp = sorted(aho.find(text))
+        assert sorted(rx.find(text)) == exp, repr(text)
+        assert sorted(hsh.find(text)) == exp, repr(text)
+
+    check()
