@@ -61,3 +61,55 @@ def transitive_closure(
     return reach.select(
         F.col("s").alias(src), F.col("d").alias(dst), F.col("depth").alias("min_depth")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    damping: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """(node, rank) by power iteration — the distributed analog of the
+    reference's eigenvector-centrality analytics (analytics.py:2278-2290),
+    expressed as join + aggregate per round (no GraphFrames jar needed).
+
+    Deterministic: fixed iteration count, no sampling. Dangling-node mass
+    is redistributed uniformly each round, so ranks sum to ~1."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
+    links = e.join(out_deg, "s").localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links["s"] == ranks["node"])
+            .select("d", (F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .groupBy("d")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["s"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1229,3 +1229,52 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
         "l_returnflag", "n1", "n2", F.round(t, 6).alias("t_stat")
     )
+
+
+@register(
+    "q_median_normalize",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice - MEDIAN(l_extendedprice) OVER (PARTITION BY l_returnflag), 6) AS DOUBLE)
+             AS price_centered
+    FROM lineitem
+    """,
+    family="stats",
+)
+def q_median_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT median centering via applyInPandas (grouped-map
+    pandas UDF — the §2.10 pattern for per-group normalization,
+    analytics.py:375-391). Exact medians so the DuckDB MEDIAN() window
+    oracle matches bit-for-bit (percentile_approx would not)."""
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["l_extendedprice"].median()
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "price_centered": (pdf["l_extendedprice"] - med).round(6),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        center, "l_orderkey long, l_linenumber long, price_centered double"
+    )
+
+
+@register("q_kg_pagerank", None, family="graph")
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-mention graph (power iteration; non-SQL —
+    iterative). Unit-tested against a numpy power-iteration oracle."""
+    from ..ops.graph import pagerank
+
+    pairs = q_kg_comention(spark, sf_dir).select("subj", "obj")
+    sym = pairs.union(pairs.select(F.col("obj").alias("subj"), F.col("subj").alias("obj")))
+    return pagerank(sym, iterations=10).select(
+        F.col("node").alias("term_id"), F.round("rank", 6).alias("rank")
+    )

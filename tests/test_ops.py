@@ -272,3 +272,34 @@ def test_transitive_closure_chain_and_dag(spark):
     )
     got = {(r["subj"], r["obj"]): r["min_depth"] for r in transitive_closure(dag).collect()}
     assert got[("a", "d")] == 1  # direct edge shorter than the 2-hop paths
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from ckg_spark.ops.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c")]  # d dangles into c; no out from? d->c so c hub
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    out = np.zeros(n)
+    for s, d in set(edges):
+        out[idx[s]] += 1
+    for s, d in set(edges):
+        M[idx[d], idx[s]] = 1.0 / out[idx[s]]
+    damping, iters = 0.85, 15
+    r = np.full(n, 1.0 / n)
+    dangling_mask = out == 0
+    for _ in range(iters):
+        dangling = r[dangling_mask].sum()
+        r = (1 - damping) / n + damping * (M @ r + dangling / n)
+    exp = {v: r[idx[v]] for v in nodes}
+
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    got = {row["node"]: row["rank"] for row in pagerank(df).collect()}
+    assert set(got) == set(exp)
+    for v in nodes:
+        assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
