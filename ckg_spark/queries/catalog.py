@@ -1278,3 +1278,38 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(sym, iterations=10).select(
         F.col("node").alias("term_id"), F.round("rank", 6).alias("rank")
     )
+
+
+@register(
+    "q_event_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS INT) AS n_events,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    family="streaming",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1h inactivity gap) — the batch twin of the
+    applyInPandasWithState sessionizer (ckg_spark/streaming/sessions.py;
+    tests assert streaming emits exactly the batch-closed sessions).
+    Window math: lag -> gap break flags -> running-sum session ids."""
+    from ..streaming.sessions import batch_sessions
+
+    e = _t(spark, sf_dir, "events")
+    return batch_sessions(e, gap_seconds=3600)

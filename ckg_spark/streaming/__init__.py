@@ -1,3 +1,4 @@
+from .sessions import batch_sessions, streaming_sessions
 from .incremental import (
     incremental_mentions,
     stream_pages,
@@ -8,4 +9,6 @@ __all__ = [
     "incremental_mentions",
     "stream_pages",
     "windowed_event_counts",
+    "batch_sessions",
+    "streaming_sessions",
 ]

@@ -120,3 +120,71 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(out) == exp
+
+
+def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
+    """Stateful sessionizer (applyInPandasWithState) emits exactly the
+    sessions the batch window-math twin closes on the same data."""
+    import datetime as dt
+
+    from ckg_spark.streaming.sessions import batch_sessions, streaming_sessions
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    GAP = 600  # 10 min
+
+    def ev(eid, user, minutes, value):
+        return (eid, base + dt.timedelta(minutes=minutes), user, "click", value, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # user 1: two sessions (break at 25 min); user 2: one session
+    batch1 = [
+        ev(1, 1, 0, 1.0), ev(2, 1, 5, 2.0),
+        ev(3, 2, 0, 5.0),
+        ev(4, 1, 30, 3.0),
+    ]
+    # second file arrives later: user 1 continues session 2; user 2's
+    # session is now provably closed (gap exceeded); user 2 starts a new one
+    batch2 = [
+        ev(5, 1, 35, 4.0),
+        ev(6, 2, 120, 7.0),
+    ]
+    d = str(tmp_path / "evt")
+    df1 = spark.createDataFrame(batch1, cols)
+    df1.write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(df1.schema).parquet(d)
+    out: list[tuple] = []
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            streaming_sessions(stream, gap_seconds=GAP)
+            .writeStream.foreachBatch(lambda df, _e: out.extend(map(tuple, df.collect())))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(batch2, cols).write.mode("append").parquet(d)
+    drain()
+
+    all_events = spark.read.parquet(d)
+    full = batch_sessions(all_events, gap_seconds=GAP)
+    # a session is provably closed once the global watermark (max event
+    # time seen) passes session_end + GAP — whether by a later event of
+    # the same user or by any other event advancing the watermark
+    import collections
+
+    global_max = all_events.agg(F.max("ts")).first()[0]
+    closed_expected = sorted(
+        tuple(r)
+        for r in full.collect()
+        if (global_max - r["session_end"]).total_seconds() > GAP
+    )
+    assert sorted(out) == closed_expected
+    # sanity: both of user 1's sessions and user 2's first session closed;
+    # user 2's session at the watermark frontier stays open in state
+    users = collections.Counter(t[0] for t in out)
+    assert users == {1: 2, 2: 1}
