@@ -40,11 +40,16 @@ HEADLINE = [
     "q_kg_mentions",
     "q_kg_mention_topk",
     "q_kg_comention",
+    "q_kg_ancestors",
+    "q_kg_degree_centrality",
     "q_minhash_dup_pairs",
     "q_simhash_dup_pairs",
     "q_embedding_topk",
     "q_embedding_neardup_pairs",
     "q_doc_token_stats",
+    "q_doc_langid",
+    "q_event_sessions",
+    "q_welch_ttest",
 ]
 
 
