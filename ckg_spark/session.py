@@ -53,7 +53,14 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode puts driver + all executor threads in ONE JVM: size the
+        # heap for the whole node (~1 GB/core floor), not a driver alone —
+        # 8g starved 32 task threads into GCLocker retry failures at 500k
+        # docs. On a real cluster this maps to executor memory instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(16, cores)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # v2 commit: tasks move their files into place as they finish
