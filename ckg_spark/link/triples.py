@@ -107,11 +107,17 @@ def mention_edges(per_url: DataFrame) -> DataFrame:
     )
 
 
-def comention_edges(per_url: DataFrame) -> DataFrame:
+def comention_edges(per_url: DataFrame, min_score: float | None = None) -> DataFrame:
     """Co-mention pairs per document WITHOUT a self-join: the entity list
     is already collected per url, so the C(k,2) pairs expand in-array
     (node_ids are sorted, so subj < obj is positional) and only the pair
-    table shuffles for the final count."""
+    table shuffles for the final count.
+
+    ``min_score`` drops pairs co-mentioned in fewer than that many
+    documents — the reference's association score cutoff (STRING >= 0.4,
+    databases/config/stringConfig.yml:2 / stringParser.py:51) and the
+    practical cap on the quadratic C(k,2) growth at rich-vocabulary scale
+    (a 25k-term vocabulary tags ~20 entities/doc => ~190 pairs/doc)."""
     ids = F.transform(F.col("ents"), lambda e: e["node_id"])  # sorted already
     pair_structs = F.flatten(
         F.transform(
@@ -122,17 +128,19 @@ def comention_edges(per_url: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
+    pairs = (
         per_url.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
         .agg(F.count(F.lit(1)).cast("double").alias("score"))
-        .select(
-            "subj",
-            F.lit(ASSOCIATED_WITH).alias("pred"),
-            "obj",
-            F.lit("dictionary").alias("source"),
-            "score",
-        )
+    )
+    if min_score is not None:
+        pairs = pairs.filter(F.col("score") >= F.lit(min_score))
+    return pairs.select(
+        "subj",
+        F.lit(ASSOCIATED_WITH).alias("pred"),
+        "obj",
+        F.lit("dictionary").alias("source"),
+        "score",
     )
 
 
@@ -161,7 +169,10 @@ def hierarchy_edges(terms: DataFrame, canonical_map: DataFrame) -> DataFrame:
 
 
 def all_triples(
-    mentions: DataFrame, terms: DataFrame, canonical_map: DataFrame
+    mentions: DataFrame,
+    terms: DataFrame,
+    canonical_map: DataFrame,
+    comention_min_score: float | None = None,
 ) -> DataFrame:
     # The per-url frame feeds two union branches; localCheckpoint(eager)
     # computes its one shuffle exactly once (persist() is not enough: the
@@ -171,6 +182,6 @@ def all_triples(
     per_url = mentions_per_url(mentions, canonical_map).localCheckpoint(eager=True)
     return (
         mention_edges(per_url)
-        .unionByName(comention_edges(per_url))
+        .unionByName(comention_edges(per_url, min_score=comention_min_score))
         .unionByName(hierarchy_edges(terms, canonical_map))
     )

@@ -83,6 +83,7 @@ class KGPipeline:
         pages_cfg: PagesConfig | None = None,
         canon_mode: str = "lsh",
         materialize_text: bool = False,
+        comention_min_score: float | None = None,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root)
@@ -99,6 +100,9 @@ class KGPipeline:
         # when several downstream consumers want the extracted text
         # materialized (the checkpoint then also covers the extract step).
         self.materialize_text = materialize_text
+        # ≙ the reference's association score cutoffs (stringParser.py:51);
+        # None keeps every pair (the P/R-gated default)
+        self.comention_min_score = comention_min_score
 
     # -- stages -----------------------------------------------------------
     def _stage(self, name: str, fp: str, table: str, compute) -> tuple[DataFrame, bool]:
@@ -193,12 +197,20 @@ class KGPipeline:
             stats["skipped"].append("canon")
 
         # stage 5: linking -> triples
-        fp_link = _fingerprint("link", {}, fp_tag, fp_canon)
+        fp_link = _fingerprint(
+            "link", {"comention_min_score": self.comention_min_score}, fp_tag, fp_canon
+        )
         triples, skipped = self._stage(
             "link",
             fp_link,
             "triples",
-            lambda: (all_triples(mentions, terms, cmap), ["pred"]),
+            lambda: (
+                all_triples(
+                    mentions, terms, cmap,
+                    comention_min_score=self.comention_min_score,
+                ),
+                ["pred"],
+            ),
         )
         if skipped:
             stats["skipped"].append("link")

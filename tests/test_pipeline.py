@@ -172,3 +172,36 @@ def test_crash_mid_pipeline_resumes_from_last_snapshot(spark, tmp_path, monkeypa
         for r in Warehouse(wh_clean).table("edges").read(spark).select("subj", "pred", "obj").collect()
     )
     assert got == exp
+
+
+def test_comention_min_score_threshold(spark, built, tmp_path):
+    """comention_min_score=2 keeps exactly the ASSOCIATED_WITH pairs with
+    score >= 2 (the reference's association cutoff semantics) and leaves
+    the other edge families untouched."""
+    pipe, _, _ = built
+    wh3 = str(tmp_path / "wh_thresh")
+    pipe3 = KGPipeline(
+        spark,
+        wh3,
+        vocab_cfg=VocabConfig(seed=7, terms_per_type=30),
+        pages_cfg=pipe.pages_cfg,
+        comention_min_score=2.0,
+    )
+    pipe3.run()
+    base = pipe.wh.table("edges").read(spark)
+    got = pipe3.wh.table("edges").read(spark)
+    base_assoc = {
+        (r["subj"], r["obj"]): r["score"]
+        for r in base.filter("pred = 'ASSOCIATED_WITH'").collect()
+    }
+    got_assoc = {
+        (r["subj"], r["obj"]): r["score"]
+        for r in got.filter("pred = 'ASSOCIATED_WITH'").collect()
+    }
+    assert got_assoc == {k: v for k, v in base_assoc.items() if v >= 2.0}
+    assert len(got_assoc) < len(base_assoc)
+    for pred in ("MENTIONED_IN_PUBLICATION", "HAS_PARENT"):
+        assert (
+            got.filter(f"pred = '{pred}'").count()
+            == base.filter(f"pred = '{pred}'").count()
+        )
