@@ -57,9 +57,9 @@ def run_level(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-docs", type=int, default=100_000)
-    ap.add_argument("--words", default="300,900")
-    ap.add_argument("--terms-per-type", type=int, default=600)
+    ap.add_argument("--n-docs", type=int, default=50_000)
+    ap.add_argument("--words", default="600,1200")
+    ap.add_argument("--terms-per-type", type=int, default=150)
     ap.add_argument("--trials", type=int, default=1)
     # Default levels are 1 and 4 (N and 4N within the sandbox's physical
     # parallel capacity): a plain-multiprocessing probe of the same
