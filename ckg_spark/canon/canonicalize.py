@@ -210,8 +210,6 @@ def build_canonical_map(
         )
     pairs = merge_pairs(terms, mode=mode).coalesce(1).localCheckpoint()
     n_pairs = pairs.count()
-    from pyspark.sql.types import StringType, StructField, StructType
-
     comp_schema = StructType(
         [
             StructField("node", StringType(), False),
@@ -219,8 +217,6 @@ def build_canonical_map(
         ]
     )
     if n_pairs <= driver_cc_threshold:
-        import pandas as pd
-
         mapping = _driver_components(
             [(r["src"], r["dst"]) for r in pairs.collect()]
         )

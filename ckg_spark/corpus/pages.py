@@ -73,6 +73,9 @@ class PagesConfig:
     words_min: int = 40      # body length; raise for realistic-sized pages
     words_max: int = 160
     partitions: int = 32
+    id_offset: int = 0       # first doc id — urls derive from doc ids, so
+    #                          disjoint offsets give disjoint url ranges
+    #                          (incremental-drop fixtures)
     # filled from vocab:
     surfaces: list[tuple[str, str]] = field(default_factory=list)   # (surface, id)
     hub_surfaces: list[str] = field(default_factory=list)
@@ -197,5 +200,5 @@ def generate_pages_df(spark: SparkSession, cfg: PagesConfig) -> DataFrame:
                 }
             )
 
-    base = spark.range(0, cfg.n_docs, 1, cfg.partitions)
+    base = spark.range(cfg.id_offset, cfg.id_offset + cfg.n_docs, 1, cfg.partitions)
     return base.mapInPandas(gen, PAGES_SCHEMA)

@@ -196,12 +196,6 @@ class Table:
         return self.append(staged, partition_by=partition_by, meta=meta)
 
 
-def _is_partitioned(data_dir: str) -> bool:
-    return any(
-        os.path.isdir(os.path.join(data_dir, d)) and "=" in d for d in os.listdir(data_dir)
-    )
-
-
 def _walk_row_counts(data_dir: str) -> list[dict[str, Any]]:
     """Row counts for flat or hive-partitioned dirs. Footer reads release
     the GIL in pyarrow, so a thread pool turns ~hundreds of serial metadata

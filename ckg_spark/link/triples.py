@@ -89,7 +89,12 @@ def mentions_per_url(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame
             )
             .cast("int")
             .alias("n_hits"),
-            F.array_min(F.transform(raw, lambda e: e["n_tokens"])).alias("n_tokens"),
+            F.array_min(
+                F.transform(
+                    F.filter(raw, lambda e: e["node_id"] == nid),
+                    lambda e: e["n_tokens"],
+                )
+            ).alias("n_tokens"),
         ),
     )
     return grouped.select("url", merged.alias("ents"))

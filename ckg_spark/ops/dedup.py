@@ -162,12 +162,15 @@ def simhash_signatures(
     whole-stage codegen); only the 64-way bit-voting runs in Python, numpy-
     vectorized over the pre-hashed int64 arrays. The original version hashed
     every token byte-by-byte in Python, which dominated the stage."""
+    # coalesce: null text -> empty token array (split(null) is null and
+    # np.asarray(None) would crash the Python worker)
+    toks = F.coalesce(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")),
+        F.array().cast("array<string>"),
+    )
     hashed = docs.select(
         F.col(id_col).cast("string").alias("key"),
-        F.transform(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")),
-            lambda t: F.xxhash64(t),
-        ).alias("th"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

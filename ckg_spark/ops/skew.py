@@ -56,10 +56,19 @@ def salted_join(
     default). The join key becomes (on, salt), so a key with 30% of all
     probe rows spreads over ``salt`` partitions instead of one.
 
-    Result is row-identical to ``probe.join(build, on, how)`` — tests
-    assert it. Cost: build side x salt; choose salt ≈ (hot-partition rows /
+    Result is row-identical to ``probe.join(build, on, how)`` for
+    probe-preserving join types (inner / left / left_semi / left_anti) —
+    tests assert it. Right/full-outer are rejected: unmatched build rows
+    exist ``salt`` times after replication and would surface as duplicates.
+    Cost: build side x salt; choose salt ≈ (hot-partition rows /
     target-partition rows).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports probe-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} (unmatched build rows would appear {salt} times)"
+        )
     id_cols = probe_id_cols or probe.columns
     salted_probe = probe.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(salt))
@@ -82,9 +91,15 @@ def salted_aggregate(
     partials (tiny). Equivalent to groupBy(key).agg(sum, count); Spark's
     map-side partial aggregation usually makes this unnecessary for
     algebraic aggregates — it exists for the cases where per-group state is
-    too large to combine map-side (e.g. large collect_set states)."""
+    too large to combine map-side (e.g. large collect_set states).
+
+    Salt = row position (monotonically_increasing_id), NOT a value hash: a
+    hot key's values are often constant (counting workloads), which would
+    hash every row to one salt and re-create the skew. The aggregate's
+    RESULT is independent of salt assignment, so run-to-run layout
+    variation cannot change the output."""
     phase1 = (
-        df.withColumn(SALT_COL, F.pmod(F.xxhash64(F.col(value)), F.lit(salt)))
+        df.withColumn(SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
         .groupBy(key, SALT_COL)
         .agg(F.sum(value).alias("_partial_sum"), F.count(F.lit(1)).alias("_partial_n"))
     )

@@ -70,8 +70,10 @@ def read_gzip_tsv_lines(
     if comment_prefix:
         lines = lines.filter(~F.col("value").startswith(comment_prefix))
     parts = F.split("value", sep)
+    # try_element_at: blank/ragged lines (routine in real gz TSV dumps)
+    # yield nulls instead of an ANSI INVALID_ARRAY_INDEX job failure
     return lines.select(
-        *[F.element_at(parts, i + 1).alias(f"c{i}") for i in range(n_cols)]
+        *[F.try_element_at(parts, F.lit(i + 1)).alias(f"c{i}") for i in range(n_cols)]
     )
 
 
@@ -110,6 +112,14 @@ def parse_obo(text: str) -> list[dict[str, Any]]:
             if cur and not cur.get("obsolete"):
                 terms.append(cur)
             cur = {"id": None, "name": None, "synonyms": [], "parents": [], "obsolete": False}
+        elif line.startswith("[") and line.endswith("]"):
+            # any other stanza ([Typedef], [Instance]) closes the current
+            # term — otherwise the typedef's id:/name: lines would
+            # overwrite the last term's fields (real OBO files end with
+            # [Typedef] stanzas)
+            if cur and not cur.get("obsolete"):
+                terms.append(cur)
+            cur = None
         elif cur is not None and ":" in line:
             key, _, val = line.partition(":")
             val = val.strip()

@@ -50,12 +50,33 @@ def stream_pages(
     return reader.parquet(pages_dir)
 
 
-def _committed_epochs(table: Table) -> set[int]:
+def _committed_epochs(table: Table) -> set[tuple[str, int]]:
+    """(stream_id, epoch) pairs already in the manifest. Epoch ids are only
+    unique within one streaming checkpoint, so they are scoped by the
+    checkpoint's identity — a fresh checkpoint restarts epochs at 0, which
+    must NOT collide with a previous stream's committed epoch 0."""
     return {
-        s.meta["epoch"]
+        (s.meta.get("stream_id", "legacy"), s.meta["epoch"])
         for s in table.snapshots()
         if s.meta and "epoch" in s.meta
     }
+
+
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable UUID stored inside the checkpoint dir: same checkpoint (incl.
+    crash replays) => same id; recreated/lost checkpoint => new id."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_ckg_stream_id")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    sid = uuid.uuid4().hex
+    with open(marker, "w") as f:
+        f.write(sid)
+    return sid
 
 
 def incremental_mentions(
@@ -70,10 +91,16 @@ def incremental_mentions(
 ) -> dict:
     """Drain all currently-available page files into the mentions table.
 
-    Returns {"epochs_committed": n, "epochs_skipped": n}. Re-running with
-    the same checkpoint after a crash (or with no new files) is a no-op:
-    the stream source replays only unassigned files, and replayed epochs
-    are skipped via the manifest's epoch ids.
+    Returns {"epochs_committed": n, "epochs_skipped": n}. Exactly-once at
+    two levels:
+
+    - same checkpoint (incl. crash replays): replayed epochs are skipped
+      via (stream_id, epoch) pairs in the table manifest;
+    - LOST/recreated checkpoint against a non-empty table: the stream
+      re-reads every file under a new stream_id, so the sink falls back to
+      a url-level anti-join against the table (a document's mentions land
+      in exactly one file, hence one epoch, so url granularity is exact) —
+      already-ingested documents are dropped, genuinely new ones append.
     """
     pages = stream_pages(spark, pages_dir, max_files_per_trigger)
     mentions = tag_mentions(
@@ -83,14 +110,26 @@ def incremental_mentions(
         lang=lang,
     )
     seen = _committed_epochs(mentions_table)
+    stream_id = _checkpoint_identity(checkpoint_dir)
+    fresh_ckpt_over_existing = mentions_table.exists() and all(
+        sid != stream_id for sid, _e in seen
+    )
     stats = {"epochs_committed": 0, "epochs_skipped": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in seen:
+        if (stream_id, epoch_id) in seen:
             stats["epochs_skipped"] += 1
             return
-        mentions_table.append(batch_df, meta={"epoch": epoch_id})
-        stats["epochs_committed"] += 1
+        out = batch_df
+        if fresh_ckpt_over_existing:
+            existing_urls = mentions_table.read(spark).select("url").distinct()
+            out = out.join(existing_urls, on="url", how="left_anti")
+        snap = mentions_table.append(out, meta={"epoch": epoch_id, "stream_id": stream_id})
+        if mentions_table.snapshots()[-1].rows_written == 0 and fresh_ckpt_over_existing:
+            stats["epochs_skipped"] += 1
+        else:
+            stats["epochs_committed"] += 1
+        _ = snap
 
     (
         mentions.writeStream.foreachBatch(sink)

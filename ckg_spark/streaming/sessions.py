@@ -12,13 +12,15 @@ Two implementations, one semantics:
 
 - ``batch_sessions``: lag + running-sum-of-breaks window math (pure SQL —
   this is the DuckDB-oracle-checkable path, catalog q_event_sessions);
-- ``streaming_sessions``: per-user state (current session's start, last
-  ts, counts) held in ``applyInPandasWithState`` with an event-time
-  timeout. A session is EMITTED when it is provably closed: either a
-  newer event of the same user arrives past the gap, or the watermark
-  passes last_ts + gap (timeout). Until then it stays in state — so a
-  drained ``Trigger.AvailableNow`` run emits exactly the sessions a batch
-  run over the same data would close, which the tests assert.
+- ``streaming_sessions``: per-user state holds ALL not-yet-closed
+  sessions (late, out-of-order events inside the watermark may extend,
+  prepend to, or BRIDGE existing sessions, so a single current-session
+  state would be wrong). A session is EMITTED only when the watermark
+  passes last_ts + gap — at that point no admissible event can still
+  join it (later-arriving data below the watermark is dropped by Spark).
+  A drained ``Trigger.AvailableNow`` run therefore emits exactly the
+  sessions a batch run over the same data closes, which the tests assert
+  including an out-of-order bridging case.
 
 State size is O(active users), bounded by the watermark-driven timeout —
 the property that makes this safe on an unbounded 100 TB event stream.
@@ -30,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -48,12 +51,16 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+# state holds ALL of a user's not-yet-closed sessions (parallel arrays,
+# sorted by start): late out-of-order events within the watermark may
+# extend, prepend to, or BRIDGE existing sessions, so emission must wait
+# for the watermark, not for the next arrival
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n_events", IntegerType()),
-        StructField("total_value", DoubleType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("lasts_us", ArrayType(LongType())),
+        StructField("ns", ArrayType(IntegerType())),
+        StructField("totals", ArrayType(DoubleType())),
     ]
 )
 
@@ -111,31 +118,68 @@ def streaming_sessions(
                 }
             )
 
-        if state.hasTimedOut:
-            if state.exists:
-                close(*state.get)
-                state.remove()
-            yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
-            return
-
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        # sessions: sorted-by-start list of [start_us, last_us, n, total]
         if state.exists:
-            start_us, last_us, n, total = state.get
+            starts, lasts, ns, totals = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns, totals)]
         else:
-            start_us, last_us, n, total = None, None, 0, 0.0
-        for ts, value in zip(rows["ts"], rows["value"]):
-            t_us = int(pd.Timestamp(ts).value // 1_000)
-            if last_us is None:
-                start_us, last_us, n, total = t_us, t_us, 1, float(value)
-            elif t_us - last_us > gap_us:
-                close(start_us, last_us, n, total)
-                start_us, last_us, n, total = t_us, t_us, 1, float(value)
+            sessions = []
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            for ts, value in zip(rows["ts"], rows["value"]):
+                t_us = int(pd.Timestamp(ts).value // 1_000)
+                # merge the event into the session list: join any session
+                # within gap on either side; a joining event may BRIDGE two
+                joined = None
+                for s in sessions:
+                    if s[0] - gap_us <= t_us <= s[1] + gap_us:
+                        s[0] = min(s[0], t_us)
+                        s[1] = max(s[1], t_us)
+                        s[2] += 1
+                        s[3] += float(value)
+                        joined = s
+                        break
+                if joined is None:
+                    sessions.append([t_us, t_us, 1, float(value)])
+                    sessions.sort(key=lambda s: s[0])
+                else:
+                    # bridging: the extended session may now touch a neighbor
+                    sessions.sort(key=lambda s: s[0])
+                    merged = [sessions[0]]
+                    for s in sessions[1:]:
+                        prev = merged[-1]
+                        if s[0] - prev[1] <= gap_us:
+                            prev[1] = max(prev[1], s[1])
+                            prev[2] += s[2]
+                            prev[3] += s[3]
+                        else:
+                            merged.append(s)
+                    sessions = merged
+
+        # emit everything the watermark has finalized (no same-user event
+        # can join a session once watermark > last + gap, because later
+        # arrivals below the watermark are dropped by Spark)
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        still_open = []
+        for s in sessions:
+            if wm_us > 0 and s[1] + gap_us < wm_us:
+                close(*s)
             else:
-                last_us = max(last_us, t_us)
-                n += 1
-                total += float(value)
-        state.update((start_us, last_us, n, total))
-        state.setTimeoutTimestamp((last_us + gap_us) // 1_000)
+                still_open.append(s)
+
+        if still_open:
+            state.update(
+                (
+                    [s[0] for s in still_open],
+                    [s[1] for s in still_open],
+                    [s[2] for s in still_open],
+                    [s[3] for s in still_open],
+                )
+            )
+            state.setTimeoutTimestamp(min(s[1] for s in still_open) // 1_000 + gap_seconds * 1_000)
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
 
     e = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(

@@ -39,7 +39,8 @@ def corpus_dir(tmp_path, spark, vocab):
     d = str(tmp_path / "pages")
     os.makedirs(d)
     cfg1 = config_from_vocab(vocab, n_docs=80, seed=42, partitions=2)
-    cfg2 = config_from_vocab(vocab, n_docs=40, seed=43, partitions=1)
+    # disjoint id range => disjoint urls (a url's mentions live in one file)
+    cfg2 = config_from_vocab(vocab, n_docs=40, seed=43, partitions=1, id_offset=80)
     generate_pages_df(spark, cfg1).write.mode("append").parquet(d)
     return d, cfg2
 
@@ -188,3 +189,90 @@ def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
     # user 2's session at the watermark frontier stays open in state
     users = collections.Counter(t[0] for t in out)
     assert users == {1: 2, 2: 1}
+
+
+def test_lost_checkpoint_with_new_files_no_data_loss(spark, vocab, corpus_dir, tmp_path):
+    """Checkpoint loss + new file drop: the fresh stream re-reads
+    everything under new epoch ids; old documents must not duplicate and
+    NEW documents must not be silently dropped."""
+    from ckg_spark.extract import with_extracted_text
+    from ckg_spark.tag import tag_mentions
+
+    d, cfg2 = corpus_dir
+    wh = Warehouse(str(tmp_path / "wh3"))
+    table = wh.table("mentions_stream")
+    _, _, blocklist = vocab_dataframes(spark, vocab)
+    ac = _automaton_bc(spark, vocab)
+
+    incremental_mentions(spark, d, ac, table, str(tmp_path / "ck_a"), blocklist=blocklist)
+    # checkpoint lost; new files land; a FRESH checkpoint drains everything
+    generate_pages_df(spark, cfg2).write.mode("append").parquet(d)
+    incremental_mentions(spark, d, ac, table, str(tmp_path / "ck_b"), blocklist=blocklist)
+
+    batch_all = tag_mentions(
+        with_extracted_text(spark.read.parquet(d)).select("url", "text", "lang"),
+        ac,
+        blocklist=blocklist,
+    )
+    assert _mention_rows(table.read(spark)) == _mention_rows(batch_all)
+
+
+def test_streaming_sessions_late_out_of_order_events(spark, tmp_path):
+    """A late event (within the watermark) arriving in a later micro-batch
+    must form its own past session — or bridge two — exactly as the batch
+    twin computes, never silently merge into the newest session."""
+    import datetime as dt
+
+    from ckg_spark.streaming.sessions import batch_sessions, streaming_sessions
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    GAP = 3600  # 1h
+
+    def ev(eid, user, minutes, value):
+        return (eid, base + dt.timedelta(minutes=minutes), user, "click", value, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # batch 1: events at 12:00 and 15:00 (two separate sessions, 3h apart)
+    b1 = [ev(1, 1, 0, 1.0), ev(2, 1, 180, 2.0)]
+    # batch 2: LATE event at 09:00 (own past session) and a BRIDGING late
+    # event at 13:30 (joins 12:00 and... 13:30-12:00=1.5h > gap, so it only
+    # extends neither — it is its own session between them? 13:30 is within
+    # gap of neither 12:00 (1.5h) nor 15:00 (1.5h) -> own session), plus a
+    # fresh event at 20:00 to push the watermark far forward
+    # NOTE: the late event sits strictly INSIDE the watermark (wm after
+    # drain 1 = 15:00 - 6h = 9:00; an event AT the boundary is dropped)
+    b2 = [ev(3, 1, -120, 0.5), ev(4, 1, 90, 1.5), ev(5, 1, 480, 9.0)]
+    d = str(tmp_path / "evt2")
+    df1 = spark.createDataFrame(b1, cols)
+    df1.write.mode("append").parquet(d)
+    stream = spark.readStream.schema(df1.schema).parquet(d)
+    out: list[tuple] = []
+    ckpt = str(tmp_path / "ck2")
+
+    def drain():
+        q = (
+            streaming_sessions(stream, gap_seconds=GAP, watermark="6 hours")
+            .writeStream.foreachBatch(lambda df, _e: out.extend(map(tuple, df.collect())))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(d)
+    drain()
+
+    all_events = spark.read.parquet(d)
+    full = batch_sessions(all_events, gap_seconds=GAP)
+    global_max = all_events.agg(F.max("ts")).first()[0]
+    # streaming watermark = max_ts - 6h; closed iff end + gap < watermark
+    wm = global_max - dt.timedelta(hours=6)
+    closed_expected = sorted(
+        tuple(r)
+        for r in full.collect()
+        if r["session_end"] + dt.timedelta(seconds=GAP) < wm
+    )
+    assert sorted(out) == closed_expected
+    # the late 10:00 event must appear as its own single-event session
+    assert any(t[1] == base + dt.timedelta(minutes=-120) and t[3] == 1 for t in out)
