@@ -97,7 +97,13 @@ def mentions_per_url(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame
             ).alias("n_tokens"),
         ),
     )
-    return grouped.select("url", merged.alias("ents"))
+    # fast path: no canonicalized twins in this doc (node_ids already
+    # unique — the overwhelming case) means nothing to merge; struct
+    # comparison sorts by the first field (node_id), matching `merged`'s
+    # order, so array_sort(raw) is the identical result at O(k log k)
+    # instead of the O(k^2) per-node filter passes.
+    ents = F.when(F.size(node_ids) == F.size(raw), F.array_sort(raw)).otherwise(merged)
+    return grouped.select("url", ents.alias("ents"))
 
 
 def mention_edges(per_url: DataFrame) -> DataFrame:
