@@ -1285,7 +1285,7 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000000
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ),

@@ -13,6 +13,7 @@ report_manager/dataset.py:146-170 replaces PROJECTID the same way) is kept.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,27 @@ def find_queries_involving_relationships(
     return {qid: q for qid, q in queries.items() if set(q["involved_rels"]) & want}
 
 
+# Substituted values are spliced into SQL text (the reference's template
+# mechanism is a raw string replace, builder/loader.py:110-116) — restrict
+# them to a safe token charset so a value containing quotes or SQL
+# fragments cannot produce a malformed or injected statement.
+_SAFE_VALUE = re.compile(r"^[A-Za-z0-9_.:\-]+$")
+
+
+def _safe_value(key: str, val: Any) -> str:
+    if isinstance(val, bool):
+        return str(val).upper()
+    if isinstance(val, (int, float)):
+        return repr(val)
+    s = str(val)
+    if not _SAFE_VALUE.match(s):
+        raise ValueError(
+            f"unsafe replacement for {key!r}: {s!r} "
+            "(allowed: alphanumerics, '_', '.', ':', '-')"
+        )
+    return s
+
+
 def run_query(
     spark: SparkSession,
     warehouse: Warehouse | str,
@@ -72,7 +94,7 @@ def run_query(
     q = read_knowledge_queries(path)[query_id]
     sql = q["query"]
     for key, val in (replacements or {}).items():
-        sql = sql.replace(key, str(val))
+        sql = sql.replace(key, _safe_value(key, val))
     wh.table("nodes").read(spark).createOrReplaceTempView("nodes")
     wh.table("edges").read(spark).createOrReplaceTempView("edges")
     return spark.sql(sql)

@@ -27,6 +27,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..corpus.vocab import TERMS_SCHEMA
 
@@ -145,7 +146,14 @@ def obo_terms_df(
 ) -> DataFrame:
     """OBO file -> terms DataFrame in the engine's vocabulary schema
     (TERMS_SCHEMA), ready for ckg_spark.canon/tag. Driver-side parse —
-    ontologies are dimension tables (SURVEY.md §2.1 S5)."""
+    ontologies are dimension tables (SURVEY.md §2.1 S5).
+
+    TERMS_SCHEMA carries ONE parent_id per term (the first ``is_a`` line),
+    which is sufficient for vocabulary/tagging use. Real OBO ontologies
+    (GO, DO) are multi-parent DAGs and the reference emits one HAS_PARENT
+    edge per ``is_a`` line (oboParser.py:47-49) — build hierarchy edges
+    from :func:`obo_hierarchy_df`, which keeps every parent, not from this
+    frame's parent_id column."""
     import pandas as pd
 
     opener = gzip.open if path.endswith(".gz") else open
@@ -160,3 +168,27 @@ def obo_terms_df(
         "parent_id": [(t["parents"][0] if t["parents"] else None) for t in terms],
     }
     return spark.createDataFrame(pd.DataFrame(rows), TERMS_SCHEMA).coalesce(1)
+
+
+def obo_hierarchy_df(spark: SparkSession, path: str) -> DataFrame:
+    """All (id, parent_id) pairs of an OBO file — one row per ``is_a`` line,
+    exactly the reference's HAS_PARENT edge fan-out for multi-parent DAG
+    ontologies (oboParser.py:47-49). Feed this to
+    ``ckg_spark.link.triples.hierarchy_edges`` (which only needs the
+    id/parent_id columns) so no parent edge is dropped."""
+    import pandas as pd
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        terms = parse_obo(f.read())
+    pairs = [(t["id"], p) for t in terms for p in t["parents"]]
+    schema = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("parent_id", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"id": [a for a, _ in pairs], "parent_id": [b for _, b in pairs]}),
+        schema,
+    ).coalesce(1)

@@ -111,8 +111,17 @@ def incremental_mentions(
     )
     seen = _committed_epochs(mentions_table)
     stream_id = _checkpoint_identity(checkpoint_dir)
-    fresh_ckpt_over_existing = mentions_table.exists() and all(
-        sid != stream_id for sid, _e in seen
+    # The anti-join decision must survive crash/restart MID-drain: deriving
+    # it as "no snapshot carries this stream_id" flips to False after the
+    # first epoch of a recreated checkpoint commits, and the remaining
+    # replayed epochs would then append duplicates. Instead it is derived
+    # from durable manifest state that is invariant across the whole drain:
+    # the table holds rows written by a DIFFERENT stream (or by epoch-less
+    # batch appends) — those are exactly the rows a recreated checkpoint
+    # will replay and must be anti-joined away, on every epoch, every
+    # invocation.
+    fresh_ckpt_over_existing = any(sid != stream_id for sid, _e in seen) or (
+        mentions_table.exists() and not seen
     )
     stats = {"epochs_committed": 0, "epochs_skipped": 0}
 

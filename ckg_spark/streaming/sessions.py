@@ -71,8 +71,12 @@ def batch_sessions(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
 
     e = events.withColumn("ts", F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond arithmetic, matching streaming_sessions exactly — a
+    # second-truncated cast('long') would split/merge sub-second gaps
+    # differently than the stateful operator
+    gap_us = gap_seconds * 1_000_000
     gap_break = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_seconds
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w) > gap_us
     )
     marked = e.withColumn(
         "session_no",

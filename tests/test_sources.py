@@ -99,3 +99,39 @@ def test_obo_terms_feed_the_tagger(spark, tmp_path):
         for r in tag_mentions(pages, ac_bc).collect()
     }
     assert got == {("u1", "DOID:0001"): 1, ("u1", "DOID:0003"): 1}
+
+
+MULTIPARENT_OBO = """format-version: 1.2
+
+[Term]
+id: DOID:0010
+name: cardia cancer
+is_a: DOID:0001 ! angiosarcoma
+is_a: DOID:0003 ! gastric cancer
+"""
+
+
+def test_obo_multiparent_hierarchy_edges(spark, tmp_path):
+    """ADVICE r1 regression: multi-parent DAG terms must emit one
+    HAS_PARENT edge per is_a line (oboParser.py:47-49), not parents[0]."""
+    from ckg_spark.link.triples import hierarchy_edges
+    from ckg_spark.sources.readers import obo_hierarchy_df
+
+    p = tmp_path / "dag.obo"
+    p.write_text(OBO_FIXTURE + MULTIPARENT_OBO)
+    hier = obo_hierarchy_df(spark, str(p))
+    pairs = {(r["id"], r["parent_id"]) for r in hier.collect()}
+    assert pairs == {
+        ("DOID:0001", "DOID:0000"),
+        ("DOID:0003", "DOID:0000"),
+        ("DOID:0010", "DOID:0001"),
+        ("DOID:0010", "DOID:0003"),
+    }
+    # identity canonical map: hierarchy_edges only needs id/parent_id
+    ids = sorted({i for pr in pairs for i in pr})
+    cmap = spark.createDataFrame(
+        [(i, i) for i in ids], ["term_id", "node_id"]
+    )
+    edges = hierarchy_edges(hier, cmap)
+    got = {(r["subj"], r["obj"]) for r in edges.collect()}
+    assert got == pairs

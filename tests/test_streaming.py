@@ -276,3 +276,53 @@ def test_streaming_sessions_late_out_of_order_events(spark, tmp_path):
     assert sorted(out) == closed_expected
     # the late 10:00 event must appear as its own single-event session
     assert any(t[1] == base + dt.timedelta(minutes=-120) and t[3] == 1 for t in out)
+
+
+def test_crash_mid_drain_of_recreated_checkpoint_no_duplicates(
+    spark, vocab, corpus_dir, tmp_path
+):
+    """ADVICE r1 regression: a RECREATED checkpoint replays every file; if
+    the drain crashes after its first epoch commits, the restart must keep
+    anti-joining the remaining replayed epochs (the 'no snapshot carries
+    this stream_id' derivation flips to False after epoch 0 and would
+    duplicate already-ingested documents)."""
+    d, _ = corpus_dir
+    wh = Warehouse(str(tmp_path / "wh4"))
+    table = wh.table("mentions_stream")
+    _, _, blocklist = vocab_dataframes(spark, vocab)
+    ac = _automaton_bc(spark, vocab)
+
+    incremental_mentions(spark, d, ac, table, str(tmp_path / "ck_x"), blocklist=blocklist)
+    batch = tag_mentions(
+        with_extracted_text(spark.read.parquet(d)).select("url", "text", "lang"),
+        ac,
+        blocklist=blocklist,
+    )
+    expected = _mention_rows(batch)
+    assert _mention_rows(table.read(spark)) == expected
+
+    # checkpoint lost; recreate with 1-file epochs, crash after 1st commit
+    ckpt_b = str(tmp_path / "ck_y")
+    orig_append = table.append
+    calls = {"n": 0}
+
+    def crashing_append(df, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-drain")
+        return orig_append(df, **kw)
+
+    table.append = crashing_append
+    with pytest.raises(Exception):
+        incremental_mentions(
+            spark, d, ac, table, ckpt_b, blocklist=blocklist, max_files_per_trigger=1
+        )
+    table.append = orig_append
+    assert calls["n"] > 1  # the crash really happened mid-drain
+
+    # restart the drain on the same (recreated) checkpoint: replayed epochs
+    # must still anti-join — no duplicates, batch equality holds
+    incremental_mentions(
+        spark, d, ac, table, ckpt_b, blocklist=blocklist, max_files_per_trigger=1
+    )
+    assert _mention_rows(table.read(spark)) == expected

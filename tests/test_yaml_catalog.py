@@ -60,3 +60,24 @@ def test_graph_stats(spark, graph_wh):
     stats = {r["kind"]: r["n"] for r in run_query(spark, graph_wh, "graph_stats").collect()}
     assert any(k.startswith("node:") for k in stats)
     assert "edge:MENTIONED_IN_PUBLICATION" in stats
+
+
+def test_placeholder_injection_rejected(spark, graph_wh):
+    """ADVICE r1 regression: replacement values are spliced into SQL text —
+    quotes / SQL fragments must be rejected, safe tokens must pass."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unsafe replacement"):
+        run_query(
+            spark,
+            graph_wh,
+            "entity_associations",
+            replacements={"ENTITYID": "x' OR '1'='1"},
+        )
+    with pytest.raises(ValueError, match="unsafe replacement"):
+        run_query(
+            spark,
+            graph_wh,
+            "entity_associations",
+            replacements={"ENTITYID": "a; DROP TABLE nodes"},
+        )
