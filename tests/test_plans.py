@@ -88,3 +88,31 @@ def test_link_stage_single_mention_shuffle(spark, vocab):
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1  # the single groupBy(url) shuffle
     assert "BroadcastHashJoin" in plan  # canonical map never shuffles
+
+
+def test_mention_edges_no_python_evaluator(spark, vocab):
+    """The link score is pure JVM column math — no Arrow/Python evaluator
+    may appear in the corpus-scale mention-edge projection."""
+    from ckg_spark.canon import build_canonical_map
+    from ckg_spark.corpus.vocab import vocab_dataframes
+    from ckg_spark.link import mention_edges, mentions_per_url
+
+    import pandas as pd
+
+    terms, _, _ = vocab_dataframes(spark, vocab)
+    cmap = build_canonical_map(terms)
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u2"],
+                "entity_type": ["Disease"] * 2,
+                "canonical_id": [terms.first()["id"]] * 2,
+                "surface_lc": ["x"] * 2,
+                "n_hits": [1, 2],
+                "n_tokens": [10, 20],
+            }
+        )
+    )
+    plan = plan_of(mention_edges(mentions_per_url(mentions, cmap)))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
