@@ -143,7 +143,12 @@ def materialize_graph(
     # distinct per branch, disjoint preds across branches) -> skip the
     # staging dedup shuffle
     edges_t.merge_insert_absent(
-        spark, valid, ["subj", "pred", "obj"], partition_by=["pred"], assume_unique=True
+        spark,
+        valid,
+        ["subj", "pred", "obj"],
+        partition_by=["pred"],
+        assume_unique=True,
+        prune_on=["pred"],
     )
     quarantine_t.append(orphan)
     n_orphan = quarantine_t.snapshots()[-1].rows_written

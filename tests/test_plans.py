@@ -116,3 +116,34 @@ def test_mention_edges_no_python_evaluator(spark, vocab):
     plan = plan_of(mention_edges(mentions_per_url(mentions, cmap)))
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_merge_anti_join_prunes_partitions(spark, tmp_path):
+    """merge_insert_absent(prune_on=['pred']) must reach the current-side
+    scan as a PARTITION filter — an incremental load of one pred does not
+    rescan every partition of the edges table."""
+    from ckg_spark.lakehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    t = wh.table("edges")
+    base = spark.createDataFrame(
+        [("a", "P1", "b"), ("c", "P2", "d"), ("e", "P3", "f")],
+        ["subj", "pred", "obj"],
+    )
+    t.overwrite(base, partition_by=["pred"])
+
+    staged = spark.createDataFrame([("a", "P1", "x")], ["subj", "pred", "obj"])
+    pruned = t._absent_only(spark, staged, ["subj", "pred", "obj"], prune_on=["pred"])
+    plan = plan_of(pruned)
+    part = plan.split("PartitionFilters")[1][:200]
+    assert "pred" in part and "P1" in part
+    # and the unpruned variant must NOT carry a partition filter on pred
+    unpruned = t._absent_only(spark, staged, ["subj", "pred", "obj"])
+    uplan = plan_of(unpruned)
+    assert "P1" not in uplan.split("PartitionFilters")[1][:200]
+    # semantics: P1 duplicate dropped, new rows kept
+    staged2 = spark.createDataFrame(
+        [("a", "P1", "b"), ("z", "P1", "w")], ["subj", "pred", "obj"]
+    )
+    out = t._absent_only(spark, staged2, ["subj", "pred", "obj"], prune_on=["pred"])
+    assert {(r.subj, r.pred, r.obj) for r in out.collect()} == {("z", "P1", "w")}
