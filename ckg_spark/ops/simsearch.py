@@ -7,11 +7,13 @@ Two paths:
   array column — whole-stage codegen, no Python); top-k is
   ``orderBy(...).limit(k)``, which Spark executes as a per-partition
   TakeOrdered + driver merge, i.e. no full sort shuffle.
-- ``ivf_topk``: IVF-style two-stage ANN. A deterministic coarse quantizer
-  (k-means-lite on a seeded sample, or hash-buckets) assigns every vector
-  to a cell; queries probe only the ``nprobe`` nearest cells. At 100 TB the
-  probe is a partition-pruned scan of ~nprobe/ncells of the data instead
-  of everything.
+- ``ivf_topk`` / ``ivf_topk_pruned``: IVF-style two-stage ANN. A
+  deterministic coarse quantizer (centroids averaged from a seeded
+  Bernoulli sample) assigns every vector to a cell in one shuffle-free
+  ``mapInPandas`` pass; ``write_cell_partitioned`` materializes the index
+  as cell-partitioned parquet and ``ivf_topk_pruned`` probes only the
+  ``nprobe`` nearest cells via partition pruning at the scan — at 100 TB
+  a probe reads ~nprobe/ncells of the files instead of everything.
 - ``cosine_self_pairs``: near-duplicate vectors (cosine >= threshold),
   blocked on a coarse cell so the pairwise work is per-bucket.
 
@@ -27,8 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType, StringType
-from pyspark.sql.window import Window
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _cosine_col(vec_col, query: list[float]):
@@ -71,56 +72,75 @@ def assign_cells(
     seed: int = 13,
     sample_per_cell: int = 8,
 ) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: centroids = mean of deterministic hash-sampled
-    seed vectors per cell, then one nearest-centroid assignment pass
-    (vectorized numpy in mapInPandas). Returns (assigned df, centroids)."""
-    # deterministic seed sample: smallest (hash(id)) rows per pseudo-cell
+    """IVF coarse quantizer with a ZERO-shuffle plan.
+
+    - Centroid seeding: a Bernoulli ``sample(fraction, seed)`` — a narrow
+      map, unlike a ``row_number`` Window which would shuffle the FULL
+      embedding table into ``n_cells`` hot partitions just to pick ~100
+      seed rows. The sampled rows (dimension-sized) collect to the driver
+      and average into per-cell centroids.
+    - Assignment: ONE ``mapInPandas`` pass that carries every input column
+      through and appends ``cell`` — no second join shuffling the vector
+      payloads against a same-cardinality assignment frame.
+
+    Returns (embeddings + ``cell`` column, centroids ndarray). The plan
+    contains no Exchange (asserted in tests/test_plans.py)."""
+    total = embeddings.count()  # parquet metadata count — no data scan
+    target = n_cells * sample_per_cell * 4
+    fraction = min(1.0, float(target) / max(total, 1))
     sampled = (
         embeddings.select(id_col, vec_col)
-        .withColumn("h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .withColumn("cell0", F.pmod(F.col("h"), F.lit(n_cells)).cast("int"))
         .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("cell0").orderBy("h"))
+            "cell0",
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(n_cells)
+            ).cast("int"),
         )
-        .filter(F.col("rn") <= sample_per_cell)
+        .sample(fraction=fraction, seed=seed)
         .collect()
     )
     by_cell: dict[int, list[np.ndarray]] = {}
     for r in sampled:
         by_cell.setdefault(r["cell0"], []).append(np.asarray(r[vec_col], dtype=np.float64))
+    dim = len(sampled[0][vec_col]) if sampled else 1
     centroids = np.stack(
         [
-            np.mean(by_cell[c], axis=0)
-            if c in by_cell
-            else np.zeros(len(sampled[0][vec_col]))
+            np.mean(by_cell[c], axis=0) if c in by_cell else np.zeros(dim)
             for c in range(n_cells)
         ]
     )
     norms = np.linalg.norm(centroids, axis=1)
     norms[norms == 0] = 1.0
     cn = centroids / norms[:, None]
-    schema = StructType(
-        [StructField("key", StringType(), False), StructField("cell", IntegerType(), False)]
+    out_schema = StructType(
+        list(embeddings.schema.fields) + [StructField("cell", IntegerType(), False)]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["cell"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
-            sims = (mat / vn[:, None]) @ cn.T
-            yield pd.DataFrame(
-                {"key": pdf[id_col].astype(str), "cell": sims.argmax(axis=1).astype("int32")}
-            )
+            pdf = pdf.copy()
+            pdf["cell"] = ((mat / vn[:, None]) @ cn.T).argmax(axis=1).astype("int32")
+            yield pdf
 
-    assigned = embeddings.select(
-        F.col(id_col).cast("string").alias(id_col), vec_col
-    ).mapInPandas(assign, schema)
-    out = embeddings.join(
-        assigned.withColumnRenamed("key", "__k"),
-        F.col(id_col).cast("string") == F.col("__k"),
-    ).drop("__k")
-    return out, centroids
+    return embeddings.mapInPandas(assign, out_schema), centroids
+
+
+def _probe_cells(centroids: np.ndarray, query: list[float], nprobe: int) -> list[int]:
+    """The nprobe cells nearest the query (by centroid cosine)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (centroids / norms[:, None]) @ qn
+    return sorted(int(c) for c in np.argsort(-sims)[:nprobe])
 
 
 def ivf_topk(
@@ -133,14 +153,35 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the nprobe nearest cells only, then exact cosine within them.
-    With cell-partitioned storage this is partition pruning at the scan."""
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    norms = np.linalg.norm(centroids, axis=1)
-    norms[norms == 0] = 1.0
-    sims = (centroids / norms[:, None]) @ qn
-    probe = sorted(int(c) for c in np.argsort(-sims)[:nprobe])
+    Operates on an in-memory cell-assigned frame; for the scan-level
+    pruning path use :func:`write_cell_partitioned` + :func:`ivf_topk_pruned`."""
+    probe = _probe_cells(centroids, query, nprobe)
     pruned = embeddings_with_cells.filter(F.col("cell").isin(probe))
+    return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def write_cell_partitioned(embeddings_with_cells: DataFrame, path: str) -> None:
+    """Materialize the IVF index as cell-partitioned parquet. This is what
+    turns nprobe/ncells into a real scan saving: a probe reads nprobe/ncells
+    of the files via partition pruning instead of filtering a full scan."""
+    embeddings_with_cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against cell-partitioned storage — the ``cell IN (...)``
+    filter reaches the scan as a PartitionFilter (plan-asserted in
+    tests/test_plans.py), so only the probed cells' files are read."""
+    probe = _probe_cells(centroids, query, nprobe)
+    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(probe))
     return brute_force_topk(pruned, query, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -815,11 +815,18 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_ivf_topk", None, family="simsearch")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN (non-SQL: quantizer + probe pruning)."""
+    """IVF two-stage ANN (non-SQL: quantizer + probe pruning). Runs the
+    REAL scale path: the index is materialized as cell-partitioned parquet
+    and the probe reads only the nprobe cells' partitions (partition
+    pruning at the scan, plan-asserted in tests/test_plans.py)."""
+    import tempfile
+
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     with_cells, centroids = simsearch.assign_cells(emb, n_cells=8)
-    return simsearch.ivf_topk(with_cells, centroids, q, k=10, nprobe=4)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    simsearch.write_cell_partitioned(with_cells, idx)
+    return simsearch.ivf_topk_pruned(spark, idx, centroids, q, k=10, nprobe=4)
 
 
 @register(

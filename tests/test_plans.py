@@ -147,3 +147,26 @@ def test_merge_anti_join_prunes_partitions(spark, tmp_path):
     )
     out = t._absent_only(spark, staged2, ["subj", "pred", "obj"], prune_on=["pred"])
     assert {(r.subj, r.pred, r.obj) for r in out.collect()} == {("z", "P1", "w")}
+
+
+def test_ivf_assignment_no_shuffle_and_probe_prunes(spark, tmp_path):
+    """IVF cell assignment must be a narrow plan (no Exchange — the old
+    row_number seeding shuffled the full table into n_cells partitions),
+    and the probe against the cell-partitioned index must prune at the
+    scan."""
+    import numpy as np
+    from ckg_spark.ops import simsearch
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with_cells, centroids = simsearch.assign_cells(emb, n_cells=8)
+    plan = plan_of(with_cells)
+    assert "Exchange" not in plan
+
+    idx = str(tmp_path / "ivf_idx")
+    simsearch.write_cell_partitioned(with_cells, idx)
+    q = [float(x) for x in np.asarray(emb.first()["embedding"], dtype=np.float64)]
+    probe = simsearch.ivf_topk_pruned(spark, idx, centroids, q, k=5, nprobe=3)
+    pplan = plan_of(probe)
+    part = pplan.split("PartitionFilters")[1][:250]
+    assert "cell" in part
+    assert probe.count() == 5
