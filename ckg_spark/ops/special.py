@@ -1,0 +1,376 @@
+"""Distribution tails (Student-t, F, hypergeometric) as DUAL-BACKEND
+expressions: every formula is written once against a tiny dual expression
+builder that renders BOTH a Spark ``Column`` (pure JVM column math —
+whole-stage codegen, no Python evaluator) and the structurally identical
+DuckDB SQL text. That is what makes p-values *hash-checkable* by the
+driver's DuckDB oracle: both sides execute the same arithmetic graph, so
+they agree to libm-ulp noise (~1e-12), far inside the ROUND(9) gate.
+
+Why not scipy: the execution environment has none, and a scipy p-value
+would be a Python UDF on the Spark side (Arrow round-trip in an
+aggregation tail) with NO DuckDB equivalent — the query would drop to a
+rows-only correctness check. Here the whole statistics pack
+(t-test p-values, BH/FDR, ANOVA, Fisher enrichment — the reference's
+analytics_core/analytics/analytics.py:859-989, 1229-1658, 1908-2048)
+stays value-hash-verified.
+
+Machinery (classical, public-domain numerics):
+
+- ``lgamma``: Lanczos approximation (g=7, n=9) — pure arithmetic + ln,
+  valid for z >= 0.5 (every argument here is a dof/2, a count+1, or 1/2);
+  relative error ~1e-13.
+- regularized incomplete beta ``I_x(a, b)``: modified-Lentz continued
+  fraction at FIXED depth (no early exit — a data-independent expression
+  both engines can fold), with the standard symmetry switch
+  ``I_x(a,b) = 1 - I_{1-x}(b,a)`` into the convergent region
+  ``x < (a+1)/(a+b+2)``. The fold is ``F.aggregate`` over a
+  ``sequence(1, M)`` on Spark and ``list_reduce`` over ``range`` on
+  DuckDB — identical per-step arithmetic via the dual builder.
+- Student-t two-sided tail: ``P(|T| >= t) = I_{v/(v+t^2)}(v/2, 1/2)``.
+- F upper tail: ``P(F >= f) = I_{d2/(d2+d1 f)}(d2/2, d1/2)``.
+- hypergeometric upper tail (Fisher exact, over-representation):
+  ``sum_{i=k..min(K,n)} exp(lgC(K,i)+lgC(N-K,n-i)-lgC(N,n))`` — a
+  dynamic-length fold, same shape on both backends.
+
+Scale note: these evaluate on POST-AGGREGATION rows (one per feature /
+group / annotation term — dimension-sized), so a few hundred fold steps
+per row cost nothing; the corpus-scale work stays in the upstream
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# Lanczos (g=7, n=9) coefficients — classical public-domain constants.
+_LANCZOS = [
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+]
+_HALF_LN_2PI = 0.9189385332046727  # 0.5 * ln(2*pi)
+_FPMIN = 1e-300
+CF_DEPTH = 200  # fixed Lentz depth (2 CF levels per step => 400 levels)
+
+
+class DE:
+    """Dual expression: a Spark Column and/or a DuckDB SQL string built by
+    the SAME Python code path, so both backends get the identical
+    arithmetic graph. One side may be None (backend-specific leaves).
+    Float literals are kept symbolic (``v``) and materialize to ``F.lit``
+    lazily, so SQL-only rendering needs no SparkContext."""
+
+    __slots__ = ("c", "s", "v")
+
+    def __init__(self, c: Column | None, s: str | None, v: float | None = None):
+        self.c = c
+        self.s = s
+        self.v = v
+
+    # -- arithmetic (always parenthesized so SQL precedence matches;
+    # literal⊗literal folds in Python — IEEE double, same as either
+    # engine's constant folding) ------------------------------------------
+    def __add__(self, o):
+        o = _lift(o)
+        if self.v is not None and o.v is not None:
+            return lit(self.v + o.v)
+        return DE(_c(self) + _c(o) if _has(self, o) else None, _sql2(self, o, "+"))
+
+    def __radd__(self, o):
+        return _lift(o) + self
+
+    def __sub__(self, o):
+        o = _lift(o)
+        if self.v is not None and o.v is not None:
+            return lit(self.v - o.v)
+        return DE(_c(self) - _c(o) if _has(self, o) else None, _sql2(self, o, "-"))
+
+    def __rsub__(self, o):
+        return _lift(o) - self
+
+    def __mul__(self, o):
+        o = _lift(o)
+        if self.v is not None and o.v is not None:
+            return lit(self.v * o.v)
+        return DE(_c(self) * _c(o) if _has(self, o) else None, _sql2(self, o, "*"))
+
+    def __rmul__(self, o):
+        return _lift(o) * self
+
+    def __truediv__(self, o):
+        o = _lift(o)
+        if self.v is not None and o.v is not None:
+            return lit(self.v / o.v)
+        return DE(_c(self) / _c(o) if _has(self, o) else None, _sql2(self, o, "/"))
+
+    def __rtruediv__(self, o):
+        return _lift(o) / self
+
+    def __neg__(self):
+        return DE(-_c(self) if _has(self) else None,
+                  f"(-{self.s})" if self.s is not None else None)
+
+
+def _c(e: DE) -> Column:
+    return e.c if e.c is not None else F.lit(e.v)
+
+
+def _has(*es: DE) -> bool:
+    return all(e.c is not None or e.v is not None for e in es)
+
+
+def _sql2(a: DE, b: DE, op: str) -> str | None:
+    if a.s is None or b.s is None:
+        return None
+    return f"({a.s} {op} {b.s})"
+
+
+def lit(v: float) -> DE:
+    return DE(None, repr(float(v)), v=float(v))
+
+
+def _lift(v) -> DE:
+    return v if isinstance(v, DE) else lit(v)
+
+
+def ln(e: DE) -> DE:
+    return DE(F.log(_c(e)) if _has(e) else None,
+              f"ln({e.s})" if e.s is not None else None)
+
+
+def exp(e: DE) -> DE:
+    return DE(F.exp(_c(e)) if _has(e) else None,
+              f"exp({e.s})" if e.s is not None else None)
+
+
+def sqrt(e: DE) -> DE:
+    return DE(F.sqrt(_c(e)) if _has(e) else None,
+              f"sqrt({e.s})" if e.s is not None else None)
+
+
+def abs_(e: DE) -> DE:
+    return DE(F.abs(_c(e)) if _has(e) else None,
+              f"abs({e.s})" if e.s is not None else None)
+
+
+def least(a: DE, b: DE) -> DE:
+    a, b = _lift(a), _lift(b)
+    return DE(F.least(_c(a), _c(b)) if _has(a, b) else None,
+              f"least({a.s}, {b.s})" if a.s is not None and b.s is not None else None)
+
+
+def when_lt(x: DE, y: DE, then: DE, els: DE) -> DE:
+    """CASE WHEN x < y THEN then ELSE els END (lazy on both backends —
+    guards ln/0-division in the untaken branch)."""
+    x, y, then, els = _lift(x), _lift(y), _lift(then), _lift(els)
+    c = (
+        F.when(_c(x) < _c(y), _c(then)).otherwise(_c(els))
+        if _has(x, y, then, els)
+        else None
+    )
+    s = (
+        f"(CASE WHEN {x.s} < {y.s} THEN {then.s} ELSE {els.s} END)"
+        if None not in (x.s, y.s, then.s, els.s)
+        else None
+    )
+    return DE(c, s)
+
+
+def _guard(d: DE) -> DE:
+    """Lentz underflow guard: |d| < FPMIN => FPMIN (sign dropped, exactly
+    the Numerical-Recipes convention on both backends)."""
+    return when_lt(abs_(d), lit(_FPMIN), lit(_FPMIN), d)
+
+
+def lgamma(z: DE) -> DE:
+    """Lanczos log-gamma for z >= 0.5 (all callers satisfy this)."""
+    zm1 = z - lit(1.0)
+    acc = lit(_LANCZOS[0])
+    for i in range(1, 9):
+        acc = acc + lit(_LANCZOS[i]) / (zm1 + lit(float(i)))
+    t = zm1 + lit(7.5)
+    return lit(_HALF_LN_2PI) + (zm1 + lit(0.5)) * ln(t) - t + ln(acc)
+
+
+# ----------------------------------------------------------------------
+# Lentz continued fraction for the regularized incomplete beta.
+# The per-step arithmetic lives in _betacf_step (written ONCE); the fold
+# harness differs per backend (F.aggregate vs list_reduce).
+# ----------------------------------------------------------------------
+
+def _betacf_init_d(a: DE, b: DE, x: DE) -> DE:
+    """First Lentz denominator: d = 1/(1 - (a+b)x/(a+1)), guarded."""
+    qab, qap = a + b, a + lit(1.0)
+    return lit(1.0) / _guard(lit(1.0) - qab * x / qap)
+
+
+def _betacf_step(acc_c: DE, acc_d: DE, acc_h: DE, m: DE, a: DE, b: DE, x: DE):
+    """One double-step of the modified Lentz iteration (NR betacf):
+    even coefficient then odd coefficient. Returns (c', d', h')."""
+    qab, qap, qam = a + b, a + lit(1.0), a - lit(1.0)
+    m2 = m * lit(2.0)
+    # even step: aa = m(b-m)x / ((qam+2m)(a+2m))
+    aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+    d1 = lit(1.0) / _guard(lit(1.0) + aa * acc_d)
+    c1 = _guard(lit(1.0) + aa / acc_c)
+    h1 = acc_h * d1 * c1
+    # odd step: aa = -(a+m)(qab+m)x / ((a+2m)(qap+2m))
+    aa2 = -((a + m) * (qab + m) * x) / ((a + m2) * (qap + m2))
+    d2 = lit(1.0) / _guard(lit(1.0) + aa2 * d1)
+    c2 = _guard(lit(1.0) + aa2 / c1)
+    h2 = h1 * d2 * c2
+    return c2, d2, h2
+
+
+def _betacf_spark(a: Column, b: Column, x: Column, depth: int) -> Column:
+    A, B, X = DE(a, None), DE(b, None), DE(x, None)
+    d0 = _betacf_init_d(A, B, X)
+    init = F.struct(
+        F.lit(1.0).alias("c"), d0.c.alias("d"), d0.c.alias("h")
+    )
+
+    def merge(acc, m):
+        c2, d2, h2 = _betacf_step(
+            DE(acc["c"], None), DE(acc["d"], None), DE(acc["h"], None),
+            DE(m.cast("double"), None), A, B, X,
+        )
+        return F.struct(c2.c.alias("c"), d2.c.alias("d"), h2.c.alias("h"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(depth)), init, merge, lambda acc: acc["h"]
+    )
+
+
+def _betacf_sql(a: str, b: str, x: str, depth: int) -> str:
+    A, B, X = DE(None, a), DE(None, b), DE(None, x)
+    d0 = _betacf_init_d(A, B, X)
+    c2, d2, h2 = _betacf_step(
+        DE(None, "acc.c"), DE(None, "acc.d"), DE(None, "acc.h"),
+        DE(None, "CAST(el.c AS DOUBLE)"), A, B, X,
+    )
+    # elements carry the step index in field 'c' (same struct type as the
+    # accumulator, which list_reduce requires); the init state is prepended.
+    #
+    # FIELD ORDER MATTERS: DuckDB 1.0 evaluates struct-literal fields in a
+    # reduce lambda SEQUENTIALLY — a later field sees earlier fields'
+    # UPDATED values (verified empirically; snapshot semantics would give
+    # different h). Ordering 'h' (reads old c,d,h) before 'c' (reads only
+    # c) before 'd' (reads only d) is correct under BOTH semantics, so the
+    # expression survives a DuckDB fix.
+    init = f"{{'h': {d0.s}, 'c': CAST(1.0 AS DOUBLE), 'd': {d0.s}}}"
+    steps = (
+        f"list_transform(range(1, {depth + 1}), "
+        f"m -> {{'h': CAST(0.0 AS DOUBLE), 'c': CAST(m AS DOUBLE), 'd': CAST(0.0 AS DOUBLE)}})"
+    )
+    fold = (
+        f"list_reduce(list_prepend({init}, {steps}), "
+        f"(acc, el) -> {{'h': {h2.s}, 'c': {c2.s}, 'd': {d2.s}}})"
+    )
+    return f"struct_extract({fold}, 'h')"
+
+
+def _betainc_de(a: DE, b: DE, x: DE, cf) -> DE:
+    """I_x(a,b) given a backend continued-fraction builder ``cf(a,b,x)``.
+
+    front = exp(lgamma(a+b)-lgamma(a)-lgamma(b) + a ln x + b ln(1-x));
+    direct branch when x < (a+1)/(a+b+2), else 1 - swapped."""
+    def one_sided(aa: DE, bb: DE, xx: DE) -> DE:
+        front = exp(
+            lgamma(aa + bb) - lgamma(aa) - lgamma(bb)
+            + aa * ln(xx) + bb * ln(lit(1.0) - xx)
+        )
+        return front * cf(aa, bb, xx) / aa
+
+    direct = one_sided(a, b, x)
+    swapped = lit(1.0) - one_sided(b, a, lit(1.0) - x)
+    thresh = (a + lit(1.0)) / (a + b + lit(2.0))
+    core = when_lt(x, thresh, direct, swapped)
+    # exact-edge guards: x<=0 => 0, x>=1 => 1 (lazy CASE keeps ln() safe)
+    return when_lt(x, lit(1e-300), lit(0.0),
+                   when_lt(lit(1.0) - lit(1e-300), x, lit(1.0), core))
+
+
+def betainc_spark(a: Column, b: Column, x: Column, depth: int = CF_DEPTH) -> Column:
+    """Regularized incomplete beta I_x(a, b) as a pure-JVM Column."""
+    def cf(aa: DE, bb: DE, xx: DE) -> DE:
+        return DE(_betacf_spark(aa.c, bb.c, xx.c, depth), None)
+
+    return _betainc_de(DE(a, None), DE(b, None), DE(x, None), cf).c
+
+
+def betainc_sql(a: str, b: str, x: str, depth: int = CF_DEPTH) -> str:
+    """Regularized incomplete beta I_x(a, b) as DuckDB SQL text."""
+    def cf(aa: DE, bb: DE, xx: DE) -> DE:
+        return DE(None, _betacf_sql(aa.s, bb.s, xx.s, depth))
+
+    return _betainc_de(DE(None, f"({a})"), DE(None, f"({b})"), DE(None, f"({x})"), cf).s
+
+
+# ----------------------------------------------------------------------
+# distribution tails
+# ----------------------------------------------------------------------
+
+def t_sf2_spark(t: Column, dof: Column) -> Column:
+    """Two-sided Student-t p-value P(|T| >= t) = I_{v/(v+t^2)}(v/2, 1/2)."""
+    x = dof / (dof + t * t)
+    return betainc_spark(dof / F.lit(2.0), F.lit(0.5), x)
+
+
+def t_sf2_sql(t: str, dof: str) -> str:
+    x = f"(({dof}) / (({dof}) + ({t}) * ({t})))"
+    return betainc_sql(f"(({dof}) / 2.0)", "0.5", x)
+
+
+def f_sf_spark(f: Column, d1: Column, d2: Column) -> Column:
+    """F-distribution upper tail P(F >= f) = I_{d2/(d2+d1 f)}(d2/2, d1/2)."""
+    x = d2 / (d2 + d1 * f)
+    return betainc_spark(d2 / F.lit(2.0), d1 / F.lit(2.0), x)
+
+
+def f_sf_sql(f: str, d1: str, d2: str) -> str:
+    x = f"(({d2}) / (({d2}) + ({d1}) * ({f})))"
+    return betainc_sql(f"(({d2}) / 2.0)", f"(({d1}) / 2.0)", x)
+
+
+# ----------------------------------------------------------------------
+# hypergeometric upper tail (Fisher exact, over-representation)
+# ----------------------------------------------------------------------
+
+def _lchoose(n: DE, k: DE) -> DE:
+    return lgamma(n + lit(1.0)) - lgamma(k + lit(1.0)) - lgamma(n - k + lit(1.0))
+
+
+def _hyper_term(i: DE, k_: DE, K: DE, n: DE, N: DE) -> DE:
+    """P(X = i) for X ~ Hypergeom(N, K, n), in log space."""
+    _ = k_
+    return exp(_lchoose(K, i) + _lchoose(N - K, n - i) - _lchoose(N, n))
+
+
+def hypergeom_sf_spark(k: Column, K: Column, n: Column, N: Column) -> Column:
+    """P(X >= k) = sum_{i=k}^{min(K,n)} pmf(i) — F.aggregate left fold
+    (identical summation order to the DuckDB list_reduce)."""
+    Kd, nd, Nd = K.cast("double"), n.cast("double"), N.cast("double")
+    hi = F.least(K, n).cast("int")
+    term = lambda i: _hyper_term(  # noqa: E731
+        DE(i.cast("double"), None), None, DE(Kd, None), DE(nd, None), DE(Nd, None)
+    ).c
+    return F.aggregate(
+        F.sequence(k.cast("int"), hi), F.lit(0.0), lambda acc, i: acc + term(i)
+    )
+
+
+def hypergeom_sf_sql(k: str, K: str, n: str, N: str) -> str:
+    term = _hyper_term(
+        DE(None, "CAST(i AS DOUBLE)"), None,
+        DE(None, f"CAST(({K}) AS DOUBLE)"), DE(None, f"CAST(({n}) AS DOUBLE)"),
+        DE(None, f"CAST(({N}) AS DOUBLE)"),
+    ).s
+    terms = f"list_transform(range(CAST(({k}) AS BIGINT), least(({K}), ({n})) + 1), i -> {term})"
+    return f"coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (acc, el) -> (acc + el)), 0.0)"

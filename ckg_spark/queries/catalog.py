@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..ops import dedup, simsearch, textstats
+from ..ops import dedup, simsearch, special, textstats
 from ..tag import build_automaton, tag_mentions
 
 
@@ -1195,9 +1195,10 @@ def q_corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_welch_ttest",
-    """
+# shared base of the Welch family: the SQL CTE producing per-group
+# moments and the raw t / Welch-Satterthwaite dof (mirrored exactly by
+# _welch_base_spark below)
+_WELCH_BASE_SQL = """
     WITH s AS (
       SELECT l_returnflag,
              AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS m1,
@@ -1207,18 +1208,24 @@ def q_corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n1,
              COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n2
       FROM lineitem GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT l_returnflag, n1, n2, (v1 / n1) AS se1, (v2 / n2) AS se2, m1, m2
+      FROM s WHERE n1 > 1 AND n2 > 1
+    ),
+    w2 AS (
+      SELECT l_returnflag, n1, n2,
+             ((m1 - m2) / sqrt(se1 + se2)) AS t_raw,
+             (((se1 + se2) * (se1 + se2))
+              / (((se1 * se1) / (n1 - 1)) + ((se2 * se2) / (n2 - 1)))) AS dof_raw
+      FROM w
     )
-    SELECT l_returnflag,
-           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           CAST(ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS DOUBLE) AS t_stat
-    FROM s WHERE n1 > 1 AND n2 > 1
-    """,
-    family="stats",
-)
-def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch two-sample t statistic per group, fully distributed (the
-    hypothesis-test family of analytics.py:1229-1277 without per-feature
-    pandas UDFs: conditional aggregation + column math)."""
+"""
+
+
+def _welch_base_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, n1, n2, t_raw, dof_raw) — the Spark twin of
+    _WELCH_BASE_SQL, identical arithmetic structure."""
     li = _t(spark, sf_dir, "lineitem")
     f_q = F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))
     o_q = F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))
@@ -1230,11 +1237,396 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(f_q).alias("n1"),
         F.count(o_q).alias("n2"),
     )
-    t = (F.col("m1") - F.col("m2")) / F.sqrt(
-        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    w = s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "l_returnflag",
+        "n1",
+        "n2",
+        (F.col("v1") / F.col("n1")).alias("se1"),
+        (F.col("v2") / F.col("n2")).alias("se2"),
+        "m1",
+        "m2",
     )
-    return s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
-        "l_returnflag", "n1", "n2", F.round(t, 6).alias("t_stat")
+    se = F.col("se1") + F.col("se2")
+    t_raw = (F.col("m1") - F.col("m2")) / F.sqrt(se)
+    dof_raw = (se * se) / (
+        (F.col("se1") * F.col("se1")) / (F.col("n1") - 1)
+        + (F.col("se2") * F.col("se2")) / (F.col("n2") - 1)
+    )
+    return w.select(
+        "l_returnflag", "n1", "n2", t_raw.alias("t_raw"), dof_raw.alias("dof_raw")
+    )
+
+
+@register(
+    "q_welch_ttest",
+    _WELCH_BASE_SQL
+    + f"""
+    SELECT l_returnflag,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(ROUND(t_raw, 6) AS DOUBLE) AS t_stat,
+           CAST(ROUND(dof_raw, 6) AS DOUBLE) AS dof,
+           CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+    FROM w2
+    """,
+    family="stats",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per group, fully distributed AND fully
+    hash-verified: t statistic, Welch-Satterthwaite dof, and the
+    TWO-SIDED P-VALUE (analytics.py:859-989 runs scipy.stats here; this
+    evaluates the same Student-t tail as a pure-JVM incomplete-beta
+    continued fraction, mirrored term-for-term in the DuckDB oracle —
+    ckg_spark/ops/special.py)."""
+    base = _welch_base_spark(spark, sf_dir)
+    return base.select(
+        "l_returnflag",
+        "n1",
+        "n2",
+        F.round("t_raw", 6).alias("t_stat"),
+        F.round("dof_raw", 6).alias("dof"),
+        F.round(special.t_sf2_spark(F.col("t_raw"), F.col("dof_raw")), 9).alias(
+            "p_value"
+        ),
+    )
+
+
+@register(
+    "q_ttest_fdr",
+    _WELCH_BASE_SQL
+    + f"""
+    , pv AS (
+      SELECT l_returnflag,
+             CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+      FROM w2
+    ),
+    r AS (
+      SELECT l_returnflag, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, l_returnflag) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    )
+    SELECT l_returnflag, p_value,
+           CAST(ROUND(LEAST(1.0, MIN((p_value * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj,
+           CAST(CASE WHEN LEAST(1.0, MIN((p_value * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 0.05
+             THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM r
+    """,
+    family="stats",
+)
+def q_ttest_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the Welch p-values —
+    apply_pvalue_correction (analytics.py:1663-1736) as distributed
+    window math: rank ascending by p, then a reverse running-min of
+    p*m/rank, clamped to 1. Hash-verified end-to-end (the p-values
+    themselves come from the dual-backend t tail)."""
+    base = _welch_base_spark(spark, sf_dir)
+    pv = base.select(
+        "l_returnflag",
+        F.round(special.t_sf2_spark(F.col("t_raw"), F.col("dof_raw")), 9).alias(
+            "p_value"
+        ),
+    )
+    r = pv.select(
+        "l_returnflag",
+        "p_value",
+        F.row_number()
+        .over(Window.orderBy("p_value", "l_returnflag"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(F.lit(1.0), F.min((F.col("p_value") * F.col("m")) / F.col("rn")).over(tail))
+    return r.select(
+        "l_returnflag",
+        "p_value",
+        F.round(p_adj, 9).alias("p_adj"),
+        F.when(p_adj < 0.05, 1).otherwise(0).cast("int").alias("rejected"),
+    )
+
+
+@register(
+    "q_enrichment_fisher",
+    f"""
+    WITH ann AS (
+      SELECT p_type,
+             CAST(COUNT(CASE WHEN p_retailprice > 975 THEN 1 END) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS cat_n
+      FROM part GROUP BY p_type
+    ),
+    tot AS (
+      SELECT p_type, k, cat_n,
+             CAST(SUM(k) OVER () AS BIGINT) AS n_fg,
+             CAST(SUM(cat_n) OVER () AS BIGINT) AS n_all
+      FROM ann
+    ),
+    pv AS (
+      SELECT p_type, k, cat_n,
+             CAST(ROUND(LEAST({special.hypergeom_sf_sql('k', 'cat_n', 'n_fg', 'n_all')}, 1.0), 9)
+               AS DOUBLE) AS p_value
+      FROM tot
+    ),
+    r AS (
+      SELECT p_type, k, cat_n, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, p_type) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    )
+    SELECT p_type, k AS fg_count, cat_n AS bg_count, p_value,
+           CAST(ROUND(LEAST(1.0, MIN((p_value * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj
+    FROM r
+    """,
+    family="stats",
+)
+def q_enrichment_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-exact over-representation enrichment + BH, the payoff query
+    of the reference's report pipeline (run_site_regulation_enrichment /
+    run_fisher, analytics.py:1908-2048): foreground = parts with
+    p_retailprice > 975, annotation terms = p_type. The hypergeometric
+    upper tail evaluates as a dynamic-length fold of lgamma terms —
+    identical on both backends (ops/special.py), so even the exact-test
+    p-values are value-hash-verified. The 2×2 counts are one distributed
+    aggregation; everything after is dimension-sized."""
+    part = _t(spark, sf_dir, "part")
+    ann = part.groupBy("p_type").agg(
+        F.count(F.when(F.col("p_retailprice") > 975, 1)).alias("k"),
+        F.count(F.lit(1)).alias("cat_n"),
+    )
+    w = Window.partitionBy()
+    tot = ann.select(
+        "p_type",
+        "k",
+        "cat_n",
+        F.sum("k").over(w).alias("n_fg"),
+        F.sum("cat_n").over(w).alias("n_all"),
+    )
+    pv = tot.select(
+        "p_type",
+        "k",
+        "cat_n",
+        F.round(
+            F.least(
+                special.hypergeom_sf_spark(
+                    F.col("k"), F.col("cat_n"), F.col("n_fg"), F.col("n_all")
+                ),
+                F.lit(1.0),
+            ),
+            9,
+        ).alias("p_value"),
+    )
+    r = pv.select(
+        "p_type",
+        "k",
+        "cat_n",
+        "p_value",
+        F.row_number().over(Window.orderBy("p_value", "p_type")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(F.lit(1.0), F.min((F.col("p_value") * F.col("m")) / F.col("rn")).over(tail))
+    return r.select(
+        F.col("p_type"),
+        F.col("k").alias("fg_count"),
+        F.col("cat_n").alias("bg_count"),
+        "p_value",
+        F.round(p_adj, 9).alias("p_adj"),
+    )
+
+
+@register(
+    "q_anova_oneway",
+    f"""
+    WITH g AS (
+      SELECT l_linestatus, l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(l_quantity) AS s_g,
+             SUM(l_quantity * l_quantity) AS ss_g
+      FROM lineitem GROUP BY l_linestatus, l_returnflag
+    ),
+    a AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(s_g) AS grand_s,
+             SUM((s_g * s_g) / n_g) AS sum_gr,
+             SUM(ss_g) AS ss_tot
+      FROM g GROUP BY l_linestatus
+    ),
+    f AS (
+      SELECT l_linestatus, k, n,
+             (sum_gr - ((grand_s * grand_s) / n)) AS ssb,
+             (ss_tot - sum_gr) AS ssw
+      FROM a WHERE k > 1 AND n > k
+    ),
+    f2 AS (
+      SELECT l_linestatus, k, n,
+             ((ssb / (k - 1)) / (ssw / (n - k))) AS f_raw
+      FROM f
+    )
+    SELECT l_linestatus, k AS n_groups, n AS n_obs,
+           CAST(ROUND(f_raw, 6) AS DOUBLE) AS f_stat,
+           CAST(ROUND({special.f_sf_sql('f_raw', '(CAST(k AS DOUBLE) - 1.0)', '(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))')}, 9) AS DOUBLE) AS p_value
+    FROM f2
+    """,
+    family="stats",
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (F statistic + p-value) per feature, fully
+    distributed: within/between sums of squares from one two-level
+    aggregation (calculate_anova, analytics.py:1408-1478, without the
+    per-feature scipy loop). The F-distribution upper tail is the same
+    dual-backend incomplete beta as the t tail — p-values hash-verified."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("l_quantity").alias("s_g"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss_g"),
+    )
+    a = g.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("grand_s"),
+        F.sum((F.col("s_g") * F.col("s_g")) / F.col("n_g")).alias("sum_gr"),
+        F.sum("ss_g").alias("ss_tot"),
+    )
+    f = a.filter((F.col("k") > 1) & (F.col("n") > F.col("k"))).select(
+        "l_linestatus",
+        "k",
+        "n",
+        (F.col("sum_gr") - (F.col("grand_s") * F.col("grand_s")) / F.col("n")).alias("ssb"),
+        (F.col("ss_tot") - F.col("sum_gr")).alias("ssw"),
+    )
+    f_raw = (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k")))
+    f2 = f.select("l_linestatus", "k", "n", f_raw.alias("f_raw"))
+    d1 = F.col("k").cast("double") - F.lit(1.0)
+    d2 = F.col("n").cast("double") - F.col("k").cast("double")
+    return f2.select(
+        "l_linestatus",
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        F.round("f_raw", 6).alias("f_stat"),
+        F.round(special.f_sf_spark(F.col("f_raw"), d1, d2), 9).alias("p_value"),
+    )
+
+
+@register(
+    "q_pairwise_ttest_posthoc",
+    f"""
+    WITH g AS (
+      SELECT l_linestatus, l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n, AVG(l_quantity) AS m, VAR_SAMP(l_quantity) AS v
+      FROM lineitem GROUP BY l_linestatus, l_returnflag
+    ),
+    pr AS (
+      SELECT a.l_linestatus, a.l_returnflag AS g1, b.l_returnflag AS g2,
+             a.n AS n1, b.n AS n2, a.m AS m1, b.m AS m2, a.v AS v1, b.v AS v2
+      FROM g a JOIN g b
+        ON a.l_linestatus = b.l_linestatus AND a.l_returnflag < b.l_returnflag
+      WHERE a.n > 1 AND b.n > 1
+    ),
+    w AS (
+      SELECT l_linestatus, g1, g2, n1, n2, (v1 / n1) AS se1, (v2 / n2) AS se2, m1, m2
+      FROM pr
+    ),
+    w2 AS (
+      SELECT l_linestatus, g1, g2, n1, n2,
+             ((m1 - m2) / sqrt(se1 + se2)) AS t_raw,
+             (((se1 + se2) * (se1 + se2))
+              / (((se1 * se1) / (n1 - 1)) + ((se2 * se2) / (n2 - 1)))) AS dof_raw
+      FROM w
+    ),
+    pv AS (
+      SELECT l_linestatus, g1, g2,
+             CAST(ROUND(t_raw, 6) AS DOUBLE) AS t_stat,
+             CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+      FROM w2
+    ),
+    r AS (
+      SELECT l_linestatus, g1, g2, t_stat, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, l_linestatus, g1, g2) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    )
+    SELECT l_linestatus, g1, g2, t_stat, p_value,
+           CAST(ROUND(LEAST(1.0, MIN((p_value * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj
+    FROM r
+    """,
+    family="stats",
+)
+def q_pairwise_ttest_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch t-tests between all group pairs per feature, with
+    one BH correction across every pair (calculate_pairwise_ttest,
+    analytics.py:1528-1658): the group moments aggregate once, the pair
+    fan-out is a self-join of the DIMENSION-SIZED moments frame (never
+    the fact table), p-values and the FDR sweep are hash-verified."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_quantity").alias("m"),
+        F.var_samp("l_quantity").alias("v"),
+    )
+    a = g.select(
+        "l_linestatus",
+        F.col("l_returnflag").alias("g1"),
+        F.col("n").alias("n1"),
+        F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    b = g.select(
+        F.col("l_linestatus").alias("ls2"),
+        F.col("l_returnflag").alias("g2"),
+        F.col("n").alias("n2"),
+        F.col("m").alias("m2"),
+        F.col("v").alias("v2"),
+    )
+    pr = a.join(
+        b, (F.col("l_linestatus") == F.col("ls2")) & (F.col("g1") < F.col("g2"))
+    ).filter((F.col("n1") > 1) & (F.col("n2") > 1))
+    w = pr.select(
+        "l_linestatus",
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        (F.col("v1") / F.col("n1")).alias("se1"),
+        (F.col("v2") / F.col("n2")).alias("se2"),
+        "m1",
+        "m2",
+    )
+    se = F.col("se1") + F.col("se2")
+    t_raw = (F.col("m1") - F.col("m2")) / F.sqrt(se)
+    dof_raw = (se * se) / (
+        (F.col("se1") * F.col("se1")) / (F.col("n1") - 1)
+        + (F.col("se2") * F.col("se2")) / (F.col("n2") - 1)
+    )
+    pv = w.select(
+        "l_linestatus",
+        "g1",
+        "g2",
+        F.round(t_raw, 6).alias("t_stat"),
+        F.round(special.t_sf2_spark(t_raw, dof_raw), 9).alias("p_value"),
+    )
+    r = pv.select(
+        "l_linestatus",
+        "g1",
+        "g2",
+        "t_stat",
+        "p_value",
+        F.row_number()
+        .over(Window.orderBy("p_value", "l_linestatus", "g1", "g2"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(F.lit(1.0), F.min((F.col("p_value") * F.col("m")) / F.col("rn")).over(tail))
+    return r.select(
+        "l_linestatus", "g1", "g2", "t_stat", "p_value", F.round(p_adj, 9).alias("p_adj")
     )
 
 

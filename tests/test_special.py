@@ -1,0 +1,190 @@
+"""Dual-backend special functions: the Spark Column and DuckDB SQL
+renderings of lgamma / incomplete beta / distribution tails must agree
+with each other (that is what makes p-values hash-checkable by the
+driver's oracle) AND with an independent adaptive-precision Python
+implementation (math.lgamma + convergence-driven Lentz, deliberately not
+the fixed-depth machinery under test)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ckg_spark.ops import special
+
+
+# -- independent references -------------------------------------------------
+
+def _betacf_ref(a: float, b: float, x: float) -> float:
+    fpmin = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < fpmin:
+        d = fpmin
+    d = 1.0 / d
+    h = d
+    for m in range(1, 5000):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-16:
+            break
+    return h
+
+
+def betainc_ref(a: float, b: float, x: float) -> float:
+    if x <= 0:
+        return 0.0
+    if x >= 1:
+        return 1.0
+    front = math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1 - x)
+    )
+    if x < (a + 1) / (a + b + 2):
+        return front * _betacf_ref(a, b, x) / a
+    return 1.0 - front * _betacf_ref(b, a, 1 - x) / b
+
+
+def hypergeom_sf_ref(k: int, K: int, n: int, N: int) -> float:
+    def lc(nn, kk):
+        return math.lgamma(nn + 1) - math.lgamma(kk + 1) - math.lgamma(nn - kk + 1)
+
+    return sum(
+        math.exp(lc(K, i) + lc(N - K, n - i) - lc(N, n))
+        for i in range(k, min(K, n) + 1)
+    )
+
+
+GRID = [
+    (a, b, x)
+    for a in [0.5, 1.0, 2.5, 50.0, 500.0, 5000.0, 30000.0]
+    for b in [0.5, 1.0, 2.5, 50.0, 5000.0]
+    for x in [1e-8, 1e-4, 0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 0.9999, 0.99999999]
+]
+
+HYP_CASES = [
+    (3, 10, 20, 100),
+    (0, 5, 5, 50),
+    (40, 200, 100, 4000),
+    (500, 2000, 1000, 60000),
+    (1, 1, 1, 2),
+    (10, 10, 10, 10),
+]
+
+
+def test_lgamma_sql_matches_math_lgamma():
+    con = duckdb.connect()
+    expr = special.lgamma(special.DE(None, "z")).s
+    for z in [0.5, 1.0, 1.5, 2.0, 7.3, 100.0, 4001.0, 60001.0]:
+        (v,) = con.execute(f"SELECT {expr} FROM (SELECT {z!r}::DOUBLE AS z)").fetchone()
+        assert v == pytest.approx(math.lgamma(z), rel=1e-12, abs=1e-10)
+
+
+def test_betainc_sql_accuracy():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(a DOUBLE, b DOUBLE, x DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?,?,?)", GRID)
+    rows = con.execute(
+        f"SELECT a, b, x, {special.betainc_sql('a','b','x')} FROM g"
+    ).fetchall()
+    for a, b, x, v in rows:
+        assert v == pytest.approx(betainc_ref(a, b, x), abs=5e-10), (a, b, x)
+
+
+def test_betainc_spark_matches_sql_and_ref(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame(GRID, columns=["a", "b", "x"]))
+    got = (
+        df.select("a", "b", "x", special.betainc_spark(F.col("a"), F.col("b"), F.col("x")).alias("v"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(a DOUBLE, b DOUBLE, x DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?,?,?)", GRID)
+    duck = {
+        (a, b, x): v
+        for a, b, x, v in con.execute(
+            f"SELECT a, b, x, {special.betainc_sql('a','b','x')} FROM g"
+        ).fetchall()
+    }
+    for r in got:
+        ref = betainc_ref(r["a"], r["b"], r["x"])
+        assert r["v"] == pytest.approx(ref, abs=5e-10), (r, ref)
+        # cross-backend agreement well inside the ROUND(9) hash gate
+        assert r["v"] == pytest.approx(duck[(r["a"], r["b"], r["x"])], abs=1e-10)
+
+
+def test_t_and_f_tails(spark):
+    """Spot checks against closed forms: t with dof=1 is Cauchy
+    (P(|T|>=t) = 1 - 2/pi*atan(t)); F(1, d) upper tail equals the
+    two-sided t tail at sqrt(f)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cases = pd.DataFrame({"t": [0.5, 1.0, 2.0, 5.0], "dof": [1.0, 10.0, 100.0, 12000.0]})
+    df = spark.createDataFrame(cases)
+    rows = df.select(
+        "t", "dof", special.t_sf2_spark(F.col("t"), F.col("dof")).alias("p")
+    ).collect()
+    for r in rows:
+        ref = betainc_ref(r["dof"] / 2.0, 0.5, r["dof"] / (r["dof"] + r["t"] ** 2))
+        assert r["p"] == pytest.approx(ref, abs=1e-10)
+    cauchy = [r for r in rows if r["dof"] == 1.0][0]
+    assert cauchy["p"] == pytest.approx(1 - 2 / math.pi * math.atan(cauchy["t"]), abs=1e-9)
+
+    f_rows = df.select(
+        "t", "dof",
+        special.f_sf_spark(F.col("t") * F.col("t"), F.lit(1.0), F.col("dof")).alias("pf"),
+        special.t_sf2_spark(F.col("t"), F.col("dof")).alias("pt"),
+    ).collect()
+    for r in f_rows:
+        assert r["pf"] == pytest.approx(r["pt"], abs=1e-9)
+
+
+def test_hypergeom_both_backends(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h(kk BIGINT, cap BIGINT, nn BIGINT, tot BIGINT)")
+    con.executemany("INSERT INTO h VALUES (?,?,?,?)", HYP_CASES)
+    duck = con.execute(
+        f"SELECT kk, cap, nn, tot, {special.hypergeom_sf_sql('kk','cap','nn','tot')} FROM h"
+    ).fetchall()
+    for k, K, n, N, v in duck:
+        assert v == pytest.approx(hypergeom_sf_ref(k, K, n, N), rel=1e-9, abs=1e-12)
+
+    df = spark.createDataFrame(pd.DataFrame(HYP_CASES, columns=["kk", "cap", "nn", "tot"]))
+    rows = df.select(
+        "kk", "cap", "nn", "tot",
+        special.hypergeom_sf_spark(
+            F.col("kk"), F.col("cap"), F.col("nn"), F.col("tot")
+        ).alias("p"),
+    ).collect()
+    duck_map = {(k, K, n, N): v for k, K, n, N, v in duck}
+    for r in rows:
+        key = (r["kk"], r["cap"], r["nn"], r["tot"])
+        assert r["p"] == pytest.approx(hypergeom_sf_ref(*key), rel=1e-9, abs=1e-12)
+        assert r["p"] == pytest.approx(duck_map[key], rel=1e-10, abs=1e-13)
