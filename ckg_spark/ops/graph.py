@@ -94,22 +94,84 @@ def pagerank(
             .groupBy("d")
             .agg(F.sum("contrib").alias("in_rank"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["s"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # dangling mass (rank held by nodes with no out-edges) stays a
+        # 1-row FRAME broadcast into the update — a blocking .first() here
+        # would add one driver round-trip job per iteration
+        dangling = ranks.join(
+            out_deg, ranks["node"] == out_deg["s"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        base = F.lit((1.0 - damping) / n) + F.lit(damping) * F.col(
+            "dangling_mass"
+        ) / F.lit(float(n))
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["d"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                    base + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    iterations: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation — the
+    distributed stand-in for the reference's Louvain communities
+    (analytics.py:2291-2341, which calls community.best_partition on a
+    driver-side networkx graph; LPA is the standard label-based
+    formulation that parallelizes as join+aggregate per round).
+
+    Deterministic: every node starts labeled with itself; each round every
+    node adopts the most frequent label among its neighbors PLUS its own
+    current label (the self-vote damps the 2-cycle oscillation plain
+    synchronous LPA exhibits on bipartite-ish components — an isolated
+    pair would otherwise swap labels forever); ties broken by MIN label;
+    fixed iteration count, synchronous updates — no randomness, so the
+    result is reproducible across partitionings. Returns (node, community).
+
+    Scale shape: per round one join (edges × labels) and one two-level
+    aggregate; lineage truncated per round with localCheckpoint exactly
+    like pagerank."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    nodes = sym.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    sym = sym.localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        neigh = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .select("s", "label")
+            # self-vote: the node's own current label counts once
+            .unionByName(labels.select(F.col("node").alias("s"), "label"))
+            .groupBy("s", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # most frequent neighbor label, ties -> MIN label (deterministic):
+        # max_by on the (cnt, negated-lexical) pair would need a total
+        # order on strings; instead pick via struct-max on (cnt, label)
+        # with label inverted ordering emulated by min over filtered ties
+        best = (
+            neigh.groupBy("s")
+            .agg(F.max("cnt").alias("best_cnt"))
+            .join(neigh, "s")
+            .filter(F.col("cnt") == F.col("best_cnt"))
+            .groupBy("s")
+            .agg(F.min("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, labels["node"] == best["s"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -1666,6 +1666,91 @@ def q_median_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_impute_median",
+    """
+    SELECT event_id, event_type,
+           CAST(ROUND(CASE WHEN value < 10.0
+             THEN quantile_cont(CASE WHEN NOT (value < 10.0) THEN CAST(value AS DOUBLE) END, 0.5)
+                  OVER (PARTITION BY event_type)
+             ELSE CAST(value AS DOUBLE) END, 6) AS DOUBLE) AS value_imputed
+    FROM events
+    """,
+    family="stats",
+)
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact-median imputation (the group_median branch of
+    imputation_mixed_norm_KNN, analytics.py:240-299). Missing is modeled
+    as value<10 (the tables are null-free — same convention as
+    q_missing_values_per_group); the fill is the group's interpolated
+    median of OBSERVED values, hash-checked against quantile_cont."""
+    from ..ops.impute import impute_group_median
+
+    e = _t(spark, sf_dir, "events")
+    return impute_group_median(
+        e, ["event_type"], "value", F.col("value") < 10.0
+    ).select("event_id", "event_type", "value_imputed")
+
+
+@register(
+    "q_impute_downshift",
+    """
+    SELECT event_id, event_type,
+           CAST(ROUND(CASE WHEN value < 10.0
+             THEN AVG(CASE WHEN NOT (value < 10.0) THEN CAST(value AS DOUBLE) END)
+                    OVER (PARTITION BY event_type)
+                  - 1.8 * STDDEV_SAMP(CASE WHEN NOT (value < 10.0) THEN CAST(value AS DOUBLE) END)
+                    OVER (PARTITION BY event_type)
+             ELSE CAST(value AS DOUBLE) END, 6) AS DOUBLE) AS value_imputed
+    FROM events
+    """,
+    family="stats",
+)
+def q_impute_downshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic down-shifted-normal imputation: missing values land
+    at mean - 1.8*std of the group's observed distribution (the
+    Perseus/MinProb convention of imputation_normal_distribution,
+    analytics.py:300-340, minus the seeded jitter — see ops/impute.py)."""
+    from ..ops.impute import impute_normal_downshift
+
+    e = _t(spark, sf_dir, "events")
+    return impute_normal_downshift(
+        e, ["event_type"], "value", F.col("value") < 10.0
+    ).select("event_id", "event_type", "value_imputed")
+
+
+@register("q_pca", None, family="stats")
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of lineitem's numeric features onto 2 components
+    (run_pca, analytics.py:690-748) — distributed gramian + driver-side
+    d×d eigendecomposition, mean-centered and sign-normalized (non-SQL:
+    eigendecomposition; numpy-SVD unit oracle in tests/test_ops.py)."""
+    from ..ops.pca import pca_project
+
+    li = _t(spark, sf_dir, "lineitem")
+    projected, _comps, _ev = pca_project(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        k=2,
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    return projected
+
+
+@register("q_kg_communities", None, family="graph")
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-mention graph by deterministic
+    synchronous label propagation (the reference's Louvain communities,
+    analytics.py:2291-2341; non-SQL — iterative). Unit-tested against a
+    straight-line Python LPA oracle."""
+    from ..ops.graph import label_propagation
+
+    pairs = q_kg_comention(spark, sf_dir).select("subj", "obj")
+    return label_propagation(pairs).select(
+        F.col("node").alias("term_id"), F.col("community")
+    )
+
+
 @register("q_kg_pagerank", None, family="graph")
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-mention graph (power iteration; non-SQL —

@@ -303,3 +303,85 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_label_propagation_matches_python_lpa(spark):
+    """Deterministic synchronous LPA vs a straight-line Python oracle with
+    the same rules (min-label tie-break, self-start, fixed iterations)."""
+    from ckg_spark.ops.graph import label_propagation
+
+    # two triangles joined by one bridge edge + an isolated pair
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("c", "x"),
+        ("p", "q"),
+    ]
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {v: v for v in adj}
+    for _ in range(10):
+        new = {}
+        for v in adj:
+            counts: dict[str, int] = {labels[v]: 1}  # self-vote
+            for nb in adj[v]:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            best = max(counts.values())
+            new[v] = min(lbl for lbl, c in counts.items() if c == best)
+        labels = new
+
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert got == labels
+    # communities partition the triangles apart from the isolated pair
+    assert got["p"] == got["q"]
+    assert got["a"] == got["b"] == got["c"]
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from ckg_spark.ops.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")]
+    df1 = spark.createDataFrame(edges, ["subj", "obj"]).repartition(1)
+    df8 = spark.createDataFrame(edges, ["subj", "obj"]).repartition(8)
+    r1 = sorted(map(tuple, label_propagation(df1).collect()))
+    r8 = sorted(map(tuple, label_propagation(df8).collect()))
+    assert r1 == r8
+
+
+def test_pca_matches_numpy_svd(spark):
+    """Components/explained variance/projections vs numpy SVD on the same
+    centered matrix (sign-normalized on both sides)."""
+    import pandas as pd
+
+    from ckg_spark.ops.pca import pca_project
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(300, 2)) @ np.array([[3.0, 1.0, 0.5], [0.2, 2.0, 1.5]])
+    X = base + rng.normal(scale=0.1, size=(300, 3)) + np.array([5.0, -2.0, 1.0])
+    pdf = pd.DataFrame(X, columns=["f1", "f2", "f3"])
+    pdf["rid"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+
+    projected, comps, explained = pca_project(df, ["f1", "f2", "f3"], k=2, id_cols=["rid"])
+
+    Xc = X - X.mean(axis=0)
+    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    ref = Vt[:2].T.copy()
+    for j in range(2):
+        i = int(np.argmax(np.abs(ref[:, j])))
+        if ref[i, j] < 0:
+            ref[:, j] = -ref[:, j]
+    assert np.allclose(comps, ref, atol=1e-8)
+
+    var = S**2 / (len(X) - 1)
+    ref_explained = var[:2] / var.sum()
+    assert np.allclose(explained, ref_explained, atol=1e-9)
+
+    got = {r["rid"]: (r["pc1"], r["pc2"]) for r in projected.collect()}
+    proj_ref = Xc @ ref
+    for i in range(len(X)):
+        assert got[i][0] == pytest.approx(round(proj_ref[i, 0], 6), abs=1e-5)
+        assert got[i][1] == pytest.approx(round(proj_ref[i, 1], 6), abs=1e-5)
