@@ -81,3 +81,46 @@ def test_placeholder_injection_rejected(spark, graph_wh):
             "entity_associations",
             replacements={"ENTITYID": "a; DROP TABLE nodes"},
         )
+
+
+def test_every_catalog_query_runs(spark, graph_wh):
+    """Smoke-run EVERY named query over the built warehouse with default
+    placeholder values; each must execute and return a well-formed
+    result (non-placeholder queries must return >=1 row on the fixture
+    graph)."""
+    from ckg_spark.lakehouse import Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(graph_wh)
+    # a real entity id that has mentions, a parent, and associations
+    nodes = wh.table("nodes").read(spark)
+    edges = wh.table("edges").read(spark)
+    mentioned = (
+        edges.filter(F.col("pred") == "MENTIONED_IN_PUBLICATION")
+        .join(
+            edges.filter(F.col("pred") == "HAS_PARENT").select(
+                F.col("subj").alias("c")
+            ),
+            F.col("subj") == F.col("c"),
+        )
+        .groupBy("subj")
+        .count()
+        .orderBy(F.desc("count"), "subj")
+        .first()
+    )
+    entity_id = mentioned["subj"]
+    repl = {"ENTITYID": entity_id, "MINSCORE": 1.0, "TOPK": 5}
+
+    needs_rows = {
+        "disease_mentions", "disease_parents_rollup", "comention_partners",
+        "graph_stats", "entity_profile", "family_document_reach",
+        "top_entities_per_type", "score_distribution", "parent_coverage",
+        "hub_entities", "shared_document_partners", "document_entity_lists",
+    }
+    for qid in read_knowledge_queries():
+        df = run_query(spark, wh, qid, replacements=repl)
+        rows = df.collect()
+        assert df.columns, qid
+        if qid in needs_rows:
+            assert len(rows) >= 1, f"{qid} returned no rows"
+    assert nodes.count() > 0
