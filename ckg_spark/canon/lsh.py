@@ -53,10 +53,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """items(key, tokens: array<string>) -> (key, signature: array<long>).
 
-    Fully JVM-side: hash family i is ``xxhash64(i, token)``; sig[i] = min
-    over the tokens. A narrow map with zero shuffles and zero Python — the
-    previous pandas-UDF version spent the whole stage in per-byte FNV
-    hashing in Python (the classic UDF-in-the-hot-path trap; SURVEY.md §4).
+    Fully JVM-side: hash family i is ``xxhash64(concat('<i>|', token))``;
+    sig[i] = min over the tokens. A narrow map with zero shuffles and zero
+    Python — the previous pandas-UDF version spent the whole stage in
+    per-byte FNV hashing in Python (the classic UDF-in-the-hot-path trap;
+    SURVEY.md §4).
+
+    The family MUST vary the hashed BYTES, not just the seed column:
+    ``xxhash64(F.lit(i), token)`` chains i into the running hash state,
+    which empirically does NOT reorder tokens — the argmin token is the
+    same for every i, collapsing all k "independent" minhashes into one
+    function (identical signatures either match on every band or none, so
+    the LSH s-curve degenerates to a step; caught by the planted-near-dup
+    recall gate in tests/test_ops.py). Prefixing the family index into the
+    hashed string gives genuinely independent permutations.
 
     Identical token *sets* give identical signatures (min is duplicate- and
     order-insensitive) — the recall-1.0 property downstream exact verifiers
@@ -64,7 +74,9 @@ def minhash_signatures(
     """
     toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
     sig_cols = [
-        F.array_min(F.transform(toks, lambda t, i=i: F.xxhash64(F.lit(i), t)))
+        F.array_min(
+            F.transform(toks, lambda t, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), t)))
+        )
         for i in range(1, num_hashes + 1)
     ]
     signature = F.transform(F.array(*sig_cols), lambda s: F.coalesce(s, F.lit(0)))

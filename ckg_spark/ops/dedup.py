@@ -202,23 +202,33 @@ def simhash_dup_candidates(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Blocking: split the 64-bit signature into 4 chunks of 16 bits; any pair
-    within distance 3 shares at least one identical chunk (pigeonhole), so
-    a bucket-join on (chunk_idx, chunk_value) finds all of them with one
-    shuffle — never an all-pairs comparison.
+    Blocking: split the 64-bit signature into ``max_hamming + 1`` chunks;
+    any pair within distance ``max_hamming`` shares at least one identical
+    chunk (pigeonhole — a differing bit can spoil at most one chunk), so a
+    bucket-join on (chunk_idx, chunk_value) finds ALL of them with one
+    shuffle — never an all-pairs comparison. The blocking recall is exact;
+    the selectivity trade-off is real: larger ``max_hamming`` means more,
+    narrower chunks (64/(k+1) bits), so buckets coarsen and candidate
+    volume grows — at corpus scale keep ``max_hamming`` <= 7 (8-bit
+    chunks) and rely on the exact hamming verify to trim.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 32:
+        raise ValueError("max_hamming > 31 leaves <2-bit chunks; use MinHash instead")
+    # even-ish split of the 64 bits: chunk i covers [start_i, start_{i+1})
+    starts = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
     sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
+    chunk_cols = []
+    for i in range(n_chunks):
+        width = starts[i + 1] - starts[i]
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.shiftrightunsigned(F.col("simhash"), starts[i]).bitwiseAND(F.lit(mask))
+        )
     chunks = sigs.select(
         "key",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*chunk_cols)).alias("chunk_idx", "chunk_val"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

@@ -385,3 +385,100 @@ def test_pca_matches_numpy_svd(spark):
     for i in range(len(X)):
         assert got[i][0] == pytest.approx(round(proj_ref[i, 0], 6), abs=1e-5)
         assert got[i][1] == pytest.approx(round(proj_ref[i, 1], 6), abs=1e-5)
+
+
+# -- quantified near-dup recall gates --------------------------------------
+@pytest.fixture(scope="module")
+def planted_neardups(spark):
+    """120 base docs + perturbed twins at token-replacement rates
+    2/5/10/20/35%, with ground-truth exact shingle Jaccard computed by the
+    engine's own verify_jaccard over every planted pair (so the gates
+    measure CANDIDATE-GENERATION recall, the probabilistic part)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(800)]
+    rows, planted = [], []
+    for i in range(120):
+        base = [rng.choice(vocab) for _ in range(150)]
+        rows.append((f"base{i}", " ".join(base)))
+        rate = [0.02, 0.05, 0.10, 0.20, 0.35][i % 5]
+        dup = list(base)
+        for idx in rng.sample(range(150), int(150 * rate)):
+            dup[idx] = rng.choice(vocab)
+        rows.append((f"dup{i}", " ".join(dup)))
+        planted.append((f"base{i}", f"dup{i}", rate))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+    sh = dedup.word_shingles(df, "doc_id", "text", 3).localCheckpoint()
+    pair_df = spark.createDataFrame(
+        pd.DataFrame([(a, b) for a, b, _ in planted], columns=["key_a", "key_b"])
+    )
+    truth = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in dedup.verify_jaccard(pair_df, sh, 0.0).collect()
+    }
+    return df, planted, truth
+
+
+def _recall(found: set, targets: list) -> float:
+    if not targets:
+        return 1.0
+    return sum(1 for p in targets if tuple(sorted(p)) in found) / len(targets)
+
+
+def test_minhash_recall_follows_s_curve(spark, planted_neardups):
+    """Measured recall vs the exact-Jaccard predicate at three operating
+    points; the floors sit under the theoretical 1-(1-s^r)^b with margin.
+    Also guards the hash FAMILY itself: per-pair matching-minhash fraction
+    must track the true Jaccard (a degenerate family matches all-or-none)."""
+    df, planted, truth = planted_neardups
+
+    from ckg_spark.canon.lsh import minhash_signatures
+
+    sh = dedup.word_shingles(df, "doc_id", "text", 3)
+    sigs = {
+        r.key: r.signature
+        for r in minhash_signatures(sh, "key", "shingles", num_hashes=128).collect()
+    }
+    for a, b, rate in planted[:10]:
+        frac = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / 128
+        assert abs(frac - truth[(a, b)]) < 0.15, (a, b, frac, truth[(a, b)])
+
+    for nh, bands, thr, floor in [
+        (32, 8, 0.8, 0.90),
+        (128, 32, 0.7, 0.95),
+        (128, 32, 0.5, 0.85),
+    ]:
+        out = dedup.minhash_dup_candidates(
+            df, num_hashes=nh, bands=bands, jaccard_threshold=thr
+        ).collect()
+        found = {tuple(sorted((r.key_a, r.key_b))) for r in out}
+        targets = [p for p, j in truth.items() if j >= thr]
+        assert targets, thr
+        r = _recall(found, targets)
+        assert r >= floor, f"nh={nh} bands={bands} thr={thr}: recall {r:.3f} < {floor}"
+        # precision is exact by construction (verify_jaccard): no emitted
+        # pair may sit under the threshold
+        assert all(row.jaccard >= thr for row in out)
+
+
+def test_simhash_pigeonhole_blocking_is_lossless(spark, planted_neardups):
+    """The chunked blocking must find EVERY pair within max_hamming (the
+    pigeonhole guarantee is exact, not probabilistic) — checked for the
+    default 4x16-bit split and the generalized 8-chunk split."""
+    df, planted, _ = planted_neardups
+    sigs = {r.key: r.simhash for r in dedup.simhash_signatures(df).collect()}
+    for max_h in (3, 7):
+        found = {
+            tuple(sorted((r.key_a, r.key_b)))
+            for r in dedup.simhash_dup_candidates(df, max_hamming=max_h).collect()
+        }
+        targets = [
+            (a, b)
+            for a, b, _rate in planted
+            if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        ]
+        assert targets, max_h
+        assert _recall(found, targets) == 1.0, f"max_hamming={max_h} lost pairs"
