@@ -50,6 +50,12 @@ HEADLINE = [
     "q_doc_langid",
     "q_event_sessions",
     "q_welch_ttest",
+    "q_ttest_fdr",
+    "q_enrichment_fisher",
+    "q_anova_oneway",
+    "q_corr_matrix_fdr",
+    "q_ivf_topk",
+    "q_impute_downshift",
 ]
 
 

@@ -59,28 +59,57 @@ def minhash_signatures(
     per-byte FNV hashing in Python (the classic UDF-in-the-hot-path trap;
     SURVEY.md §4).
 
-    The family MUST vary the hashed BYTES, not just the seed column:
-    ``xxhash64(F.lit(i), token)`` chains i into the running hash state,
-    which empirically does NOT reorder tokens — the argmin token is the
-    same for every i, collapsing all k "independent" minhashes into one
-    function (identical signatures either match on every band or none, so
-    the LSH s-curve degenerates to a step; caught by the planted-near-dup
-    recall gate in tests/test_ops.py). Prefixing the family index into the
-    hashed string gives genuinely independent permutations.
+    The family MUST actually reorder tokens independently per i. Two
+    traps, both caught by the planted-near-dup recall gate in
+    tests/test_ops.py (a degenerate family matches all bands or none, so
+    the LSH s-curve collapses to a step):
+
+    - **the lambda-arity trap**: ``F.transform(toks, lambda t, i=i: ...)``
+      looks like a closure over the loop variable, but pyspark inspects
+      the lambda's SIGNATURE — two parameters means it is called as
+      (element, index), so ``i`` silently becomes the element's ARRAY
+      INDEX column and every "family" is the identical function. Bind
+      per-family constants through a factory function returning a
+      one-parameter lambda, never through default arguments.
+    - Kirsch-Mitzenmacher ``b1 + i*b2`` is linear in i with a shared
+      coefficient per token, so the argmin over tokens is the lower
+      envelope of n lines — it changes only at envelope vertices, and
+      consecutive families share argmins almost always. Fine for Bloom
+      filters, degenerate for min-wise hashing.
+
+    The family here is the classical affine permutation over Z_p:
+    ``h_i(x) = (a_i*x + c_i) mod p`` with p = 2^31 - 1 and per-family
+    constants a_i, c_i drawn from a fixed-seed PRNG at plan-build time —
+    multiplication mod p genuinely reorders per family. One xxhash64 per
+    token total, then a multiply-add-mod per family (cheaper than k
+    per-family string rehashes on the corpus-scale dedup path). Products
+    stay < 2^62, so ANSI long arithmetic cannot overflow. The base-hash
+    array is PROJECTED into a column before the per-family lambdas
+    reference it (a computed expression inside a higher-order-function
+    lambda re-evaluates per element — the HOF-CSE trap, BENCH.md).
 
     Identical token *sets* give identical signatures (min is duplicate- and
     order-insensitive) — the recall-1.0 property downstream exact verifiers
     rely on. Empty/null token arrays sign as all-zeros.
     """
+    import random
+
+    p = 2147483647  # 2^31 - 1 (Mersenne prime); a_i*x + c_i < 2^62
+    rng = random.Random(0x5EED)
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
     toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+    bases = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+    with_bases = items.select(F.col(key_col).alias("key"), bases.alias("__bases__"))
+
+    def affine(a: int, c: int):
+        # one-parameter lambda via factory: see the lambda-arity trap above
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(c), F.lit(p))
+
     sig_cols = [
-        F.array_min(
-            F.transform(toks, lambda t, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), t)))
-        )
-        for i in range(1, num_hashes + 1)
+        F.array_min(F.transform(F.col("__bases__"), affine(a, c))) for a, c in coeffs
     ]
     signature = F.transform(F.array(*sig_cols), lambda s: F.coalesce(s, F.lit(0)))
-    return items.select(F.col(key_col).alias("key"), signature.alias("signature"))
+    return with_bases.select("key", signature.alias("signature"))
 
 
 def lsh_candidate_pairs(

@@ -1666,6 +1666,110 @@ def q_median_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+_CORR_UNION_SQL = "\n      UNION ALL\n".join(
+    f"""      SELECT '{a}' AS var_a, '{b}' AS var_b,
+             corr({a}, {b}) AS r, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem"""
+    for a, b in _CORR_PAIRS
+)
+
+
+@register(
+    "q_corr_matrix_fdr",
+    f"""
+    WITH c AS (
+{_CORR_UNION_SQL}
+    ),
+    t AS (
+      SELECT var_a, var_b, n, r,
+             (r * sqrt((n - 2) / (1.0 - r * r))) AS t_raw,
+             (CAST(n AS DOUBLE) - 2.0) AS dof_raw
+      FROM c WHERE n > 2
+    ),
+    pv AS (
+      SELECT var_a, var_b, n,
+             CAST(ROUND(r, 6) AS DOUBLE) AS pearson_r,
+             CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+      FROM t
+    ),
+    rk AS (
+      SELECT var_a, var_b, n, pearson_r, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, var_a, var_b) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    )
+    SELECT var_a, var_b, n, pearson_r, p_value,
+           CAST(ROUND(LEAST(1.0, MIN((p_value * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj
+    FROM rk
+    """,
+    family="stats",
+)
+def q_corr_matrix_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise correlation matrix with per-pair significance and one
+    BH sweep — run_correlation (analytics.py:1005-1180: pairwise Pearson,
+    t-test on r, apply_pvalue_correction) as distributed aggregation: each
+    pair's r is one agg over the fact table, the t transform
+    r*sqrt((n-2)/(1-r^2)) and the dual-backend t tail make even the
+    correlation p-values value-hash-verified."""
+    li = _t(spark, sf_dir, "lineitem")
+    # ONE pass over the fact table computes every pairwise corr + n; the
+    # pair → row unpivot happens on the single aggregated row (the SQL
+    # oracle's UNION-of-aggregates is the same values; DuckDB scan count
+    # is the oracle's problem, not the plan's)
+    wide = li.agg(
+        *[F.corr(a, b).alias(f"r_{i}") for i, (a, b) in enumerate(_CORR_PAIRS)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("var_a"), F.lit(b).alias("var_b"), F.col(f"r_{i}").alias("r")
+            )
+            for i, (a, b) in enumerate(_CORR_PAIRS)
+        ]
+    )
+    c = wide.select(F.explode(pairs_arr).alias("p"), "n").select(
+        F.col("p.var_a").alias("var_a"),
+        F.col("p.var_b").alias("var_b"),
+        F.col("p.r").alias("r"),
+        "n",
+    )
+    t_raw = F.col("r") * F.sqrt((F.col("n") - 2) / (F.lit(1.0) - F.col("r") * F.col("r")))
+    dof_raw = F.col("n").cast("double") - F.lit(2.0)
+    pv = c.filter(F.col("n") > 2).select(
+        "var_a",
+        "var_b",
+        "n",
+        F.round("r", 6).alias("pearson_r"),
+        F.round(special.t_sf2_spark(t_raw, dof_raw), 9).alias("p_value"),
+    )
+    rk = pv.select(
+        "var_a",
+        "var_b",
+        "n",
+        "pearson_r",
+        "p_value",
+        F.row_number().over(Window.orderBy("p_value", "var_a", "var_b")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(F.lit(1.0), F.min((F.col("p_value") * F.col("m")) / F.col("rn")).over(tail))
+    return rk.select(
+        "var_a", "var_b", "n", "pearson_r", "p_value", F.round(p_adj, 9).alias("p_adj")
+    )
+
+
 @register(
     "q_impute_median",
     """
