@@ -1771,6 +1771,66 @@ def q_corr_matrix_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rm_correlation",
+    f"""
+    WITH c AS (
+      SELECT l_orderkey,
+             l_quantity - AVG(l_quantity) OVER (PARTITION BY l_orderkey) AS xc,
+             l_extendedprice - AVG(l_extendedprice) OVER (PARTITION BY l_orderkey) AS yc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT corr(xc, yc) AS r,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS k
+      FROM c
+    ),
+    t AS (
+      SELECT n, k, r,
+             (CAST(n AS DOUBLE) - CAST(k AS DOUBLE) - 1.0) AS dof_raw,
+             (r * sqrt((CAST(n AS DOUBLE) - CAST(k AS DOUBLE) - 1.0) / (1.0 - r * r))) AS t_raw
+      FROM s
+    )
+    SELECT n, k AS n_subjects,
+           CAST(ROUND(r, 6) AS DOUBLE) AS rm_corr,
+           CAST(ROUND(dof_raw, 6) AS DOUBLE) AS dof,
+           CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+    FROM t
+    """,
+    family="stats",
+)
+def q_rm_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-measures correlation (calculate_rm_correlation /
+    run_rm_correlation, analytics.py:1076-1146: pingouin rm_corr): the
+    common within-subject association of two measures, computed as
+    Pearson r over WITHIN-SUBJECT-CENTERED values with dof = N - k - 1
+    (subjects = orders, measures = quantity vs extendedprice). One window
+    pass + one aggregate; p-value from the dual-backend t tail —
+    hash-verified end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    c = li.select(
+        "l_orderkey",
+        (F.col("l_quantity") - F.avg("l_quantity").over(w)).alias("xc"),
+        (F.col("l_extendedprice") - F.avg("l_extendedprice").over(w)).alias("yc"),
+    )
+    s = c.agg(
+        F.corr("xc", "yc").alias("r"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("k"),
+    )
+    dof_raw = F.col("n").cast("double") - F.col("k").cast("double") - F.lit(1.0)
+    t_raw = F.col("r") * F.sqrt(dof_raw / (F.lit(1.0) - F.col("r") * F.col("r")))
+    return s.select(
+        "n",
+        F.col("k").alias("n_subjects"),
+        F.round("r", 6).alias("rm_corr"),
+        F.round(dof_raw, 6).alias("dof"),
+        F.round(special.t_sf2_spark(t_raw, dof_raw), 9).alias("p_value"),
+    )
+
+
+@register(
     "q_impute_median",
     """
     SELECT event_id, event_type,

@@ -170,3 +170,22 @@ def test_ivf_assignment_no_shuffle_and_probe_prunes(spark, tmp_path):
     part = pplan.split("PartitionFilters")[1][:250]
     assert "cell" in part
     assert probe.count() == 5
+
+
+def test_stats_pack_plans_stay_jvm_side(spark):
+    """Every p-value in the statistics pack evaluates as JVM column math
+    (the dual-backend continued fractions) — no Arrow/Python evaluator may
+    appear, and the only exchanges are the aggregation + the dimension-
+    sized post-agg window."""
+    for q in [
+        "q_welch_ttest",
+        "q_ttest_fdr",
+        "q_enrichment_fisher",
+        "q_anova_oneway",
+        "q_pairwise_ttest_posthoc",
+        "q_corr_matrix_fdr",
+        "q_rm_correlation",
+    ]:
+        plan = plan_of(CATALOG[q].spark_fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, q
+        assert plan.count(") Exchange") <= 3, q
