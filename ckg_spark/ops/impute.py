@@ -16,10 +16,15 @@ nearest samples. Here:
   trade (the reference seeds numpy instead); the imputed values land at
   the distribution's left shoulder exactly as MinProb intends, and the
   operator stays reproducible and hash-verifiable on both backends.
-- KNN imputation is driver-side sklearn in the reference and is NOT
-  reimplemented: its sample×sample distance matrix is the antithesis of
-  a distributed plan; at corpus scale the down-shift/median paths are
-  the ones that run per-partition.
+- :func:`impute_knn` — the ``imputation_KNN`` branch (analytics.py:
+  240-266, sklearn KNNImputer semantics: nan-euclidean distances over
+  shared observed features, uniform mean of the k nearest samples that
+  observe the target feature). Distributed as a feature-blocked
+  self-join over OBSERVED cells only — the pairwise table is bounded by
+  |samples|², and samples are the dimension axis of the reference's
+  matrices (clinical/proteomics samples), not the corpus axis. At
+  100 TB you run this per cohort; the corpus-scale paths remain
+  median/down-shift.
 
 Missing-ness convention: callers pass an ``is_missing`` boolean Column
 (the synthetic test tables are null-free, so tests model missing as a
@@ -58,6 +63,95 @@ def impute_group_median(
             ),
         )
         .drop("__obs__", "__med__")
+    )
+
+
+def impute_knn(
+    cells: DataFrame,
+    sample_col: str,
+    feature_col: str,
+    value_col: str,
+    is_missing: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Fill each missing (sample, feature) cell with the mean of the k
+    nearest samples' observed values for that feature.
+
+    Distance is sklearn's nan-euclidean: ``sqrt(d_total * ssd / n_shared)``
+    over features observed in BOTH samples (d_total = global feature
+    count). Neighbors are ranked (distance, neighbor id) — the id
+    tiebreak makes the operator deterministic where sklearn's
+    argpartition order is not. Samples sharing no observed feature are
+    simply not candidates; a feature-mean fallback covers cells with no
+    candidate at all (sklearn's column-mean fallback).
+
+    Returns one row per missing cell: (sample, feature, value_imputed).
+    """
+    v = F.col(value_col).cast("double")
+    obs = cells.filter(~is_missing).select(
+        F.col(sample_col).alias("__s__"),
+        F.col(feature_col).alias("__f__"),
+        v.alias("__v__"),
+    )
+    miss = cells.filter(is_missing).select(
+        F.col(sample_col).alias("__s__"), F.col(feature_col).alias("__f__")
+    )
+    d_total = cells.agg(
+        F.countDistinct(feature_col).cast("double").alias("__d__")
+    )
+    a, b = obs.alias("a"), obs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__f__") == F.col("b.__f__"))
+            & (F.col("a.__s__") != F.col("b.__s__")),
+        )
+        .groupBy(F.col("a.__s__").alias("s1"), F.col("b.__s__").alias("s2"))
+        .agg(
+            F.sum(
+                (F.col("a.__v__") - F.col("b.__v__"))
+                * (F.col("a.__v__") - F.col("b.__v__"))
+            ).alias("ssd"),
+            F.count(F.lit(1)).cast("bigint").alias("nsh"),
+        )
+    )
+    dist = pairs.crossJoin(F.broadcast(d_total)).select(
+        "s1",
+        "s2",
+        F.sqrt(F.col("__d__") * F.col("ssd") / F.col("nsh")).alias("dist"),
+    )
+    cand = (
+        miss.join(dist, miss["__s__"] == dist["s1"])
+        .join(
+            obs.select(
+                F.col("__s__").alias("s2o"),
+                F.col("__f__").alias("f2"),
+                F.col("__v__").alias("nv"),
+            ),
+            (F.col("s2") == F.col("s2o")) & (F.col("__f__") == F.col("f2")),
+        )
+        .select("__s__", "__f__", "s2", "nv", "dist")
+    )
+    w = Window.partitionBy("__s__", "__f__").orderBy(
+        F.col("dist").asc(), F.col("s2").asc()
+    )
+    knn = (
+        cand.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .groupBy("__s__", "__f__")
+        .agg(F.avg("nv").alias("__knn__"))
+    )
+    fmean = obs.groupBy("__f__").agg(F.avg("__v__").alias("__fmean__"))
+    return (
+        miss.join(knn, ["__s__", "__f__"], "left")
+        .join(F.broadcast(fmean), "__f__", "left")
+        .select(
+            F.col("__s__").alias(sample_col),
+            F.col("__f__").alias(feature_col),
+            F.round(F.coalesce(F.col("__knn__"), F.col("__fmean__")), 6).alias(
+                "value_imputed"
+            ),
+        )
     )
 
 

@@ -374,3 +374,151 @@ def hypergeom_sf_sql(k: str, K: str, n: str, N: str) -> str:
     ).s
     terms = f"list_transform(range(CAST(({k}) AS BIGINT), least(({K}), ({n})) + 1), i -> {term})"
     return f"coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (acc, el) -> (acc + el)), 0.0)"
+
+
+# ----------------------------------------------------------------------
+# regularized incomplete gamma Q(a, x) — the chi-square upper tail
+# (NR gser/gcf pair, same fixed-depth dual-backend fold as the beta CF).
+# ----------------------------------------------------------------------
+
+def _gamma_front(a: DE, x: DE) -> DE:
+    """exp(-x + a ln x - lgamma(a)) — shared prefactor of series and CF."""
+    return exp(-x + a * ln(x) - lgamma(a))
+
+
+def _gser_fields(acc_sum: DE, acc_term: DE, n: DE, a: DE, x: DE):
+    """One series step for P(a,x): term_{n} = term_{n-1} * x/(a+n).
+    Each output is a FULL expression of the old accumulator fields;
+    'sum' is ordered before 'term' so the expressions are correct under
+    both DuckDB struct-fold semantics (see _betacf_sql note)."""
+    ratio = x / (a + n)
+    return acc_sum + acc_term * ratio, acc_term * ratio
+
+
+def _gser_spark(a: Column, x: Column, depth: int) -> Column:
+    A, X = DE(a, None), DE(x, None)
+    inv_a = lit(1.0) / A
+    init = F.struct(inv_a.c.alias("s"), inv_a.c.alias("t"))
+
+    def merge(acc, n):
+        s2, t2 = _gser_fields(
+            DE(acc["s"], None), DE(acc["t"], None),
+            DE(n.cast("double"), None), A, X,
+        )
+        return F.struct(s2.c.alias("s"), t2.c.alias("t"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(depth)), init, merge, lambda acc: acc["s"]
+    )
+
+
+def _gser_sql(a: str, x: str, depth: int) -> str:
+    A, X = DE(None, a), DE(None, x)
+    inv_a = (lit(1.0) / A).s
+    s2, t2 = _gser_fields(
+        DE(None, "acc.s"), DE(None, "acc.t"),
+        DE(None, "CAST(el.s AS DOUBLE)"), A, X,
+    )
+    # element carries the step index in field 's' (struct type must match
+    # the accumulator's for list_reduce)
+    init = f"{{'s': {inv_a}, 't': {inv_a}}}"
+    steps = (
+        f"list_transform(range(1, {depth + 1}), "
+        f"n -> {{'s': CAST(n AS DOUBLE), 't': CAST(0.0 AS DOUBLE)}})"
+    )
+    fold = f"list_reduce(list_prepend({init}, {steps}), (acc, el) -> {{'s': {s2.s}, 't': {t2.s}}})"
+    return f"struct_extract({fold}, 's')"
+
+
+def _gcf_fields(acc_c: DE, acc_d: DE, acc_h: DE, n: DE, a: DE, x: DE):
+    """One modified-Lentz step of the NR gcf continued fraction for
+    Q(a,x): an = -n(n-a), bn = x+1-a+2n. Field order 'h','c','d' — h
+    reads old c/d/h via full expansion, c reads only c, d reads only d
+    (correct under both DuckDB struct-fold semantics)."""
+    an = -n * (n - a)
+    bn = x + lit(1.0) - a + lit(2.0) * n
+    d2 = lit(1.0) / _guard(an * acc_d + bn)
+    c2 = _guard(bn + an / acc_c)
+    h2 = acc_h * d2 * c2
+    return c2, d2, h2
+
+
+def _gcf_spark(a: Column, x: Column, depth: int) -> Column:
+    A, X = DE(a, None), DE(x, None)
+    b0 = X + lit(1.0) - A
+    d0 = lit(1.0) / _guard(b0)
+    init = F.struct(
+        F.lit(1.0 / _FPMIN).alias("c"), d0.c.alias("d"), d0.c.alias("h")
+    )
+
+    def merge(acc, n):
+        c2, d2, h2 = _gcf_fields(
+            DE(acc["c"], None), DE(acc["d"], None), DE(acc["h"], None),
+            DE(n.cast("double"), None), A, X,
+        )
+        return F.struct(c2.c.alias("c"), d2.c.alias("d"), h2.c.alias("h"))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(depth)), init, merge, lambda acc: acc["h"]
+    )
+
+
+def _gcf_sql(a: str, x: str, depth: int) -> str:
+    A, X = DE(None, a), DE(None, x)
+    b0 = X + lit(1.0) - A
+    d0 = (lit(1.0) / _guard(b0)).s
+    c2, d2, h2 = _gcf_fields(
+        DE(None, "acc.c"), DE(None, "acc.d"), DE(None, "acc.h"),
+        DE(None, "CAST(el.c AS DOUBLE)"), A, X,
+    )
+    init = f"{{'h': {d0}, 'c': CAST({1.0 / _FPMIN!r} AS DOUBLE), 'd': {d0}}}"
+    steps = (
+        f"list_transform(range(1, {depth + 1}), "
+        f"n -> {{'h': CAST(0.0 AS DOUBLE), 'c': CAST(n AS DOUBLE), 'd': CAST(0.0 AS DOUBLE)}})"
+    )
+    fold = (
+        f"list_reduce(list_prepend({init}, {steps}), "
+        f"(acc, el) -> {{'h': {h2.s}, 'c': {c2.s}, 'd': {d2.s}}})"
+    )
+    return f"struct_extract({fold}, 'h')"
+
+
+def _gammainc_q_de(a: DE, x: DE, gser, gcf) -> DE:
+    """Q(a, x) = 1 - P(a, x), branching to the series below x < a+1 and
+    the continued fraction above (each convergent in its region)."""
+    front = _gamma_front(a, x)
+    q_series = lit(1.0) - front * gser(a, x)
+    q_cf = front * gcf(a, x)
+    core = when_lt(x, a + lit(1.0), q_series, q_cf)
+    return when_lt(x, lit(1e-300), lit(1.0), core)
+
+
+def gammainc_q_spark(a: Column, x: Column, depth: int = CF_DEPTH) -> Column:
+    """Regularized upper incomplete gamma Q(a, x) as a pure-JVM Column."""
+    def gser(aa: DE, xx: DE) -> DE:
+        return DE(_gser_spark(aa.c, xx.c, depth), None)
+
+    def gcf(aa: DE, xx: DE) -> DE:
+        return DE(_gcf_spark(aa.c, xx.c, depth), None)
+
+    return _gammainc_q_de(DE(a, None), DE(x, None), gser, gcf).c
+
+
+def gammainc_q_sql(a: str, x: str, depth: int = CF_DEPTH) -> str:
+    """Regularized upper incomplete gamma Q(a, x) as DuckDB SQL text."""
+    def gser(aa: DE, xx: DE) -> DE:
+        return DE(None, _gser_sql(aa.s, xx.s, depth))
+
+    def gcf(aa: DE, xx: DE) -> DE:
+        return DE(None, _gcf_sql(aa.s, xx.s, depth))
+
+    return _gammainc_q_de(DE(None, f"({a})"), DE(None, f"({x})"), gser, gcf).s
+
+
+def chi2_sf_spark(x: Column, k: Column) -> Column:
+    """Chi-square upper tail P(X >= x) with k dof = Q(k/2, x/2)."""
+    return gammainc_q_spark(k / F.lit(2.0), x / F.lit(2.0))
+
+
+def chi2_sf_sql(x: str, k: str) -> str:
+    return gammainc_q_sql(f"(({k}) / 2.0)", f"(({x}) / 2.0)")

@@ -1,0 +1,128 @@
+"""Survival analysis as distributed window math.
+
+The reference runs Kaplan-Meier + multivariate log-rank at report time
+(analytics_core/analytics/kaplan_meierAnalysis.py:58-77 via lifelines;
+dispatched from analytics.py:2511 ``run_km(data, time_col, event_col,
+group_col)``).  Both estimators are pure order-statistics over the
+(duration, event) pairs, so they distribute as one aggregation plus
+per-group window passes — no Python in the plan:
+
+- :func:`kaplan_meier` — the product-limit estimator
+  ``S(t) = prod_{u<=t} (1 - d_u / n_u)`` per group.  The cumulative
+  product is ``exp(sum(ln(factor)))`` over an ordered window; the one
+  legal zero factor (everyone at risk dies at the last time) is handled
+  with a running ``min(factor)`` guard instead of feeding ``ln(0)``
+  through the window (Spark's ``log`` returns NULL there, which a window
+  SUM would silently skip — producing a wrong, nonzero tail).
+- :func:`logrank_statistic` — the k-group log-rank chi-square:
+  at each event time, each group's expected deaths are
+  ``n_gt * d_t / n_t``; the statistic sums
+  ``(O_g - E_g)^2 / E_g`` over groups (the standard conservative
+  approximation lifelines also exposes).  One groupBy + two window
+  passes + one aggregation.
+
+At 100 TB the duration table aggregates to |distinct durations| x
+|groups| rows before any window runs, so the window partitions are
+bounded by the time-grid cardinality, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import special
+
+
+def _risk_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Aggregate raw subjects to the per-(group, time) risk table:
+    n_event deaths at t, n_censored leavers at t, and n_risk subjects
+    with duration >= t (a descending-time cumulative sum)."""
+    g = df.groupBy(*group_cols, duration_col).agg(
+        F.count(F.lit(1)).alias("__n_i__"),
+        F.sum(F.when(event_col, 1).otherwise(0)).cast("bigint").alias("n_event"),
+    )
+    w_desc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(duration_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.withColumn("n_risk", F.sum("__n_i__").over(w_desc)).withColumn(
+        "n_censored", (F.col("__n_i__") - F.col("n_event")).cast("bigint")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: Column,
+    group_cols: list[str],
+) -> DataFrame:
+    """Product-limit survival estimate per group at every distinct
+    duration (event times AND censoring-only times carry a row, matching
+    lifelines' ``survival_function_`` time grid; censoring-only rows
+    have factor 1 and leave the estimate flat)."""
+    r = _risk_table(df, duration_col, event_col, group_cols)
+    factor = F.lit(1.0) - F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+    w_asc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(duration_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = r.withColumn("__f__", factor)
+    # exp(sum(ln f)) is the cumulative product; min(f)<=0 marks the row
+    # where survival legitimately hits zero (and every row after it).
+    ln_f = F.when(F.col("__f__") > 0, F.log("__f__")).otherwise(F.lit(0.0))
+    surv = F.when(F.min("__f__").over(w_asc) <= 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_f).over(w_asc))
+    )
+    return (
+        r.withColumn("survival", F.round(surv, 6))
+        .select(*group_cols, duration_col, "n_risk", "n_event", "n_censored", "survival")
+    )
+
+
+def logrank_statistic(
+    df: DataFrame,
+    duration_col: str,
+    event_col: Column,
+    group_col: str,
+) -> DataFrame:
+    """Multivariate log-rank chi-square statistic across the groups of
+    ``group_col`` (kaplan_meierAnalysis.py:73-76
+    ``multivariate_logrank_test``).  Returns one row:
+    (n_groups, dof, chi2).  The per-time expected deaths need the
+    POOLED risk set, so the group risk table joins its per-time totals
+    back — the join key is the bounded time grid, broadcast-safe."""
+    r = _risk_table(df, duration_col, event_col, [group_col])
+    totals = r.groupBy(duration_col).agg(
+        F.sum("n_event").alias("d_t"),
+        F.sum("n_risk").alias("n_t"),
+    )
+    j = r.join(F.broadcast(totals), duration_col).filter(F.col("d_t") > 0)
+    expected = F.col("n_risk").cast("double") * F.col("d_t").cast("double") / F.col(
+        "n_t"
+    ).cast("double")
+    per_group = j.groupBy(group_col).agg(
+        F.sum("n_event").cast("double").alias("o_g"),
+        F.sum(expected).alias("e_g"),
+    )
+    st = per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(
+            (F.col("o_g") - F.col("e_g")) * (F.col("o_g") - F.col("e_g")) / F.col("e_g")
+        ).alias("chi2_raw"),
+    )
+    dof = (F.col("n_groups") - F.lit(1)).cast("double")
+    return st.select(
+        "n_groups",
+        (F.col("n_groups") - F.lit(1)).cast("bigint").alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round(special.chi2_sf_spark(F.col("chi2_raw"), dof), 9).alias("p_value"),
+    )

@@ -1961,3 +1961,313 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return batch_sessions(e, gap_seconds=3600)
+
+
+# ======================================================================
+# survival analysis (kaplan_meierAnalysis.py — lifelines run_km +
+# multivariate_logrank_test, re-expressed as window/aggregate math)
+# ======================================================================
+
+_KM_DURATIONS = """
+    d AS (
+      SELECT o_orderpriority AS grp,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             (o_orderstatus = 'F') AS ev
+      FROM orders
+    ),
+    g AS (
+      SELECT grp, t, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_event
+      FROM d GROUP BY grp, t
+    ),
+    r AS (
+      SELECT grp, t, n_event, (n_i - n_event) AS n_censored,
+             CAST(SUM(n_i) OVER (PARTITION BY grp ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM g
+    )
+"""
+
+
+def _km_duration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, t, ev) survival input derived deterministically from orders:
+    duration = days since 1995-01-01, event = order reached status 'F'
+    ('O'/'P' are censored), group = o_orderpriority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+        (F.col("o_orderstatus") == "F").alias("ev"),
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    f"""
+    WITH {_KM_DURATIONS},
+    s AS (
+      SELECT grp, t, n_risk, n_event, CAST(n_censored AS BIGINT) AS n_censored,
+             (1.0 - CAST(n_event AS DOUBLE) / n_risk) AS f
+      FROM r
+    )
+    SELECT grp, t, n_risk, n_event, n_censored,
+           CAST(ROUND(CASE WHEN MIN(f) OVER w <= 0 THEN 0.0
+             ELSE EXP(SUM(CASE WHEN f > 0 THEN LN(f) ELSE 0 END) OVER w) END, 6) AS DOUBLE) AS survival
+    FROM s
+    WINDOW w AS (PARTITION BY grp ORDER BY t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    family="stats",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival per order priority
+    (kaplan_meierAnalysis.py:58-72 KaplanMeierFitter, dispatched from
+    analytics.py:2511). One aggregation to the (group, time) risk table,
+    then two ordered windows — the cumulative product is
+    exp(sum(ln factor)) with a running-min zero guard (see ops/survival)."""
+    from ..ops.survival import kaplan_meier
+
+    d = _km_duration_frame(spark, sf_dir)
+    return kaplan_meier(d, "t", F.col("ev"), ["grp"])
+
+
+@register(
+    "q_logrank",
+    f"""
+    WITH {_KM_DURATIONS},
+    tot AS (
+      SELECT t, CAST(SUM(n_event) AS BIGINT) AS d_t, CAST(SUM(n_risk) AS BIGINT) AS n_t
+      FROM r GROUP BY t
+    ),
+    j AS (
+      SELECT r.grp, r.n_event, r.n_risk, tot.d_t, tot.n_t
+      FROM r JOIN tot ON r.t = tot.t WHERE tot.d_t > 0
+    ),
+    pg AS (
+      SELECT grp, CAST(SUM(n_event) AS DOUBLE) AS o_g,
+             SUM(CAST(n_risk AS DOUBLE) * CAST(d_t AS DOUBLE) / CAST(n_t AS DOUBLE)) AS e_g
+      FROM j GROUP BY grp
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             SUM((o_g - e_g) * (o_g - e_g) / e_g) AS chi2_raw
+      FROM pg
+    )
+    SELECT n_groups, CAST(n_groups - 1 AS BIGINT) AS dof,
+           CAST(ROUND(chi2_raw, 6) AS DOUBLE) AS chi2,
+           CAST(ROUND({special.chi2_sf_sql('chi2_raw', '(CAST(n_groups AS DOUBLE) - 1.0)')}, 9) AS DOUBLE) AS p_value
+    FROM st
+    """,
+    family="stats",
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate log-rank test across the order-priority survival
+    curves (kaplan_meierAnalysis.py:90-93 multivariate_logrank_test):
+    chi-square statistic from observed-vs-expected deaths per group plus
+    a hash-verified p-value via the new dual-backend regularized upper
+    incomplete gamma (chi2 tail) in ops/special.py."""
+    from ..ops.survival import logrank_statistic
+
+    d = _km_duration_frame(spark, sf_dir)
+    return logrank_statistic(d, "t", F.col("ev"), "grp")
+
+
+@register(
+    "q_rm_anova",
+    f"""
+    WITH cell AS (
+      SELECT user_id, event_type, AVG(CAST(value AS DOUBLE)) AS x
+      FROM events GROUP BY user_id, event_type
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM cell),
+    cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM cell GROUP BY user_id),
+    b AS (
+      SELECT cell.user_id, cell.event_type, cell.x
+      FROM cell JOIN cnt ON cell.user_id = cnt.user_id, kk
+      WHERE cnt.c = kk.k
+    ),
+    subj AS (SELECT user_id, SUM(x) AS p_i FROM b GROUP BY user_id),
+    cond AS (SELECT event_type, SUM(x) AS t_j FROM b GROUP BY event_type),
+    s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(p_i * p_i) AS sum_p2, SUM(p_i) AS g FROM subj),
+    s2 AS (SELECT SUM(t_j * t_j) AS sum_t2 FROM cond),
+    s3 AS (SELECT SUM(x * x) AS ss FROM b),
+    sq AS (
+      SELECT n, kk.k AS k,
+             ((sum_t2 / n) - ((g * g) / (n * kk.k))) AS ss_cond,
+             ((sum_p2 / kk.k) - ((g * g) / (n * kk.k))) AS ss_subj,
+             (ss - ((g * g) / (n * kk.k))) AS ss_tot
+      FROM s1, s2, s3, kk
+    ),
+    sq2 AS (
+      SELECT n, k, ss_cond, (ss_tot - ss_subj - ss_cond) AS ss_err
+      FROM sq WHERE n > 1 AND k > 1
+    ),
+    sq3 AS (
+      SELECT n, k,
+             ((ss_cond / (k - 1)) / (ss_err / ((n - 1) * (k - 1)))) AS f_raw
+      FROM sq2
+    )
+    SELECT n AS n_subjects, k AS n_conditions,
+           CAST(ROUND(f_raw, 6) AS DOUBLE) AS f_stat,
+           CAST(ROUND({special.f_sf_sql('f_raw', '(CAST(k AS DOUBLE) - 1.0)', '((CAST(n AS DOUBLE) - 1.0) * (CAST(k AS DOUBLE) - 1.0))')}, 9) AS DOUBLE) AS p_value
+    FROM sq3
+    """,
+    family="stats",
+)
+def q_rm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way repeated-measures ANOVA (calculate_repeated_measures_anova,
+    analytics.py:1424-1438, pingouin rm_anova's uncorrected F) over the
+    (subject=user, condition=event_type) cell-mean matrix. Subjects
+    missing any condition are dropped to keep the design balanced. The
+    partition is SS_total = SS_conditions + SS_subjects + SS_error; all
+    four sums come from ONE pass of shaped aggregations — no driver
+    collect, the scalar frames combine by broadcast cross-join."""
+    e = _t(spark, sf_dir, "events")
+    cell = e.groupBy("user_id", "event_type").agg(
+        F.avg(F.col("value").cast("double")).alias("x")
+    )
+    kk = cell.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    cnt = cell.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = (
+        cell.join(cnt, "user_id")
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("c") == F.col("k"))
+        .select("user_id", "event_type", "x")
+    )
+    subj = b.groupBy("user_id").agg(F.sum("x").alias("p_i"))
+    cond = b.groupBy("event_type").agg(F.sum("x").alias("t_j"))
+    s1 = subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("p_i") * F.col("p_i")).alias("sum_p2"),
+        F.sum("p_i").alias("g"),
+    )
+    s2 = cond.agg(F.sum(F.col("t_j") * F.col("t_j")).alias("sum_t2"))
+    s3 = b.agg(F.sum(F.col("x") * F.col("x")).alias("ss"))
+    sq = (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(s3))
+        .crossJoin(F.broadcast(kk))
+    )
+    corr = (F.col("g") * F.col("g")) / (F.col("n") * F.col("k"))
+    sq = sq.select(
+        "n",
+        "k",
+        ((F.col("sum_t2") / F.col("n")) - corr).alias("ss_cond"),
+        ((F.col("sum_p2") / F.col("k")) - corr).alias("ss_subj"),
+        (F.col("ss") - corr).alias("ss_tot"),
+    )
+    sq2 = sq.filter((F.col("n") > 1) & (F.col("k") > 1)).select(
+        "n",
+        "k",
+        "ss_cond",
+        (F.col("ss_tot") - F.col("ss_subj") - F.col("ss_cond")).alias("ss_err"),
+    )
+    f_raw = (F.col("ss_cond") / (F.col("k") - 1)) / (
+        F.col("ss_err") / ((F.col("n") - 1) * (F.col("k") - 1))
+    )
+    sq3 = sq2.select("n", "k", f_raw.alias("f_raw"))
+    d1 = F.col("k").cast("double") - F.lit(1.0)
+    d2 = (F.col("n").cast("double") - F.lit(1.0)) * (F.col("k").cast("double") - F.lit(1.0))
+    return sq3.select(
+        F.col("n").alias("n_subjects"),
+        F.col("k").alias("n_conditions"),
+        F.round("f_raw", 6).alias("f_stat"),
+        F.round(special.f_sf_spark(F.col("f_raw"), d1, d2), 9).alias("p_value"),
+    )
+
+
+@register(
+    "q_impute_knn",
+    """
+    WITH fst AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    cell AS (SELECT user_id AS s, event_type AS f, v FROM fst WHERE rn = 1),
+    m AS (SELECT s, f, v, (v < 10.0) AS miss FROM cell),
+    obs AS (SELECT s, f, v FROM m WHERE NOT miss),
+    mis AS (SELECT s, f FROM m WHERE miss),
+    dtot AS (SELECT CAST(COUNT(DISTINCT f) AS DOUBLE) AS d FROM m),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             SUM((a.v - b.v) * (a.v - b.v)) AS ssd,
+             CAST(COUNT(*) AS BIGINT) AS nsh
+      FROM obs a JOIN obs b ON a.f = b.f AND a.s <> b.s
+      GROUP BY a.s, b.s
+    ),
+    dist AS (SELECT s1, s2, SQRT(d * ssd / nsh) AS dist FROM pairs, dtot),
+    cand AS (
+      SELECT mis.s, mis.f, dist.s2, obs.v AS nv, dist.dist
+      FROM mis JOIN dist ON mis.s = dist.s1
+               JOIN obs ON obs.s = dist.s2 AND obs.f = mis.f
+    ),
+    knn AS (
+      SELECT s, f, AVG(nv) AS knn_v
+      FROM (SELECT s, f, nv,
+                   ROW_NUMBER() OVER (PARTITION BY s, f
+                                      ORDER BY dist ASC, s2 ASC) AS rn
+            FROM cand)
+      WHERE rn <= 5 GROUP BY s, f
+    ),
+    fmean AS (SELECT f, AVG(v) AS f_mean FROM obs GROUP BY f)
+    SELECT mis.s AS user_id, mis.f AS event_type,
+           CAST(ROUND(COALESCE(knn.knn_v, fmean.f_mean), 6) AS DOUBLE) AS value_imputed
+    FROM mis LEFT JOIN knn ON mis.s = knn.s AND mis.f = knn.f
+             LEFT JOIN fmean ON mis.f = fmean.f
+    """,
+    family="stats",
+)
+def q_impute_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN imputation (imputation_KNN, analytics.py:240-266 — sklearn
+    KNNImputer semantics, made deterministic by an id tiebreak on equal
+    distances). The sample×feature matrix is each user's FIRST event
+    value per type (rn=1 by ts, event_id); a cell is missing when that
+    reading is < 10 (the catalog's missingness convention). Distances
+    are nan-euclidean over shared observed features via a feature-blocked
+    self-join of observed cells only — see ops/impute.py scale note."""
+    from ..ops.impute import impute_knn
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cell = (
+        e.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("user_id", "event_type", F.col("value").cast("double").alias("v"))
+    )
+    return impute_knn(
+        cell, "user_id", "event_type", "v", F.col("v") < 10.0, k=5
+    )
+
+
+def _kmeans_oracle() -> str:
+    from ..ops.cluster import kmeans_oracle_sql
+
+    src = """pts AS (
+      SELECT vec_id AS id, (t.i - 1) AS dim, CAST(embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )"""
+    return kmeans_oracle_sql(src, k=10, iters=6, id_sql="vec_id")
+
+
+@register("q_kmeans_embeddings", _kmeans_oracle(), family="mlops")
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=10, 6 iterations) over the embedding vectors —
+    the engine's distributed clustering primitive (the reference clusters
+    driver-side: sklearn inside run_mapper, analytics.py:2204). Points
+    stay melted and executor-side; centroids are k*d broadcast rows; the
+    unrolled-iteration DuckDB twin hash-verifies the FINAL assignment
+    (deterministic init = k smallest vec_ids, cid-tiebroken argmin,
+    empty clusters drop — identical rules both sides)."""
+    from ..ops.cluster import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    return kmeans_assign(pts, k=10, iters=6, id_col="vec_id")

@@ -482,3 +482,102 @@ def test_simhash_pigeonhole_blocking_is_lossless(spark, planted_neardups):
         ]
         assert targets, max_h
         assert _recall(found, targets) == 1.0, f"max_hamming={max_h} lost pairs"
+
+
+# ----------------------------------------------------------------------
+# KNN imputation
+# ----------------------------------------------------------------------
+
+def test_impute_knn_small_fixture(spark):
+    import pandas as pd
+
+    from ckg_spark.ops.impute import impute_knn
+
+    # 4 samples x 3 features; s1 misses f1. Nearest by nan-euclidean on
+    # shared features: s2 (identical observed profile), then s3.
+    rows = []
+    mat = {
+        "s1": {"f1": None, "f2": 1.0, "f3": 2.0},
+        "s2": {"f1": 10.0, "f2": 1.0, "f3": 2.0},
+        "s3": {"f1": 20.0, "f2": 1.1, "f3": 2.1},
+        "s4": {"f1": 90.0, "f2": 9.0, "f3": 9.0},
+    }
+    for s, fv in mat.items():
+        for f_, v in fv.items():
+            rows.append((s, f_, -1.0 if v is None else v, v is None))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["s", "f", "v", "miss"])
+    )
+    out = impute_knn(df, "s", "f", "v", F.col("miss"), k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s"], r["f"]) == ("s1", "f1")
+    # k=2 nearest with f1 observed: s2 (dist 0) and s3 -> mean(10, 20)
+    assert r["value_imputed"] == pytest.approx(15.0, abs=1e-9)
+
+
+def test_impute_knn_feature_mean_fallback(spark):
+    import pandas as pd
+
+    from ckg_spark.ops.impute import impute_knn
+
+    # s1 observes nothing => no distances => fall back to feature mean.
+    rows = [
+        ("s1", "f1", -1.0, True),
+        ("s2", "f1", 4.0, False),
+        ("s3", "f1", 8.0, False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["s", "f", "v", "miss"])
+    )
+    out = impute_knn(df, "s", "f", "v", F.col("miss"), k=2).collect()
+    assert len(out) == 1
+    assert out[0]["value_imputed"] == pytest.approx(6.0, abs=1e-9)
+
+
+# ----------------------------------------------------------------------
+# k-means
+# ----------------------------------------------------------------------
+
+def _numpy_lloyds(X, ids, k, iters):
+    """Reference Lloyd's with the operator's exact rules: seeds = k
+    smallest ids, argmin ties -> lowest cid (numpy argmin's rule),
+    empty clusters DROP from the centroid set (as in ops/cluster.py)."""
+    order = np.argsort(ids)
+    C = {c: X[order][c].astype(float) for c in range(k)}
+
+    def assign(C):
+        cids = sorted(C)
+        D = np.stack([((X - C[c]) ** 2).sum(1) for c in cids], axis=1)
+        return np.array(cids)[D.argmin(1)]
+
+    for _ in range(iters):
+        a = assign(C)
+        C = {c: X[a == c].mean(0) for c in C if (a == c).any()}
+    return assign(C)
+
+
+def test_kmeans_matches_numpy_oracle(spark, emb):
+    import pandas as pd
+
+    from ckg_spark.ops.cluster import kmeans_assign
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.vstack(pdf.embedding.values).astype(float)
+    want = _numpy_lloyds(X, pdf.vec_id.values, k=10, iters=6)
+
+    pts = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+    got = (
+        kmeans_assign(pts, k=10, iters=6, id_col="vec_id")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert (got.cluster.values == want).all()
+
+    # determinism: a different partitioning must give the same assignment
+    got2 = (
+        kmeans_assign(pts.repartition(7), k=10, iters=6, id_col="vec_id")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert got.equals(got2)

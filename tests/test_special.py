@@ -188,3 +188,106 @@ def test_hypergeom_both_backends(spark):
         key = (r["kk"], r["cap"], r["nn"], r["tot"])
         assert r["p"] == pytest.approx(hypergeom_sf_ref(*key), rel=1e-9, abs=1e-12)
         assert r["p"] == pytest.approx(duck_map[key], rel=1e-10, abs=1e-13)
+
+
+# ----------------------------------------------------------------------
+# regularized upper incomplete gamma / chi-square tail
+# ----------------------------------------------------------------------
+
+# For integer a, Q(a, x) = e^-x * sum_{j<a} x^j/j! — an exact closed form
+# the CF/series implementation must reproduce on both backends.
+def _chi2_sf_exact_even_dof(x: float, k: int) -> float:
+    a = k // 2
+    half = x / 2.0
+    return math.exp(-half) * sum(half**j / math.factorial(j) for j in range(a))
+
+
+CHI2_CASES = [(1.0, 2.0), (5.0, 4.0), (10.0, 4.0), (3.0, 10.0), (25.0, 4.0),
+              (0.5, 2.0), (40.0, 8.0), (2.0, 6.0)]
+
+
+def test_chi2_sf_sql_matches_closed_form():
+    for x, k in CHI2_CASES:
+        got = duckdb.sql("SELECT " + special.chi2_sf_sql(repr(x), repr(k))).fetchone()[0]
+        want = _chi2_sf_exact_even_dof(x, int(k))
+        assert abs(got - want) < 1e-12, (x, k, got, want)
+
+
+def test_chi2_sf_spark_matches_sql(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # include odd dof (no closed form — cross-backend agreement is the check)
+    cases = CHI2_CASES + [(1.0, 1.0), (7.3, 3.0), (12.0, 5.0)]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["x", "k"]))
+    rows = df.select(
+        "x", "k", special.chi2_sf_spark(F.col("x"), F.col("k")).alias("p")
+    ).collect()
+    for r in rows:
+        sql_v = duckdb.sql(
+            "SELECT " + special.chi2_sf_sql(repr(r["x"]), repr(r["k"]))
+        ).fetchone()[0]
+        assert abs(r["p"] - sql_v) < 1e-12, (r["x"], r["k"], r["p"], sql_v)
+        assert 0.0 <= r["p"] <= 1.0
+
+
+def test_chi2_sf_dof1_matches_normal_tail():
+    # chi2(1) upper tail at x equals 2*P(Z >= sqrt(x)); cross-check via
+    # the t-tail with huge dof (t -> normal).
+    x = 3.84145882069412  # ~95th percentile of chi2(1)
+    got = duckdb.sql("SELECT " + special.chi2_sf_sql(repr(x), "1.0")).fetchone()[0]
+    z2 = duckdb.sql(
+        "SELECT " + special.t_sf2_sql(repr(math.sqrt(x)), "1e7")
+    ).fetchone()[0]
+    assert abs(got - z2) < 1e-6
+    assert abs(got - 0.05) < 1e-4
+
+
+# ----------------------------------------------------------------------
+# survival ops: Kaplan-Meier + log-rank
+# ----------------------------------------------------------------------
+
+def test_kaplan_meier_small_fixture(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ckg_spark.ops.survival import kaplan_meier, logrank_statistic
+
+    # classical toy: durations with one censor; hand-computed S(t)
+    pdf = pd.DataFrame(
+        {"grp": ["a"] * 5, "t": [1, 2, 2, 3, 4], "ev": [True, True, False, True, True]}
+    )
+    km = (
+        kaplan_meier(spark.createDataFrame(pdf), "t", F.col("ev"), ["grp"])
+        .orderBy("t")
+        .collect()
+    )
+    # t=1: 5 at risk, 1 death -> 0.8; t=2: 4 at risk, 1 death 1 censor -> 0.6
+    # t=3: 2 at risk, 1 death -> 0.3; t=4: 1 at risk, 1 death -> 0.0
+    want = [0.8, 0.6, 0.3, 0.0]
+    got = [r["survival"] for r in km]
+    assert got == pytest.approx(want, abs=1e-9)
+    assert [r["n_risk"] for r in km] == [5, 4, 2, 1]
+
+    # identical groups => log-rank chi2 == 0, p == 1
+    pdf2 = pd.concat([pdf.assign(grp="a"), pdf.assign(grp="b")])
+    lr = logrank_statistic(
+        spark.createDataFrame(pdf2), "t", F.col("ev"), "grp"
+    ).collect()[0]
+    assert lr["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert lr["p_value"] == pytest.approx(1.0, abs=1e-9)
+    assert lr["dof"] == 1
+
+
+def test_kaplan_meier_monotone_on_testdata(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ckg_spark.queries.catalog import CATALOG
+
+    df = CATALOG["q_kaplan_meier"].spark_fn(spark, "/root/testdata/sf0.001")
+    w = Window.partitionBy("grp").orderBy("t")
+    bad = df.withColumn("prev", F.lag("survival").over(w)).filter(
+        (F.col("prev").isNotNull()) & (F.col("survival") > F.col("prev") + 1e-12)
+    )
+    assert bad.count() == 0
