@@ -93,8 +93,10 @@ def run_query(
     wh = Warehouse(warehouse) if isinstance(warehouse, str) else warehouse
     q = read_knowledge_queries(path)[query_id]
     sql = q["query"]
-    for key, val in (replacements or {}).items():
-        sql = sql.replace(key, _safe_value(key, val))
+    # longest key first: a key that prefixes another (ENTITYID/ENTITYID2)
+    # must not clobber the longer placeholder mid-token
+    for key in sorted(replacements or {}, key=len, reverse=True):
+        sql = sql.replace(key, _safe_value(key, (replacements or {})[key]))
     wh.table("nodes").read(spark).createOrReplaceTempView("nodes")
     wh.table("edges").read(spark).createOrReplaceTempView("edges")
     return spark.sql(sql)

@@ -16,8 +16,17 @@ importers stream row-by-row, re-expressed as Spark scans.
       — vocabulary files are dimension-sized, so the stanza parser runs
       on the driver and ships the result as an Arrow local relation
 
-Everything bigger-than-dimension stays a distributed scan; only S5 (a
-vocabulary) is driver-side by design.
+- S6  XML record dumps (≙ lxml iterparse per record tag,
+      databases/parsers/hmdbParser.py:42, drugBankParser.py) — the scan
+      splits on the record close tag (lineSep trick again, splittable),
+      records parse per-partition in a batched Arrow UDF
+- S2  Excel workbooks (≙ pd.read_excel in the experiment importers) —
+      driver-side pandas -> Arrow local relation (workbooks are
+      dimension-sized clinical metadata), gated on openpyxl
+
+Everything bigger-than-dimension stays a distributed scan; only S5/S2
+(vocabularies, clinical workbooks — dimension data) are driver-side by
+design.
 """
 
 from __future__ import annotations
@@ -192,3 +201,108 @@ def obo_hierarchy_df(spark: SparkSession, path: str) -> DataFrame:
         pd.DataFrame({"id": [a for a, _ in pairs], "parent_id": [b for _, b in pairs]}),
         schema,
     ).coalesce(1)
+
+
+def read_xml_records(
+    spark: SparkSession,
+    path: str,
+    record_tag: str,
+    fields: list[str],
+    list_fields: list[str] | None = None,
+) -> DataFrame:
+    """S6: distributed XML record reader — one row per ``<record_tag>``
+    element, scalar ``fields`` extracted as the first matching
+    descendant's text, ``list_fields`` as sorted arrays of ALL matching
+    descendants' texts.
+
+    The reference streams records with lxml iterparse on the record tag
+    (hmdbParser.py:42 ``etree.iterparse(..., tag=prefix+'metabolite')``,
+    drugBankParser.py likewise) in one Python process per file. Here the
+    SCAN splits instead: ``lineSep='</record_tag>'`` makes each text row
+    exactly one record chunk (Hadoop's delimited text input is splittable,
+    so a 100 GB dump parallelizes by HDFS block, not by file), and the
+    parse runs per-partition in a batched Arrow UDF (stdlib ElementTree —
+    the per-record semantics of iterparse without the driver-side loop).
+    XML namespaces are stripped, matching the reference's
+    ``prefix + field`` convention. Limitation (as in the reference's
+    tag-targeted iterparse): ``record_tag`` elements must not nest within
+    each other.
+    """
+    import pandas as pd
+
+    close = f"</{record_tag}>"
+    open_pat = f"<{record_tag}"
+    scalar = list(fields)
+    arrays = list(list_fields or [])
+    schema = ", ".join(
+        [f"`{c}` string" for c in scalar] + [f"`{c}` array<string>" for c in arrays]
+    )
+
+    def _local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def parse_chunks(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows = []
+            for chunk in pdf["value"]:
+                if chunk is None:
+                    continue
+                start = chunk.find(open_pat)
+                if start < 0:
+                    continue  # preamble/epilogue chunk (</root>, xml decl)
+                xml = chunk[start:] + close
+                try:
+                    root = ET.fromstring(xml)
+                except ET.ParseError:
+                    continue  # malformed straggler — same skip as iterparse clear()
+                row: dict[str, object] = {}
+                by_tag: dict[str, list[str]] = {}
+                for el in root.iter():
+                    t = _local(el.tag)
+                    if el.text is not None and el.text.strip():
+                        by_tag.setdefault(t, []).append(el.text.strip())
+                for c in scalar:
+                    vals = by_tag.get(c)
+                    row[c] = vals[0] if vals else None
+                for c in arrays:
+                    row[c] = sorted(by_tag.get(c, []))
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=scalar + arrays)
+
+    chunks = spark.read.option("lineSep", close).text(path)
+    return chunks.mapInPandas(parse_chunks, schema=schema)
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int = 0,
+    dropna_all: bool = True,
+) -> DataFrame:
+    """S2: Excel workbook -> DataFrame (≙ builder_utils.readDataFromExcel,
+    builder_utils.py:65 ``pd.read_excel(uri, na_values=['NA'])``; the
+    reference reads clinical metadata and user sheets this way).
+
+    Workbooks are dimension-sized (experiment design / clinical sheets),
+    so this is deliberately a driver-side pandas read shipped to the
+    cluster as an Arrow local relation — the same pattern as the OBO
+    vocabulary reader. Requires ``openpyxl``; raises a clear ImportError
+    when the engine is not installed (it is not part of this engine's
+    pinned runtime) so callers can gate on it.
+    """
+    import pandas as pd
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "read_excel needs the optional 'openpyxl' package "
+            "(driver-side only; workbooks are dimension-sized)"
+        ) from e
+    pdf = pd.read_excel(path, sheet_name=sheet_name, index_col=None, na_values=["NA"])
+    if dropna_all:
+        pdf = pdf.dropna(how="all")
+    pdf.columns = [str(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf)

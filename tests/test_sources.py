@@ -135,3 +135,83 @@ def test_obo_multiparent_hierarchy_edges(spark, tmp_path):
     edges = hierarchy_edges(hier, cmap)
     got = {(r["subj"], r["obj"]) for r in edges.collect()}
     assert got == pairs
+
+
+# ----------------------------------------------------------------------
+# S6: XML record reader
+# ----------------------------------------------------------------------
+
+def test_read_xml_records(spark, tmp_path):
+    from ckg_spark.sources.readers import read_xml_records
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<hmdb xmlns="http://www.hmdb.ca">
+  <metabolite>
+    <accession>HMDB0000001</accession>
+    <name>1-Methylhistidine</name>
+    <synonym>Pi-methylhistidine</synonym>
+    <synonym>1-MHis</synonym>
+    <disease><name>Kidney disease</name></disease>
+  </metabolite>
+  <metabolite>
+    <accession>HMDB0000002</accession>
+    <name>1,3-Diaminopropane</name>
+  </metabolite>
+</hmdb>
+"""
+    p = tmp_path / "dump.xml"
+    p.write_text(xml)
+    df = read_xml_records(
+        spark, str(p), "metabolite",
+        fields=["accession", "name"], list_fields=["synonym"],
+    )
+    rows = {r["accession"]: r for r in df.collect()}
+    assert set(rows) == {"HMDB0000001", "HMDB0000002"}
+    # namespaced tags resolve; scalar field takes the FIRST match in
+    # document order (the record's own <name>, not the nested disease's)
+    assert rows["HMDB0000001"]["name"] == "1-Methylhistidine"
+    assert rows["HMDB0000001"]["synonym"] == ["1-MHis", "Pi-methylhistidine"]
+    assert rows["HMDB0000002"]["synonym"] == []
+    # epilogue chunk (</hmdb>) and xml declaration were skipped, not rows
+
+
+def test_read_xml_records_multifile_and_malformed(spark, tmp_path):
+    from ckg_spark.sources.readers import read_xml_records
+
+    (tmp_path / "a.xml").write_text(
+        "<r><rec><id>1</id></rec><rec><id>2</id></rec></r>"
+    )
+    # malformed record chunk is skipped, valid ones survive
+    (tmp_path / "b.xml").write_text(
+        "<r><rec><id>3</id></rec><rec><id>4</id><broken></rec></r>"
+    )
+    df = read_xml_records(spark, str(tmp_path), "rec", fields=["id"])
+    got = sorted(r["id"] for r in df.collect())
+    assert got == ["1", "2", "3"]
+
+
+# ----------------------------------------------------------------------
+# S2: Excel reader (gated on openpyxl)
+# ----------------------------------------------------------------------
+
+def test_read_excel_gate_or_roundtrip(spark, tmp_path):
+    import pytest
+
+    from ckg_spark.sources.readers import read_excel
+
+    try:
+        import openpyxl  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    if not have:
+        with pytest.raises(ImportError, match="openpyxl"):
+            read_excel(spark, str(tmp_path / "x.xlsx"))
+    else:  # runs in environments that carry the optional engine
+        import pandas as pd
+
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(
+            tmp_path / "x.xlsx", index=False
+        )
+        df = read_excel(spark, str(tmp_path / "x.xlsx"))
+        assert df.count() == 2 and set(df.columns) == {"a", "b"}

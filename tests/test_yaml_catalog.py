@@ -109,13 +109,27 @@ def test_every_catalog_query_runs(spark, graph_wh):
         .first()
     )
     entity_id = mentioned["subj"]
-    repl = {"ENTITYID": entity_id, "MINSCORE": 1.0, "TOPK": 5}
+    # a second mentioned entity for the two-entity list shape
+    entity2 = (
+        edges.filter(F.col("pred") == "MENTIONED_IN_PUBLICATION")
+        .filter(F.col("subj") != entity_id)
+        .groupBy("subj")
+        .count()
+        .orderBy(F.desc("count"), "subj")
+        .first()["subj"]
+    )
+    repl = {
+        "ENTITYID2": entity2, "ENTITYID": entity_id, "MINSCORE": 1.0,
+        "TOPK": 5, "TARGETLABEL": "Disease", "MINTYPES": 1,
+    }
 
     needs_rows = {
         "disease_mentions", "disease_parents_rollup", "comention_partners",
         "graph_stats", "entity_profile", "family_document_reach",
         "top_entities_per_type", "score_distribution", "parent_coverage",
         "hub_entities", "shared_document_partners", "document_entity_lists",
+        "top_associations", "hierarchy_label_matrix",
+        "mention_density_per_type", "score_percentiles_per_pred",
     }
     for qid in read_knowledge_queries():
         df = run_query(spark, wh, qid, replacements=repl)
