@@ -56,7 +56,27 @@ HEADLINE = [
     "q_corr_matrix_fdr",
     "q_ivf_topk",
     "q_impute_downshift",
+    "q_kaplan_meier",
+    "q_kmeans_embeddings",
+    "q_impute_knn",
+    "q_token_packing",
+    "q_contamination_screen",
 ]
+
+
+def _release_query_state(spark) -> None:
+    """Drop cached tables and any localCheckpoint blocks the previous
+    query pinned in executor storage. Without this, checkpoint blocks
+    accumulate across the suite (they are never auto-unpersisted) and
+    later queries run under growing memory pressure/GC — measured as a
+    mid-suite slowdown far beyond single-query timings."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+    except Exception:
+        pass  # py4j surface changed — cleanup is best-effort
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -78,6 +98,7 @@ def run_headline_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        _release_query_state(spark)
     return timings
 
 

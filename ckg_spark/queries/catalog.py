@@ -2271,3 +2271,183 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.posexplode("embedding").alias("dim", "val")
     )
     return kmeans_assign(pts, k=10, iters=6, id_col="vec_id")
+
+
+# ======================================================================
+# training-data curation (ops/curation.py — sampling, splits, packing,
+# contamination; engine extras for the LLM-corpus pipeline)
+# ======================================================================
+
+def _u_sql(e: str) -> str:
+    from ..ops.curation import split_u_sql
+
+    return split_u_sql(e)
+
+
+@register(
+    "q_stratified_sample",
+    None,  # placeholder; real SQL assigned below (needs the helper)
+    family="curation",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample of documents: membership is a pure
+    function of doc_id (lowbias32 mix — ops/curation.py), so the sample
+    is stable under repartitioning, re-ingestion and engine choice; the
+    oracle hash-verifies EXACT membership, not just counts. Zero
+    shuffles: a map-side predicate on the scan."""
+    from ..ops.curation import split_u
+
+    d = _t(spark, sf_dir, "documents")
+    u = split_u(F.col("doc_id"))
+    return (
+        d.withColumn("u", u)
+        .filter(F.col("u") < 0.2)
+        .select("doc_id", "source", F.round("u", 6).alias("u"))
+    )
+
+
+CATALOG["q_stratified_sample"].sql = f"""
+    SELECT doc_id, source, CAST(ROUND(u, 6) AS DOUBLE) AS u
+    FROM (SELECT doc_id, source, {_u_sql('doc_id')} AS u FROM documents)
+    WHERE u < 0.2
+    """
+
+
+@register("q_train_test_split", None, family="curation")
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from the same deterministic
+    per-id uniform, audited per (source, split): doc counts and total
+    characters. Assignment is map-side; the single shuffle is the audit
+    aggregation itself."""
+    from ..ops.curation import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", assign_split(F.col("doc_id")))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+CATALOG["q_train_test_split"].sql = f"""
+    SELECT source,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT source, n_chars, {_u_sql('doc_id')} AS u FROM documents)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "q_token_packing",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    b AS (
+      SELECT source, CAST(FLOOR((cum - n_tokens) / 4096.0) AS BIGINT) AS bucket,
+             n_tokens, doc_id
+      FROM c
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM b GROUP BY source, bucket
+    """,
+    family="curation",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per source, docs in id order accumulate into
+    ~4096-token training buckets (first-fit-with-overflow as one window
+    pass — ops/curation.py::pack_greedy). Output audits each bucket's
+    doc count, token total and id range."""
+    from ..ops.curation import pack_greedy
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        textstats.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_greedy(t, "source", "doc_id", "n_tokens", budget=4096)
+    return packed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+@register(
+    "q_contamination_screen",
+    rf"""
+    WITH u AS (
+      SELECT doc_id, text, {{U}} AS u FROM documents
+    ),
+    tr AS (SELECT doc_id, text FROM u WHERE u < 0.99),
+    ev AS (SELECT doc_id, text FROM u WHERE u >= 0.99),
+    tr_sh AS (
+      SELECT doc_id AS left_id, s
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tk) - 8, 0) + 2),
+                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                    tk[i+4], tk[i+5], tk[i+6], tk[i+7])))) AS s
+            FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk FROM tr))
+      WHERE len(string_split(s, ' ')) = 8
+    ),
+    ev_sh AS (
+      SELECT doc_id AS right_id, s
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tk) - 8, 0) + 2),
+                     i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                    tk[i+4], tk[i+5], tk[i+6], tk[i+7])))) AS s
+            FROM (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk FROM ev))
+      WHERE len(string_split(s, ' ')) = 8
+    )
+    SELECT t.left_id AS train_id, e.right_id AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr_sh t JOIN ev_sh e ON t.s = e.s
+    GROUP BY t.left_id, e.right_id
+    """,
+    family="curation",
+)
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: exact 8-gram overlap between the
+    training corpus (u < 0.99) and the held-out eval slice (u >= 0.99),
+    as an n-gram equi-join (blocked by shingle — never all-pairs). Emits
+    every contaminated (train, eval) pair with its shared-ngram count."""
+    from ..ops.curation import ngram_overlap_pairs, split_u
+
+    d = _t(spark, sf_dir, "documents")
+    u = split_u(F.col("doc_id"))
+    train = d.filter(u < 0.99).select("doc_id", "text")
+    evald = d.filter(u >= 0.99).select("doc_id", "text")
+    return (
+        ngram_overlap_pairs(train, evald, "doc_id", "text", n=8)
+        .select(
+            F.col("left_id").alias("train_id"),
+            F.col("right_id").alias("eval_id"),
+            "n_shared",
+        )
+    )
+
+
+CATALOG["q_contamination_screen"].sql = CATALOG["q_contamination_screen"].sql.replace(
+    "{U}", _u_sql("doc_id")
+)

@@ -581,3 +581,94 @@ def test_kmeans_matches_numpy_oracle(spark, emb):
         .toPandas()
     )
     assert got.equals(got2)
+
+
+# ----------------------------------------------------------------------
+# curation: deterministic sampling / packing / contamination
+# ----------------------------------------------------------------------
+
+def test_split_u_cross_engine_and_stable(spark):
+    import duckdb
+
+    from ckg_spark.ops.curation import split_u, split_u_sql
+
+    df = spark.range(0, 2000).select(F.col("id"), split_u(F.col("id")).alias("u"))
+    got = {r["id"]: r["u"] for r in df.collect()}
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT i, {split_u_sql('i')} FROM range(0, 2000) t(i)"
+        ).fetchall()
+    }
+    assert got == want  # bit-identical across engines
+    # stable under repartitioning (seeded sample() is not)
+    got2 = {
+        r["id"]: r["u"]
+        for r in spark.range(0, 2000)
+        .repartition(13)
+        .select(F.col("id"), split_u(F.col("id")).alias("u"))
+        .collect()
+    }
+    assert got == got2
+    # roughly uniform
+    frac = sum(1 for u in got.values() if u < 0.25) / len(got)
+    assert 0.2 < frac < 0.3
+
+
+def test_pack_greedy_budget_and_contiguity(spark):
+    import pandas as pd
+
+    from ckg_spark.ops.curation import pack_greedy
+
+    pdf = pd.DataFrame(
+        {
+            "src": ["a"] * 10 + ["b"] * 5,
+            "i": list(range(10)) + list(range(5)),
+            "tok": [40, 40, 40, 100, 10, 10, 95, 5, 5, 5, 60, 60, 60, 60, 60],
+        }
+    )
+    out = (
+        pack_greedy(spark.createDataFrame(pdf), "src", "i", "tok", budget=100)
+        .orderBy("src", "i")
+        .collect()
+    )
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault((r["src"], r["bucket"]), []).append(r)
+    max_tok = 100
+    for (_, _), rows in by_bucket.items():
+        # first-fit-with-overflow: at most budget + one doc's tokens
+        assert sum(r["tok"] for r in rows) <= 100 + max_tok
+        # contiguity within stratum
+        idx = [r["i"] for r in rows]
+        assert idx == list(range(min(idx), max(idx) + 1))
+    # buckets increase monotonically in order
+    for src in ("a", "b"):
+        seq = [r["bucket"] for r in out if r["src"] == src]
+        assert seq == sorted(seq)
+
+
+def test_ngram_overlap_detects_planted_contamination(spark):
+    import pandas as pd
+
+    from ckg_spark.ops.curation import ngram_overlap_pairs
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "completely unrelated text with many many distinct words here",
+                "prefix words then " + leak + " then suffix words",
+            ],
+        }
+    )
+    evald = pd.DataFrame({"doc_id": [100], "text": [leak]})
+    out = ngram_overlap_pairs(
+        spark.createDataFrame(train), spark.createDataFrame(evald),
+        "doc_id", "text", n=8,
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["left_id"], out[0]["right_id"]) == (2, 100)
+    # 10-token leak contains 3 full 8-grams
+    assert out[0]["n_shared"] == 3
