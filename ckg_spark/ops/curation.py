@@ -88,6 +88,60 @@ def pack_greedy(
     return df.withColumn("bucket", bucket.cast("bigint"))
 
 
+def _full_ngrams(text_col: str, n: int):
+    """array<string> of the FULL word n-grams of a text column (distinct;
+    docs shorter than n tokens yield an empty array). slice+array_join —
+    one slice per position instead of n element_at calls; partials never
+    exist, so no post-hoc re-split filter."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+
+    def grams(tk):
+        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
+        )
+
+    return F.when(F.size(toks) >= n, grams(toks)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_overlap_split(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_eval: Column,
+    n: int = 8,
+) -> DataFrame:
+    """(left_id, right_id, n_shared) — (train, eval) doc pairs sharing at
+    least one FULL word n-gram, with the distinct shared-ngram count.
+    ONE scan of the corpus: tokenize+shingle once, group by shingle, and
+    expand (train x eval) pairs IN-ARRAY per shingle (the co-mention
+    trick — no shingle self-join, no second scan). Shuffles: one on the
+    shingle (high-cardinality, well-distributed), one on the pair."""
+    ex = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        is_eval.alias("ev"),
+        F.explode(_full_ngrams(text_col, n)).alias("s"),
+    )
+    per_s = (
+        ex.groupBy("s")
+        .agg(
+            F.collect_set(F.when(~F.col("ev"), F.col("id"))).alias("tr"),
+            F.collect_set(F.when(F.col("ev"), F.col("id"))).alias("ev_ids"),
+        )
+        .filter((F.size("tr") > 0) & (F.size("ev_ids") > 0))
+    )
+    pairs = per_s.select(
+        F.explode("tr").alias("left_id"), F.col("ev_ids")
+    ).select("left_id", F.explode("ev_ids").alias("right_id"))
+    return pairs.groupBy("left_id", "right_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+
+
 def ngram_overlap_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -95,25 +149,12 @@ def ngram_overlap_pairs(
     text_col: str,
     n: int = 8,
 ) -> DataFrame:
-    """(left_id, right_id, n_shared) — pairs sharing at least one FULL
-    word n-gram, with the count of distinct shared n-grams. The join key
-    is the n-gram (high cardinality — well-distributed, never all-pairs);
-    partial tail shingles (< n tokens) are dropped so short docs cannot
-    alias into spurious matches."""
-    from .dedup import word_shingles
-
-    def exploded(d: DataFrame, out: str) -> DataFrame:
-        sh = word_shingles(d, id_col, text_col, n=n)
-        s = F.explode("shingles").alias("s")
-        e = sh.select(F.col("key").cast("long").alias(out), s)
-        return e.filter(F.size(F.split(F.col("s"), " ")) == n)
-
-    l = exploded(left, "left_id")
-    r = exploded(right, "right_id")
-    # word_shingles already de-dups per doc, so (id, s) is unique per side
-    # and a plain count IS the distinct shared-ngram count — no distinct agg
-    return (
-        l.join(r, "s")
-        .groupBy("left_id", "right_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    """Two-frame wrapper over :func:`ngram_overlap_split` (tags each side
+    and unions — prefer the split variant when both sides filter one
+    base table, which scans it once)."""
+    tagged = left.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__ev__")
+    ).unionByName(
+        right.select(F.col(id_col), F.col(text_col), F.lit(True).alias("__ev__"))
     )
+    return ngram_overlap_split(tagged, id_col, text_col, F.col("__ev__"), n=n)

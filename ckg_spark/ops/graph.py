@@ -175,3 +175,72 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 12,
+) -> DataFrame:
+    """Weighted eigenvector centrality by fixed-depth power iteration
+    (the distributed twin of nx.eigenvector_centrality_numpy, which the
+    reference calls on collected subgraphs — analytics.py:2278-2290).
+
+    ``edges`` must contain BOTH directions of each undirected edge.
+    Per iteration: y = A.y (one edge-to-vector join + aggregation, the
+    only corpus-scale shuffle). Normalization happens ONCE at the end —
+    mathematically the same direction as per-step normalization, and it
+    keeps the unrolled SQL twin a LINEAR CTE chain (a per-step norm
+    references each iteration twice; DuckDB inlines multiply-referenced
+    CTEs, so that doubles the expression tree per iteration — 2^iters
+    scans). Overflow bound: ||y_T|| ~ lambda1^iters must stay inside
+    double range — at 12 iterations that allows lambda1 up to ~1e25;
+    rescale every few iterations if a graph ever exceeds it.
+    The vector frame is node-sized and localCheckpoint-ed per iteration
+    (lineage truncation — same rule as ops/cluster.py); the edge frame
+    is checkpointed ONCE so the upstream plan (e.g. a corpus-wide
+    tagger) is not re-executed by every iteration's eager job. Fixed
+    iteration count, deterministic all-ones init — exactly reproducible
+    by the SQL twin, so the catalog entry is value-hash-verified."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__s__"), F.col(dst).alias("__d__"), w.cast("double").alias("__w__")
+    ).localCheckpoint(eager=True)
+    x = e.select(F.col("__s__").alias("id")).distinct().withColumn("val", F.lit(1.0))
+    for _ in range(iters):
+        x = (
+            e.join(x, e["__d__"] == x["id"])
+            .groupBy("__s__")
+            .agg(F.sum(F.col("__w__") * F.col("val")).alias("val"))
+            .select(F.col("__s__").alias("id"), "val")
+            .localCheckpoint(eager=True)
+        )
+    nrm = x.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("__n__"))
+    return x.crossJoin(F.broadcast(nrm)).select(
+        "id", (F.col("val") / F.col("__n__")).alias("val")
+    )
+
+
+def eigenvector_oracle_sql(pairs_cte: str, iters: int = 12) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`eigenvector_centrality`.
+    ``pairs_cte`` must define ``pairs(src, dst, w)`` (both directions)."""
+    parts = [
+        pairs_cte,
+        "x0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS val FROM pairs)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""x{i + 1} AS (
+              SELECT p.src AS id, SUM(p.w * x.val) AS val
+              FROM pairs p JOIN x{i} x ON p.dst = x.id GROUP BY p.src
+            )"""
+        )
+    parts.append(f"nrm AS (SELECT SQRT(SUM(val * val)) AS nrm FROM x{iters})")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT id AS term_id, CAST(ROUND(val / nrm, 6) AS DOUBLE) AS centrality "
+        f"FROM x{iters}, nrm"
+    )

@@ -2231,15 +2231,7 @@ def q_impute_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join of observed cells only — see ops/impute.py scale note."""
     from ..ops.impute import impute_knn
 
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    cell = (
-        e.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select("user_id", "event_type", F.col("value").cast("double").alias("v"))
-    )
+    cell = _first_event_cell(spark, sf_dir)
     return impute_knn(
         cell, "user_id", "event_type", "v", F.col("v") < 10.0, k=5
     )
@@ -2432,14 +2424,13 @@ def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus (u < 0.99) and the held-out eval slice (u >= 0.99),
     as an n-gram equi-join (blocked by shingle — never all-pairs). Emits
     every contaminated (train, eval) pair with its shared-ngram count."""
-    from ..ops.curation import ngram_overlap_pairs, split_u
+    from ..ops.curation import ngram_overlap_split, split_u
 
     d = _t(spark, sf_dir, "documents")
-    u = split_u(F.col("doc_id"))
-    train = d.filter(u < 0.99).select("doc_id", "text")
-    evald = d.filter(u >= 0.99).select("doc_id", "text")
     return (
-        ngram_overlap_pairs(train, evald, "doc_id", "text", n=8)
+        ngram_overlap_split(
+            d, "doc_id", "text", split_u(F.col("doc_id")) >= 0.99, n=8
+        )
         .select(
             F.col("left_id").alias("train_id"),
             F.col("right_id").alias("eval_id"),
@@ -2451,3 +2442,307 @@ def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 CATALOG["q_contamination_screen"].sql = CATALOG["q_contamination_screen"].sql.replace(
     "{U}", _u_sql("doc_id")
 )
+
+
+# ======================================================================
+# normalization family completion (analytics.py:415-477) + two-way ANOVA
+# + eigenvector centrality
+# ======================================================================
+
+_FIRST_EVENT_CELL_SQL = """
+    fst AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    cell AS (SELECT user_id, event_type, v FROM fst WHERE rn = 1)
+"""
+
+
+def _first_event_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (user × event_type) first-reading matrix — the same complete
+    150×5 cell framing q_impute_knn samples from. min_by aggregation
+    (partial-aggregated shuffle) instead of a row_number window: no full
+    per-partition sort of the raw events, same deterministic
+    (ts, event_id) pick as the oracle's ROW_NUMBER."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min_by(
+            F.col("value").cast("double"), F.struct("ts", "event_id")
+        ).alias("v")
+    )
+
+
+@register(
+    "q_quantile_normalize",
+    f"""
+    WITH {_FIRST_EVENT_CELL_SQL},
+    ranked AS (
+      SELECT user_id, event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v ASC, user_id ASC) AS rk
+      FROM cell
+    ),
+    ref AS (SELECT rk, AVG(v) AS mv FROM ranked GROUP BY rk)
+    SELECT r.user_id, r.event_type,
+           CAST(ROUND(ref.mv, 6) AS DOUBLE) AS value_norm
+    FROM ranked r JOIN ref ON r.rk = ref.rk
+    """,
+    family="stats",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (normalization_quantile, analytics.py:
+    442-458): rank within each sample (event_type), replace with the
+    cross-sample mean at that rank — after it, every sample has the
+    identical distribution. Deterministic id tiebreak on equal values
+    (pandas' rank-average variant would average ties; documented trade
+    for exact hash-verifiability). One window + one bounded-cardinality
+    join (|ranks| rows, broadcastable)."""
+    cell = _first_event_cell(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("v").asc(), F.col("user_id").asc())
+    ranked = cell.withColumn("rk", F.row_number().over(w))
+    ref = ranked.groupBy("rk").agg(F.avg("v").alias("mv"))
+    return ranked.join(F.broadcast(ref), "rk").select(
+        "user_id", "event_type", F.round("mv", 6).alias("value_norm")
+    )
+
+
+@register(
+    "q_median_polish",
+    f"""
+    WITH {_FIRST_EVENT_CELL_SQL},
+    s1 AS (
+      SELECT user_id, event_type,
+             v - quantile_cont(v, 0.5) OVER (PARTITION BY user_id) AS r
+      FROM cell
+    ),
+    s2 AS (
+      SELECT user_id, event_type,
+             r - quantile_cont(r, 0.5) OVER (PARTITION BY event_type) AS r
+      FROM s1
+    ),
+    s3 AS (
+      SELECT user_id, event_type,
+             r - quantile_cont(r, 0.5) OVER (PARTITION BY user_id) AS r
+      FROM s2
+    ),
+    s4 AS (
+      SELECT user_id, event_type,
+             r - quantile_cont(r, 0.5) OVER (PARTITION BY event_type) AS r
+      FROM s3
+    )
+    SELECT user_id, event_type, CAST(ROUND(r, 6) AS DOUBLE) AS residual
+    FROM s4
+    """,
+    family="stats",
+)
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median polish (normalization_median_polish, analytics.py:415-441,
+    Tukey's two-way table): alternately subtract row (user) and column
+    (sample) EXACT medians — two full sweeps, fixed depth so both
+    backends execute the identical arithmetic. Residuals hash-verified;
+    each sweep is one window pass, no shuffles beyond the window
+    exchanges."""
+    df = _first_event_cell(spark, sf_dir).withColumnRenamed("v", "r")
+    for part in ["user_id", "event_type", "user_id", "event_type"]:
+        w = Window.partitionBy(part)
+        df = df.withColumn(
+            "r", F.col("r") - F.expr("percentile(r, 0.5)").over(w)
+        )
+    return df.select("user_id", "event_type", F.round("r", 6).alias("residual"))
+
+
+@register(
+    "q_l2_normalize",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(value AS DOUBLE)
+             / SQRT(SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                    OVER (PARTITION BY user_id)), 6) AS DOUBLE) AS value_norm
+    FROM events
+    """,
+    family="stats",
+)
+def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject l2 normalization (normalization_linear, analytics.py:
+    459-477 'l2' branch): each user's readings divided by their vector
+    norm. Pure window column math."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(v / F.sqrt(F.sum(v * v).over(w)), 6).alias("value_norm"),
+    )
+
+
+@register(
+    "q_anova_twoway",
+    f"""
+    WITH cellr AS (
+      SELECT l_returnflag AS fa, l_linestatus AS fb, CAST(l_quantity AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ),
+    mn AS (SELECT CAST(MIN(cnt) AS BIGINT) AS n
+           FROM (SELECT COUNT(*) AS cnt FROM cellr GROUP BY fa, fb)),
+    bal AS (SELECT fa, fb, v FROM cellr, mn WHERE rn <= mn.n),
+    ca AS (SELECT fa, SUM(v) AS s_a FROM bal GROUP BY fa),
+    cb AS (SELECT fb, SUM(v) AS s_b FROM bal GROUP BY fb),
+    cab AS (SELECT fa, fb, SUM(v) AS s_ab FROM bal GROUP BY fa, fb),
+    tot AS (SELECT SUM(v) AS g, SUM(v * v) AS ssq, CAST(COUNT(*) AS BIGINT) AS nt FROM bal),
+    dims AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM ca),
+    dims2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS q FROM cb),
+    sums AS (
+      SELECT (SELECT SUM(s_a * s_a) FROM ca) AS sum_a2,
+             (SELECT SUM(s_b * s_b) FROM cb) AS sum_b2,
+             (SELECT SUM(s_ab * s_ab) FROM cab) AS sum_ab2,
+             g, ssq, nt, p, q, mn.n AS n
+      FROM tot, dims, dims2, mn
+    ),
+    ss AS (
+      SELECT p, q, n,
+             ((sum_a2 / (q * n)) - ((g * g) / nt)) AS ss_a,
+             ((sum_b2 / (p * n)) - ((g * g) / nt)) AS ss_b,
+             ((sum_ab2 / n) - ((g * g) / nt)) AS ss_cells,
+             (ssq - ((g * g) / nt)) AS ss_tot
+      FROM sums
+    ),
+    ss2 AS (
+      SELECT p, q, n, ss_a, ss_b, ss_tot,
+             (ss_cells - ss_a - ss_b) AS ss_ab,
+             (ss_tot - ss_cells) AS ss_err,
+             CAST(p * q * (n - 1) AS DOUBLE) AS df_err
+      FROM ss
+    ),
+    rows_ AS (
+      SELECT 'factor_a' AS source, ss_a AS ss_eff, CAST(p - 1 AS DOUBLE) AS df_eff,
+             ss_err, df_err, ss_tot FROM ss2
+      UNION ALL
+      SELECT 'factor_b', ss_b, CAST(q - 1 AS DOUBLE), ss_err, df_err, ss_tot FROM ss2
+      UNION ALL
+      SELECT 'interaction', ss_ab, CAST((p - 1) * (q - 1) AS DOUBLE), ss_err, df_err, ss_tot FROM ss2
+    ),
+    f AS (
+      SELECT source, ss_eff, df_eff, ss_err, df_err, ss_tot,
+             ((ss_eff / df_eff) / (ss_err / df_err)) AS f_raw
+      FROM rows_
+    )
+    SELECT source,
+           CAST(ROUND(f_raw, 6) AS DOUBLE) AS f_stat,
+           CAST(ROUND({special.f_sf_sql('f_raw', 'df_eff', 'df_err')}, 9) AS DOUBLE) AS p_value,
+           CAST(ROUND(ss_eff / ss_tot, 6) AS DOUBLE) AS eta_sq
+    FROM f
+    """,
+    family="stats",
+)
+def q_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA with interaction (run_two_way_anova, analytics.py:
+    2390-2429 — statsmodels typ=2 over a crossed design; here the
+    balanced closed form, where Type I/II/III coincide). The design is
+    balanced deterministically: every (returnflag × linestatus) cell is
+    trimmed to the global minimum cell count in (orderkey, linenumber)
+    order. Emits F, p (F-tail), and eta_sq per source — all
+    hash-verified."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    cellr = li.select(
+        F.col("l_returnflag").alias("fa"),
+        F.col("l_linestatus").alias("fb"),
+        F.col("l_quantity").cast("double").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    mn = cellr.groupBy("fa", "fb").count().agg(F.min("count").cast("bigint").alias("n"))
+    bal = cellr.crossJoin(F.broadcast(mn)).filter(F.col("rn") <= F.col("n")).select("fa", "fb", "v")
+    ca = bal.groupBy("fa").agg(F.sum("v").alias("s_a"))
+    cb = bal.groupBy("fb").agg(F.sum("v").alias("s_b"))
+    cab = bal.groupBy("fa", "fb").agg(F.sum("v").alias("s_ab"))
+    tot = bal.agg(
+        F.sum("v").alias("g"),
+        F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    sums = (
+        tot.crossJoin(F.broadcast(ca.agg(F.sum(F.col("s_a") * F.col("s_a")).alias("sum_a2"))))
+        .crossJoin(F.broadcast(cb.agg(F.sum(F.col("s_b") * F.col("s_b")).alias("sum_b2"))))
+        .crossJoin(F.broadcast(cab.agg(F.sum(F.col("s_ab") * F.col("s_ab")).alias("sum_ab2"))))
+        .crossJoin(F.broadcast(ca.agg(F.count(F.lit(1)).cast("bigint").alias("p"))))
+        .crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).cast("bigint").alias("q"))))
+        .crossJoin(F.broadcast(mn))
+    )
+    cf = (F.col("g") * F.col("g")) / F.col("nt")
+    ss = sums.select(
+        "p", "q", "n",
+        ((F.col("sum_a2") / (F.col("q") * F.col("n"))) - cf).alias("ss_a"),
+        ((F.col("sum_b2") / (F.col("p") * F.col("n"))) - cf).alias("ss_b"),
+        ((F.col("sum_ab2") / F.col("n")) - cf).alias("ss_cells"),
+        (F.col("ssq") - cf).alias("ss_tot"),
+    )
+    ss2 = ss.select(
+        "p", "q", "n", "ss_a", "ss_b", "ss_tot",
+        (F.col("ss_cells") - F.col("ss_a") - F.col("ss_b")).alias("ss_ab"),
+        (F.col("ss_tot") - F.col("ss_cells")).alias("ss_err"),
+        (F.col("p") * F.col("q") * (F.col("n") - 1)).cast("double").alias("df_err"),
+    )
+
+    def row(source: str, ss_eff, df_eff):
+        return ss2.select(
+            F.lit(source).alias("source"),
+            ss_eff.alias("ss_eff"),
+            df_eff.cast("double").alias("df_eff"),
+            "ss_err", "df_err", "ss_tot",
+        )
+
+    rows = (
+        row("factor_a", F.col("ss_a"), F.col("p") - 1)
+        .unionByName(row("factor_b", F.col("ss_b"), F.col("q") - 1))
+        .unionByName(row("interaction", F.col("ss_ab"), (F.col("p") - 1) * (F.col("q") - 1)))
+    )
+    f_raw = (F.col("ss_eff") / F.col("df_eff")) / (F.col("ss_err") / F.col("df_err"))
+    f = rows.withColumn("f_raw", f_raw)
+    return f.select(
+        "source",
+        F.round("f_raw", 6).alias("f_stat"),
+        F.round(special.f_sf_spark(F.col("f_raw"), F.col("df_eff"), F.col("df_err")), 9).alias("p_value"),
+        F.round(F.col("ss_eff") / F.col("ss_tot"), 6).alias("eta_sq"),
+    )
+
+
+def _eigen_oracle() -> str:
+    from ..ops.graph import eigenvector_oracle_sql
+
+    pairs = f"""{_mentions_cte()},
+    pairs AS (
+      SELECT a.term_id AS src, b.term_id AS dst,
+             CAST(COUNT(DISTINCT a.doc_id) AS DOUBLE) AS w
+      FROM mentions a JOIN mentions b
+        ON a.doc_id = b.doc_id AND a.term_id <> b.term_id
+      GROUP BY a.term_id, b.term_id
+    )"""
+    return eigenvector_oracle_sql(pairs, iters=12)
+
+
+@register("q_kg_eigenvector", _eigen_oracle(), family="graph")
+def q_kg_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted eigenvector centrality over the co-mention graph
+    (nx.eigenvector_centrality_numpy in most_central_edge, analytics.py:
+    2278-2290) — 12 power iterations, hash-verified against the
+    unrolled-iteration DuckDB twin (ops/graph.py). Edge weights are
+    shared-document counts; both directions present, so A is symmetric."""
+    from ..ops.graph import eigenvector_centrality
+
+    m = _doc_mentions_df(spark, sf_dir)
+    a = m.select(F.col("canonical_id").alias("ta"), F.col("url").alias("doc"))
+    b = m.select(F.col("canonical_id").alias("tb"), F.col("url").alias("doc"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("ta") != F.col("tb"))
+        .groupBy(F.col("ta").alias("src"), F.col("tb").alias("dst"))
+        .agg(F.countDistinct("doc").cast("double").alias("w"))
+    )
+    x = eigenvector_centrality(pairs, "src", "dst", "w", iters=12)
+    return x.select(F.col("id").alias("term_id"), F.round("val", 6).alias("centrality"))

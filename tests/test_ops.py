@@ -672,3 +672,26 @@ def test_ngram_overlap_detects_planted_contamination(spark):
     assert (out[0]["left_id"], out[0]["right_id"]) == (2, 100)
     # 10-token leak contains 3 full 8-grams
     assert out[0]["n_shared"] == 3
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    import pandas as pd
+
+    from ckg_spark.ops.graph import eigenvector_centrality
+
+    # weighted undirected triangle + pendant
+    und = [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 0.5)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    got = {
+        r["id"]: r["val"]
+        for r in eigenvector_centrality(edges, "src", "dst", "w", iters=40).collect()
+    }
+    A = np.zeros((4, 4))
+    for a, b, w in und:
+        A[a, b] = A[b, a] = w
+    vals, vecs = np.linalg.eigh(A)
+    v = vecs[:, np.argmax(vals)]
+    v = np.abs(v) / np.linalg.norm(v)  # principal eigenvector, positive
+    for i in range(4):
+        assert got[i] == pytest.approx(v[i], abs=1e-6)
