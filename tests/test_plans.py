@@ -189,3 +189,48 @@ def test_stats_pack_plans_stay_jvm_side(spark):
         plan = plan_of(CATALOG[q].spark_fn(spark, SF_DIR))
         assert "EvalPython" not in plan, q
         assert plan.count(") Exchange") <= 3, q
+
+
+def test_new_stats_queries_stay_jvm_side(spark):
+    """Round-2 additions: survival, RM-ANOVA, normalization family, and
+    two-way ANOVA are pure JVM column math — no Python evaluator — and
+    their scalar combiners are broadcast, never shuffled joins."""
+    for q in [
+        "q_kaplan_meier",
+        "q_logrank",
+        "q_rm_anova",
+        "q_anova_twoway",
+        "q_quantile_normalize",
+        "q_median_polish",
+        "q_l2_normalize",
+        "q_impute_knn",
+    ]:
+        plan = plan_of(CATALOG[q].spark_fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, q
+    # the ANOVA scalar frames must combine via broadcast (1-row frames)
+    plan = plan_of(CATALOG["q_anova_twoway"].spark_fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_sample_prunes_columns(spark):
+    """The deterministic sample reads only (doc_id, source) — the text
+    column must be pruned from the scan."""
+    plan = plan_of(CATALOG["q_stratified_sample"].spark_fn(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "text" not in read_schema
+    assert "EvalPython" not in plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Every Lloyd iteration joins points to the k*d centroid frame by
+    broadcast — a SortMergeJoin would shuffle the corpus per iteration."""
+    from ckg_spark.ops.cluster import kmeans_assign
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pts = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+    plan = plan_of(kmeans_assign(pts, k=4, iters=2, id_col="vec_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
