@@ -2746,3 +2746,141 @@ def q_kg_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = eigenvector_centrality(pairs, "src", "dst", "w", iters=12)
     return x.select(F.col("id").alias("term_id"), F.round("val", 6).alias("centrality"))
+
+
+def _perm_fdr_sql() -> str:
+    from ..ops.curation import split_u_sql
+
+    t_expr = (
+        "((AVG(CASE WHEN is_f THEN v END) - AVG(CASE WHEN NOT is_f THEN v END))"
+        " / SQRT(VAR_SAMP(CASE WHEN is_f THEN v END) / COUNT(CASE WHEN is_f THEN 1 END)"
+        " + VAR_SAMP(CASE WHEN NOT is_f THEN v END) / COUNT(CASE WHEN NOT is_f THEN 1 END)))"
+    )
+    u = split_u_sql("(b.rid * 131 + t.k)")
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag AS feat,
+             (l_orderkey * 8 + l_linenumber) AS rid,
+             CAST(l_quantity AS DOUBLE) AS v,
+             (l_linestatus = 'F') AS is_f
+      FROM lineitem WHERE l_linestatus IN ('F', 'O')
+    ),
+    cnt AS (
+      SELECT feat, CAST(SUM(CASE WHEN is_f THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM base GROUP BY feat
+    ),
+    obs AS (SELECT feat, {t_expr} AS t_obs FROM base GROUP BY feat),
+    perm AS (
+      SELECT b.feat, b.rid, b.v, t.k, {u} AS u
+      FROM base b, UNNEST(generate_series(1, 20)) AS t(k)
+    ),
+    ranked AS (
+      SELECT feat, v, k,
+             ROW_NUMBER() OVER (PARTITION BY feat, k ORDER BY u ASC, rid ASC) AS rn
+      FROM perm
+    ),
+    lab AS (
+      SELECT r.feat, r.k, r.v, (r.rn <= c.n1) AS is_f
+      FROM ranked r JOIN cnt c ON r.feat = c.feat
+    ),
+    pt AS (SELECT feat, k, {t_expr} AS t_k FROM lab GROUP BY feat, k),
+    pp AS (
+      SELECT o.feat, o.t_obs,
+             (1.0 + SUM(CASE WHEN ABS(p.t_k) >= ABS(o.t_obs) THEN 1 ELSE 0 END)) / 21.0 AS p_perm
+      FROM obs o JOIN pt p ON p.feat = o.feat
+      GROUP BY o.feat, o.t_obs
+    ),
+    rr AS (
+      SELECT feat, t_obs, p_perm,
+             ROW_NUMBER() OVER (ORDER BY p_perm ASC, feat ASC) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pp
+    )
+    SELECT feat AS l_returnflag,
+           CAST(ROUND(t_obs, 6) AS DOUBLE) AS t_stat,
+           CAST(ROUND(p_perm, 9) AS DOUBLE) AS p_perm,
+           CAST(ROUND(LEAST(1.0, MIN((p_perm * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj
+    FROM rr
+    """
+
+
+@register("q_ttest_permutation_fdr", _perm_fdr_sql(), family="stats")
+def q_ttest_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation-based FDR for the per-feature two-group t-test
+    (apply_pvalue_permutation_fdrcorrection, analytics.py:923-989 — the
+    reference shuffles labels with a seeded numpy RNG; here the K=20
+    permutations are DETERMINISTIC: rows rank by the lowbias32 uniform
+    keyed on (row, k) and the first n1 ranks take group 1, which is a
+    true label permutation preserving group sizes). The K-fold expansion
+    is one explode; each permutation's t reuses the Welch conditional
+    aggregation; the permutation p-value is the standard
+    (1 + #{|t_k| >= |t_obs|}) / (K+1), then BH across features.
+    Fully hash-verified."""
+    from ..ops.curation import split_u
+
+    K = 20
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_linestatus").isin("F", "O")).select(
+        F.col("l_returnflag").alias("feat"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("v"),
+        (F.col("l_linestatus") == "F").alias("is_f"),
+    )
+
+    def t_stat_agg():
+        fv = F.when(F.col("is_f"), F.col("v"))
+        ov = F.when(~F.col("is_f"), F.col("v"))
+        return (
+            (F.avg(fv) - F.avg(ov))
+            / F.sqrt(
+                F.var_samp(fv) / F.count(fv) + F.var_samp(ov) / F.count(ov)
+            )
+        )
+
+    cnt = base.groupBy("feat").agg(
+        F.sum(F.when(F.col("is_f"), 1).otherwise(0)).cast("bigint").alias("n1")
+    )
+    obs = base.groupBy("feat").agg(t_stat_agg().alias("t_obs"))
+    perm = base.select(
+        "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
+    ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    w = Window.partitionBy("feat", "k").orderBy(F.col("u").asc(), F.col("rid").asc())
+    ranked = perm.select("feat", "v", "k", F.row_number().over(w).alias("rn"))
+    lab = ranked.join(F.broadcast(cnt), "feat").select(
+        "feat", "k", "v", (F.col("rn") <= F.col("n1")).alias("is_f")
+    )
+    pt = lab.groupBy("feat", "k").agg(t_stat_agg().alias("t_k"))
+    pp = (
+        obs.join(pt, "feat")
+        .groupBy("feat", "t_obs")
+        .agg(
+            (
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("t_k")) >= F.abs(F.col("t_obs")), 1
+                        ).otherwise(0)
+                    )
+                )
+                / F.lit(float(K + 1))
+            ).alias("p_perm")
+        )
+    )
+    rr = pp.select(
+        "feat",
+        "t_obs",
+        "p_perm",
+        F.row_number().over(Window.orderBy(F.col("p_perm").asc(), F.col("feat").asc())).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(F.lit(1.0), F.min((F.col("p_perm") * F.col("m")) / F.col("rn")).over(tail))
+    return rr.select(
+        F.col("feat").alias("l_returnflag"),
+        F.round("t_obs", 6).alias("t_stat"),
+        F.round("p_perm", 9).alias("p_perm"),
+        F.round(p_adj, 9).alias("p_adj"),
+    )
