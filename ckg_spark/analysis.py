@@ -1,0 +1,261 @@
+"""Analysis dispatcher — the engine's twin of the reference's
+``analytics_core/analytics_factory.py`` (Analysis class, :9-200):
+a string-keyed dispatch from analysis-type + args dict to the
+distributed operator, so report configs (the reference drives this from
+YAML) can run unchanged against Spark frames.
+
+Differences from the reference, by design:
+
+- every dispatched operator is a DISTRIBUTED DataFrame plan (the
+  reference collects to pandas/scipy); results come back as DataFrames.
+- driver-side-only analyses (tsne, umap, mapper, SAMR, WGCNA) are not
+  dispatched — `SUPPORTED` is the contract. The reference's own
+  factory silently no-ops unknown types; here unknown types raise.
+
+Data conventions per analysis type are documented in each handler;
+long-format column names arrive via ``args`` exactly like the
+reference's kwargs-from-YAML.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _summary(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    return stats.summary_stats(df, a.get("value_col", "value"), a.get("group_cols", []))
+
+
+def _normalization(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    method = a.get("method", "median_polish")
+    value = a.get("value_col", "value")
+    v = F.col(value).cast("double")
+    if method == "zscore":
+        return stats.zscore(df, value, a.get("group_cols", []))
+    if method == "median":
+        # normalization_median (analytics.py:375-391): center on the
+        # sample's exact median
+        w = Window.partitionBy(a.get("sample_col", "sample"))
+        return df.withColumn(
+            "value_norm",
+            F.round(v - F.expr(f"percentile({value}, 0.5)").over(w), 6),
+        )
+    if method == "l2":
+        w = Window.partitionBy(a.get("sample_col", "sample"))
+        return df.withColumn(
+            "value_norm", F.round(v / F.sqrt(F.sum(v * v).over(w)), 6)
+        )
+    if method == "quantile":
+        return stats.quantile_normalize(
+            df, a.get("sample_col", "sample"), a.get("key_cols", ["identifier"]), value
+        )
+    if method == "median_polish":
+        return stats.median_polish(
+            df,
+            a.get("row_col", "identifier"),
+            a.get("sample_col", "sample"),
+            value,
+            sweeps=a.get("sweeps", 2),
+        )
+    raise ValueError(f"unknown normalization method {method!r}")
+
+
+def _imputation(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import impute
+
+    method = a.get("method", "group_median")
+    value = a.get("value_col", "value")
+    missing = a.get("is_missing", F.col(value).isNull())
+    if method == "group_median":
+        return impute.impute_group_median(df, a.get("group_cols", []), value, missing)
+    if method == "downshift":
+        return impute.impute_normal_downshift(
+            df, a.get("group_cols", []), value, missing, shift=a.get("shift", 1.8)
+        )
+    if method == "knn":
+        return impute.impute_knn(
+            df,
+            a.get("sample_col", "sample"),
+            a.get("feature_col", "identifier"),
+            value,
+            missing,
+            k=a.get("k", 5),
+        )
+    raise ValueError(f"unknown imputation method {method!r}")
+
+
+def _pca(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.pca import pca_project
+
+    projected, _comps, _ev = pca_project(
+        df,
+        a["feature_cols"],
+        k=a.get("components", 2),
+        id_cols=a.get("id_cols", []),
+    )
+    return projected
+
+
+def _ttest(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    r = stats.welch_ttest(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        a["group_a"],
+        a["group_b"],
+    )
+    if a.get("correction", "fdr_bh") == "fdr_bh":
+        r = stats.bh_adjust(
+            r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
+        )
+    return r
+
+
+def _anova(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    r = stats.anova_oneway(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+    )
+    if a.get("correction", "fdr_bh") == "fdr_bh":
+        r = stats.bh_adjust(
+            r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
+        )
+    return r
+
+
+def _survival(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.survival import kaplan_meier
+
+    return kaplan_meier(
+        df,
+        a.get("time_col", "duration"),
+        F.col(a.get("event_col", "event")),
+        a.get("group_cols", ["group"]),
+    )
+
+
+def _logrank(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.survival import logrank_statistic
+
+    return logrank_statistic(
+        df,
+        a.get("time_col", "duration"),
+        F.col(a.get("event_col", "event")),
+        a.get("group_col", "group"),
+    )
+
+
+def _clustering(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.cluster import kmeans_assign
+
+    return kmeans_assign(
+        df,
+        k=a.get("k", 10),
+        iters=a.get("iters", 6),
+        id_col=a.get("id_col", "id"),
+        dim_col=a.get("dim_col", "dim"),
+        val_col=a.get("val_col", "val"),
+    )
+
+
+def _communities(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import label_propagation
+
+    return label_propagation(
+        df,
+        src=a.get("src", "subj"),
+        dst=a.get("dst", "obj"),
+        iterations=a.get("iters", 10),
+    )
+
+
+def _pagerank(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import pagerank
+
+    return pagerank(
+        df,
+        src=a.get("src", "subj"),
+        dst=a.get("dst", "obj"),
+        damping=a.get("damping", 0.85),
+        iterations=a.get("iters", 15),
+    )
+
+
+def _eigenvector(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import eigenvector_centrality
+
+    return eigenvector_centrality(
+        df,
+        src=a.get("src", "src"),
+        dst=a.get("dst", "dst"),
+        weight=a.get("weight"),
+        iters=a.get("iters", 12),
+    )
+
+
+SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "summary": _summary,
+    "normalization": _normalization,
+    "imputation": _imputation,
+    "pca": _pca,
+    "ttest": _ttest,
+    "anova": _anova,
+    "survival": _survival,
+    "logrank": _logrank,
+    "clustering": _clustering,
+    "communities": _communities,
+    "pagerank": _pagerank,
+    "eigenvector": _eigenvector,
+}
+
+
+def run_analysis(df: DataFrame, analysis_type: str, args: dict | None = None) -> DataFrame:
+    """Dispatch one analysis (≙ Analysis.generate_result,
+    analytics_factory.py:60-200). Unknown types raise (the reference
+    silently skips them — an error is kinder)."""
+    if analysis_type not in SUPPORTED:
+        raise ValueError(
+            f"unsupported analysis_type {analysis_type!r}; supported: {sorted(SUPPORTED)}"
+        )
+    return SUPPORTED[analysis_type](df, args or {})
+
+
+class Analysis:
+    """API-shape twin of the reference's Analysis container
+    (analytics_factory.py:9-58): identifier + type + args + data, with
+    ``generate_result()`` populating ``self.result[analysis_type]``."""
+
+    def __init__(
+        self,
+        identifier: str,
+        analysis_type: str,
+        args: dict[str, Any],
+        data: DataFrame,
+        result: dict | None = None,
+    ):
+        self.identifier = identifier
+        self.analysis_type = analysis_type
+        self.args = args
+        self.data = data
+        self.result = result if result is not None else {}
+
+    def generate_result(self) -> dict:
+        self.result[self.analysis_type] = run_analysis(
+            self.data, self.analysis_type, self.args
+        )
+        return self.result

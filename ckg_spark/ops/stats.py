@@ -1,0 +1,203 @@
+"""Column-parameterized statistical operators (the generic spellings of
+the catalog's oracle-verified stats queries).
+
+The catalog entries in queries/catalog.py inline each formula against a
+fixed test table so every constant of the arithmetic graph is mirrored
+in a DuckDB oracle; THESE functions are the reusable API the analysis
+dispatcher (ckg_spark/analysis.py ≙ the reference's
+analytics_core/analytics_factory.py) hands user frames to. The
+arithmetic is identical — tests assert the generic spelling reproduces
+the catalog queries' hash-verified outputs on the same framing.
+
+All inputs are LONG format: one row per observation, with caller-named
+feature / group / value columns. Everything stays JVM column math;
+p-values come from ops/special.py's dual-backend tails.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import special
+
+
+def summary_stats(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group n / mean / stddev / min / max / exact median
+    (get_summary_data_matrix, analytics_factory 'summary')."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.count(v).cast("bigint").alias("n"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.stddev_samp(v), 6).alias("stddev"),
+        F.round(F.min(v), 6).alias("min"),
+        F.round(F.max(v), 6).alias("max"),
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("median"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Per-feature Welch two-sample t-test: (feature, n1, n2, t_stat,
+    dof, p_value) — the generic spelling of q_welch_ttest
+    (calculate_ttest, analytics.py:859-989). One conditional
+    aggregation; the t tail is the dual-backend incomplete beta."""
+    v = F.col(value_col).cast("double")
+    av = F.when(F.col(group_col) == group_a, v)
+    bv = F.when(F.col(group_col) == group_b, v)
+    s = df.groupBy(feature_col).agg(
+        F.avg(av).alias("m1"),
+        F.avg(bv).alias("m2"),
+        F.var_samp(av).alias("v1"),
+        F.var_samp(bv).alias("v2"),
+        F.count(av).alias("n1"),
+        F.count(bv).alias("n2"),
+    )
+    w = s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        feature_col,
+        "n1",
+        "n2",
+        (F.col("v1") / F.col("n1")).alias("se1"),
+        (F.col("v2") / F.col("n2")).alias("se2"),
+        "m1",
+        "m2",
+    )
+    t_raw = (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2"))
+    dof_raw = ((F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))) / (
+        (F.col("se1") * F.col("se1")) / (F.col("n1") - 1)
+        + (F.col("se2") * F.col("se2")) / (F.col("n2") - 1)
+    )
+    w2 = w.select(
+        feature_col,
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        t_raw.alias("t_raw"),
+        dof_raw.alias("dof_raw"),
+    )
+    return w2.select(
+        feature_col,
+        "n1",
+        "n2",
+        F.round("t_raw", 6).alias("t_stat"),
+        F.round("dof_raw", 6).alias("dof"),
+        F.round(special.t_sf2_spark(F.col("t_raw"), F.col("dof_raw")), 9).alias(
+            "p_value"
+        ),
+    )
+
+
+def bh_adjust(
+    df: DataFrame, p_col: str, key_cols: list[str], alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini-Hochberg adjustment (apply_pvalue_correction,
+    analytics.py:1663-1736): adds ``p_adj`` and ``rejected`` columns.
+    Rank ascending by p (keys as tiebreak), reverse running-min of
+    p*m/rank, clamp to 1. The frame is post-aggregation (one row per
+    feature) so the unpartitioned windows are dimension-sized."""
+    order = [F.col(p_col).asc()] + [F.col(k).asc() for k in key_cols]
+    r = df.select(
+        "*",
+        F.row_number().over(Window.orderBy(*order)).alias("__rn__"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m__"),
+    )
+    tail = Window.orderBy(F.desc("__rn__")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(
+        F.lit(1.0), F.min((F.col(p_col) * F.col("__m__")) / F.col("__rn__")).over(tail)
+    )
+    return (
+        r.withColumn("p_adj", F.round(p_adj, 9))
+        .withColumn(
+            "rejected", F.when(p_adj < F.lit(alpha), 1).otherwise(0).cast("int")
+        )
+        .drop("__rn__", "__m__")
+    )
+
+
+def anova_oneway(
+    df: DataFrame, feature_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-feature one-way ANOVA: (feature, n_groups, n_obs, f_stat,
+    p_value) — generic q_anova_oneway (calculate_anova,
+    analytics.py:1408-1478)."""
+    v = F.col(value_col).cast("double")
+    g = df.groupBy(feature_col, group_col).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("ss_g"),
+    )
+    a = g.groupBy(feature_col).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("grand_s"),
+        F.sum((F.col("s_g") * F.col("s_g")) / F.col("n_g")).alias("sum_gr"),
+        F.sum("ss_g").alias("ss_tot"),
+    )
+    f = a.filter((F.col("k") > 1) & (F.col("n") > F.col("k"))).select(
+        feature_col,
+        "k",
+        "n",
+        (F.col("sum_gr") - (F.col("grand_s") * F.col("grand_s")) / F.col("n")).alias("ssb"),
+        (F.col("ss_tot") - F.col("sum_gr")).alias("ssw"),
+    )
+    f_raw = (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k")))
+    f2 = f.select(feature_col, "k", "n", f_raw.alias("f_raw"))
+    d1 = F.col("k").cast("double") - F.lit(1.0)
+    d2 = F.col("n").cast("double") - F.col("k").cast("double")
+    return f2.select(
+        feature_col,
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        F.round("f_raw", 6).alias("f_stat"),
+        F.round(special.f_sf_spark(F.col("f_raw"), d1, d2), 9).alias("p_value"),
+    )
+
+
+def zscore(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group z-score normalization ('normalization' method zscore,
+    analytics.py:392-414): adds ``value_norm``."""
+    w = Window.partitionBy(*group_cols)
+    v = F.col(value_col).cast("double")
+    return df.withColumn(
+        "value_norm",
+        F.round((v - F.avg(v).over(w)) / F.stddev_samp(v).over(w), 6),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame, sample_col: str, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """Quantile normalization across samples (analytics.py:442-458):
+    (key_cols..., sample, value_norm) — rank within sample, replace with
+    cross-sample mean at that rank (id-tiebroken; see
+    q_quantile_normalize)."""
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(sample_col).orderBy(
+        v.asc(), *[F.col(k).asc() for k in key_cols]
+    )
+    ranked = df.withColumn("__rk__", F.row_number().over(w))
+    ref = ranked.groupBy("__rk__").agg(F.avg(v).alias("__mv__"))
+    return (
+        ranked.join(F.broadcast(ref), "__rk__")
+        .select(*key_cols, sample_col, F.round("__mv__", 6).alias("value_norm"))
+    )
+
+
+def median_polish(
+    df: DataFrame, row_col: str, col_col: str, value_col: str, sweeps: int = 2
+) -> DataFrame:
+    """Tukey median polish residuals (analytics.py:415-441): fixed
+    ``sweeps`` of alternating exact row/column median subtraction."""
+    out = df.withColumn("__r__", F.col(value_col).cast("double"))
+    for part in [row_col, col_col] * sweeps:
+        w = Window.partitionBy(part)
+        out = out.withColumn(
+            "__r__", F.col("__r__") - F.expr("percentile(__r__, 0.5)").over(w)
+        )
+    return out.select(row_col, col_col, F.round("__r__", 6).alias("residual"))
