@@ -104,6 +104,25 @@ def _pca(df: DataFrame, a: dict) -> DataFrame:
     return projected
 
 
+def _maybe_correct(r: DataFrame, a: dict) -> DataFrame:
+    """Apply the requested p-value correction; 'none' skips, anything
+    other than the supported methods RAISES — a typo'd correction name
+    silently returning raw p-values is exactly the failure mode this
+    dispatcher exists to prevent."""
+    from .ops import stats
+
+    correction = a.get("correction", "fdr_bh")
+    if correction in (None, "none"):
+        return r
+    if correction == "fdr_bh":
+        return stats.bh_adjust(
+            r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
+        )
+    raise ValueError(
+        f"unknown correction {correction!r} (supported: 'fdr_bh', 'none')"
+    )
+
+
 def _ttest(df: DataFrame, a: dict) -> DataFrame:
     from .ops import stats
 
@@ -115,11 +134,7 @@ def _ttest(df: DataFrame, a: dict) -> DataFrame:
         a["group_a"],
         a["group_b"],
     )
-    if a.get("correction", "fdr_bh") == "fdr_bh":
-        r = stats.bh_adjust(
-            r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
-        )
-    return r
+    return _maybe_correct(r, a)
 
 
 def _anova(df: DataFrame, a: dict) -> DataFrame:
@@ -131,11 +146,7 @@ def _anova(df: DataFrame, a: dict) -> DataFrame:
         a.get("group_col", "group"),
         a.get("value_col", "value"),
     )
-    if a.get("correction", "fdr_bh") == "fdr_bh":
-        r = stats.bh_adjust(
-            r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
-        )
-    return r
+    return _maybe_correct(r, a)
 
 
 def _survival(df: DataFrame, a: dict) -> DataFrame:

@@ -40,12 +40,26 @@ def kmeans_assign(
     val_col: str = "val",
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations and return the final assignment
-    (id_col, cluster). ``points`` is the melted (id, dim, val) matrix."""
+    (id_col, cluster). ``points`` is the melted (id, dim, val) matrix.
+
+    The points frame is localCheckpoint-ed ONCE: every iteration's eager
+    centroid job and the distance joins read it, and without the
+    checkpoint an expensive upstream plan (tagger, embedding pipeline)
+    would re-execute twice per iteration — the same guard
+    ops/graph.py::eigenvector_centrality applies to its edge frame.
+
+    Hash-oracle caveat: the cross-engine assignment equality rides on
+    unrounded float distance sums whose accumulation order differs
+    between engines (~1 ulp); a point equidistant from two centroids to
+    within that noise could flip its argmin on one engine only. No
+    tolerance can remove the boundary (rounding just moves it); with
+    real-valued embeddings exact near-ties are measure-zero, and the
+    repartition-determinism test guards the Spark side."""
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(dim_col).alias("dim"),
         F.col(val_col).cast("double").alias("val"),
-    )
+    ).localCheckpoint(eager=True)
 
     seeds = (
         pts.select("id")

@@ -38,19 +38,28 @@ _M32 = 4294967296
 
 
 def split_u(id_col: Column) -> Column:
-    """Deterministic uniform [0, 1) per integer id — lowbias32 mix."""
-    h = id_col.cast("long") % F.lit(_M32)
+    """Deterministic uniform [0, 1) per integer id — lowbias32 mix.
+    pmod (not %) so NEGATIVE ids (signed string-key hashes) land in
+    [0, 2^32) too — plain % keeps the dividend's sign on both engines
+    and would push every negative id to u < 0 (i.e. always 'train')."""
+    h = F.pmod(id_col.cast("long"), F.lit(_M32))
     for _ in range(2):
-        h = (F.shiftright(h, 16).bitwiseXOR(h) * F.lit(_MIX)) % F.lit(_M32)
+        h = F.pmod(F.shiftright(h, 16).bitwiseXOR(h) * F.lit(_MIX), F.lit(_M32))
     h = F.shiftright(h, 16).bitwiseXOR(h)
     return h.cast("double") / F.lit(float(_M32))
 
 
 def split_u_sql(id_expr: str) -> str:
-    """The identical mix as DuckDB SQL text (xor()/>> on BIGINT)."""
-    h = f"(({id_expr}) % {_M32})"
+    """The identical mix as DuckDB SQL text (xor()/>> on BIGINT);
+    positive modulus via ((x % m) + m) % m — DuckDB's % is also
+    sign-preserving."""
+
+    def pmod(x: str) -> str:
+        return f"((({x} % {_M32}) + {_M32}) % {_M32})"
+
+    h = pmod(f"({id_expr})")
     for _ in range(2):
-        h = f"((xor({h} >> 16, {h}) * {_MIX}) % {_M32})"
+        h = pmod(f"(xor({h} >> 16, {h}) * {_MIX})")
     h = f"xor({h} >> 16, {h})"
     return f"(CAST({h} AS DOUBLE) / {_M32}.0)"
 
@@ -92,10 +101,12 @@ def _full_ngrams(text_col: str, n: int):
     """array<string> of the FULL word n-grams of a text column (distinct;
     docs shorter than n tokens yield an empty array). slice+array_join —
     one slice per position instead of n element_at calls; partials never
-    exist, so no post-hoc re-split filter."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
-    )
+    exist, so no post-hoc re-split filter. Tokenization is the one
+    shared spelling (textstats.tokens_col) so the contamination screen
+    can never drift from q_doc_token_stats' token definition."""
+    from .textstats import tokens_col
+
+    toks = tokens_col(F.col(text_col))
 
     def grams(tk):
         idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))

@@ -96,16 +96,56 @@ def logrank_statistic(
 ) -> DataFrame:
     """Multivariate log-rank chi-square statistic across the groups of
     ``group_col`` (kaplan_meierAnalysis.py:73-76
-    ``multivariate_logrank_test``).  Returns one row:
-    (n_groups, dof, chi2).  The per-time expected deaths need the
-    POOLED risk set, so the group risk table joins its per-time totals
-    back — the join key is the bounded time grid, broadcast-safe."""
-    r = _risk_table(df, duration_col, event_col, [group_col])
-    totals = r.groupBy(duration_col).agg(
-        F.sum("n_event").alias("d_t"),
-        F.sum("n_risk").alias("n_t"),
+    ``multivariate_logrank_test``; the standard conservative
+    sum((O-E)^2/E) form).  Returns one row: (n_groups, dof, chi2,
+    p_value).
+
+    Correctness subtlety: at every POOLED event time, EVERY group's
+    at-risk count must enter the expected-death calculation — including
+    groups with no subject whose duration equals that exact time (with
+    near-continuous durations that is almost all (group, time) cells).
+    The group risk table alone cannot provide those rows, so the pooled
+    event-time grid is merged INTO each group's descending-time
+    cumulative count: marker rows (one per group x event time) sort
+    after the group's real rows at the same time, and the running sum of
+    subject counts at each marker IS that group's at-risk count there —
+    one window pass over a timeline bounded by |times| x |groups|, no
+    range join."""
+    g = df.groupBy(group_col, duration_col).agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum(F.when(event_col, 1).otherwise(0)).cast("bigint").alias("n_event"),
     )
-    j = r.join(F.broadcast(totals), duration_col).filter(F.col("d_t") > 0)
+    times = (
+        g.groupBy(duration_col)
+        .agg(F.sum("n_event").cast("bigint").alias("d_t"))
+        .filter(F.col("d_t") > 0)
+    )
+    groups = g.select(group_col).distinct()
+    grid = times.select(duration_col).crossJoin(groups)
+    um = g.select(
+        group_col, duration_col, F.col("n_i"), F.lit(0).alias("mk")
+    ).unionByName(
+        grid.select(
+            group_col, duration_col, F.lit(0).alias("n_i"), F.lit(1).alias("mk")
+        )
+    )
+    w_desc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(duration_col).desc(), F.col("mk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = (
+        um.withColumn("n_risk", F.sum("n_i").over(w_desc))
+        .filter(F.col("mk") == 1)
+        .select(group_col, duration_col, "n_risk")
+    )
+    n_t = risk.groupBy(duration_col).agg(F.sum("n_risk").alias("n_t"))
+    obs = risk.join(
+        g.select(group_col, duration_col, "n_event"),
+        [group_col, duration_col],
+        "left",
+    ).withColumn("n_event", F.coalesce(F.col("n_event"), F.lit(0)))
+    j = obs.join(F.broadcast(times), duration_col).join(F.broadcast(n_t), duration_col)
     expected = F.col("n_risk").cast("double") * F.col("d_t").cast("double") / F.col(
         "n_t"
     ).cast("double")

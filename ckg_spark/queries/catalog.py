@@ -2037,13 +2037,31 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_logrank",
     f"""
     WITH {_KM_DURATIONS},
-    tot AS (
-      SELECT t, CAST(SUM(n_event) AS BIGINT) AS d_t, CAST(SUM(n_risk) AS BIGINT) AS n_t
-      FROM r GROUP BY t
+    tms AS (
+      SELECT t, CAST(SUM(n_event) AS BIGINT) AS d_t
+      FROM g GROUP BY t HAVING SUM(n_event) > 0
+    ),
+    grps AS (SELECT DISTINCT grp FROM g),
+    um AS (
+      SELECT grp, t, n_i, 0 AS mk FROM g
+      UNION ALL
+      SELECT grps.grp, tms.t, 0 AS n_i, 1 AS mk FROM grps, tms
+    ),
+    rk AS (
+      SELECT grp, t, mk,
+             SUM(n_i) OVER (PARTITION BY grp ORDER BY t DESC, mk ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM um
+    ),
+    r2 AS (SELECT grp, t, n_risk FROM rk WHERE mk = 1),
+    ntot AS (SELECT t, SUM(n_risk) AS n_t FROM r2 GROUP BY t),
+    ob AS (
+      SELECT r2.grp, r2.t, r2.n_risk, COALESCE(g.n_event, 0) AS n_event
+      FROM r2 LEFT JOIN g ON g.grp = r2.grp AND g.t = r2.t
     ),
     j AS (
-      SELECT r.grp, r.n_event, r.n_risk, tot.d_t, tot.n_t
-      FROM r JOIN tot ON r.t = tot.t WHERE tot.d_t > 0
+      SELECT o.grp, o.n_event, o.n_risk, tms.d_t, ntot.n_t
+      FROM ob o JOIN tms ON o.t = tms.t JOIN ntot ON o.t = ntot.t
     ),
     pg AS (
       SELECT grp, CAST(SUM(n_event) AS DOUBLE) AS o_g,
@@ -2657,7 +2675,15 @@ def q_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
     )
     mn = cellr.groupBy("fa", "fb").count().agg(F.min("count").cast("bigint").alias("n"))
-    bal = cellr.crossJoin(F.broadcast(mn)).filter(F.col("rn") <= F.col("n")).select("fa", "fb", "v")
+    # the balanced frame feeds SIX scalar aggregates (ca/cb/cab/tot/p/q);
+    # checkpoint it once or each broadcast-aggregate job re-runs the
+    # corpus-scale balancing window sort
+    bal = (
+        cellr.crossJoin(F.broadcast(mn))
+        .filter(F.col("rn") <= F.col("n"))
+        .select("fa", "fb", "v")
+        .localCheckpoint(eager=True)
+    )
     ca = bal.groupBy("fa").agg(F.sum("v").alias("s_a"))
     cb = bal.groupBy("fb").agg(F.sum("v").alias("s_b"))
     cab = bal.groupBy("fa", "fb").agg(F.sum("v").alias("s_ab"))

@@ -229,9 +229,13 @@ def read_xml_records(
     each other.
     """
     import pandas as pd
+    import re as _re
 
     close = f"</{record_tag}>"
-    open_pat = f"<{record_tag}"
+    # tag-BOUNDARY match: '<drug' must not hit '<drugbank' (the root of
+    # the exact dump the docstring cites) — the opener must be followed
+    # by whitespace, '>', or '/'
+    open_re = _re.compile(f"<{_re.escape(record_tag)}[\\s/>]")
     scalar = list(fields)
     arrays = list(list_fields or [])
     schema = ", ".join(
@@ -249,10 +253,10 @@ def read_xml_records(
             for chunk in pdf["value"]:
                 if chunk is None:
                     continue
-                start = chunk.find(open_pat)
-                if start < 0:
+                m = open_re.search(chunk)
+                if m is None:
                     continue  # preamble/epilogue chunk (</root>, xml decl)
-                xml = chunk[start:] + close
+                xml = chunk[m.start():] + close
                 try:
                     root = ET.fromstring(xml)
                 except ET.ParseError:

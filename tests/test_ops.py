@@ -695,3 +695,21 @@ def test_eigenvector_centrality_matches_numpy(spark):
     v = np.abs(v) / np.linalg.norm(v)  # principal eigenvector, positive
     for i in range(4):
         assert got[i] == pytest.approx(v[i], abs=1e-6)
+
+
+def test_split_u_negative_ids_stay_in_unit_interval(spark):
+    import duckdb
+
+    from ckg_spark.ops.curation import split_u, split_u_sql
+
+    ids = list(range(-1000, 0)) + [-(2**40), -1, 2**40]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {r["id"]: r["u"] for r in df.select("id", split_u(F.col("id")).alias("u")).collect()}
+    assert all(0.0 <= u < 1.0 for u in got.values())
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT i, {split_u_sql('i')} FROM (SELECT unnest({ids}) AS i)"
+        ).fetchall()
+    }
+    assert got == want

@@ -215,3 +215,16 @@ def test_read_excel_gate_or_roundtrip(spark, tmp_path):
         )
         df = read_excel(spark, str(tmp_path / "x.xlsx"))
         assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_read_xml_records_root_shares_tag_prefix(spark, tmp_path):
+    """Review regression: record tag 'drug' inside root 'drugbank' — the
+    prefix match must not treat the root as the first record."""
+    from ckg_spark.sources.readers import read_xml_records
+
+    (tmp_path / "d.xml").write_text(
+        '<drugbank xmlns="http://x"><drug><id>D1</id></drug>'
+        "<drug><id>D2</id></drug></drugbank>"
+    )
+    df = read_xml_records(spark, str(tmp_path / "d.xml"), "drug", fields=["id"])
+    assert sorted(r["id"] for r in df.collect()) == ["D1", "D2"]

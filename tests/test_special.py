@@ -291,3 +291,53 @@ def test_kaplan_meier_monotone_on_testdata(spark):
         (F.col("prev").isNotNull()) & (F.col("survival") > F.col("prev") + 1e-12)
     )
     assert bad.count() == 0
+
+
+def _logrank_reference(rows):
+    """Plain-Python conservative log-rank: rows = (grp, t, event)."""
+    groups = sorted({g for g, _, _ in rows})
+    times = sorted({t for _, t, e in rows if e})
+    O = {g: 0.0 for g in groups}
+    E = {g: 0.0 for g in groups}
+    for t in times:
+        n_t = sum(1 for _, d, _ in rows if d >= t)
+        d_t = sum(1 for _, d, e in rows if d == t and e)
+        for g in groups:
+            n_gt = sum(1 for gg, d, _ in rows if gg == g and d >= t)
+            d_gt = sum(1 for gg, d, e in rows if gg == g and d == t and e)
+            O[g] += d_gt
+            E[g] += n_gt * d_t / n_t
+    return sum((O[g] - E[g]) ** 2 / E[g] for g in groups if E[g] > 0)
+
+
+def test_logrank_counts_all_groups_at_risk(spark):
+    """Review regression: groups sharing NO duration values must still
+    contribute their at-risk counts at every pooled event time. With
+    disjoint durations and wildly different survival, chi2 must be large
+    and match the subject-level reference implementation."""
+    import pandas as pd
+
+    from ckg_spark.ops.survival import logrank_statistic
+
+    rows = [("a", 1, True), ("a", 3, True), ("b", 100, True), ("b", 200, True)]
+    pdf = pd.DataFrame(rows, columns=["grp", "t", "ev"])
+    from pyspark.sql import functions as F
+
+    got = logrank_statistic(
+        spark.createDataFrame(pdf), "t", F.col("ev"), "grp"
+    ).collect()[0]
+    want = _logrank_reference(rows)
+    assert got["chi2"] == pytest.approx(want, abs=1e-6)
+    assert got["chi2"] > 1.0  # radically different curves are NOT chi2=0
+
+    # and on a richer mixed fixture with censoring + shared times
+    rows2 = [
+        ("a", 1, True), ("a", 2, False), ("a", 4, True), ("a", 7, True),
+        ("b", 2, True), ("b", 3, True), ("b", 4, False), ("b", 9, True),
+        ("c", 1, False), ("c", 5, True), ("c", 7, True), ("c", 12, False),
+    ]
+    pdf2 = pd.DataFrame(rows2, columns=["grp", "t", "ev"])
+    got2 = logrank_statistic(
+        spark.createDataFrame(pdf2), "t", F.col("ev"), "grp"
+    ).collect()[0]
+    assert got2["chi2"] == pytest.approx(_logrank_reference(rows2), abs=1e-6)
