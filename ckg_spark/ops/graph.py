@@ -244,3 +244,88 @@ def eigenvector_oracle_sql(pairs_cte: str, iters: int = 12) -> str:
         f"SELECT id AS term_id, CAST(ROUND(val / nrm, 6) AS DOUBLE) AS centrality "
         f"FROM x{iters}, nrm"
     )
+
+
+def lpa_oracle_sql(
+    sym_cte: str, iters: int = 10, node_sql: str = "term_id", label_sql: str = "community"
+) -> str:
+    """Unrolled DuckDB twin of :func:`label_propagation` (integer/string
+    arithmetic only — bit-exact, no float drift). ``sym_cte`` must
+    define ``sym(s, d)`` with BOTH directions, distinct. Every level is
+    ``AS MATERIALIZED``: DuckDB inlines multiply-referenced CTEs (the
+    2^iters trap documented on eigenvector_oracle_sql), and each LPA
+    level references its predecessor four times."""
+    parts = [
+        sym_cte,
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM sym)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""n{i} AS MATERIALIZED (
+              SELECT s, label, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT sym.s AS s, l.label FROM sym JOIN l{i} l ON sym.d = l.node
+                UNION ALL
+                SELECT node AS s, label FROM l{i}
+              ) GROUP BY s, label
+            )"""
+        )
+        parts.append(
+            f"""b{i} AS (
+              SELECT n.s, MIN(n.label) AS new_label
+              FROM n{i} n JOIN (SELECT s, MAX(cnt) AS best FROM n{i} GROUP BY s) m
+                ON n.s = m.s AND n.cnt = m.best
+              GROUP BY n.s
+            )"""
+        )
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+              SELECT l.node, COALESCE(b.new_label, l.label) AS label
+              FROM l{i} l LEFT JOIN b{i} b ON l.node = b.s
+            )"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT node AS {node_sql}, label AS {label_sql} FROM l{iters}"
+
+
+def pagerank_oracle_sql(edges_cte: str, damping: float = 0.85, iters: int = 15) -> str:
+    """Unrolled DuckDB twin of :func:`pagerank`. ``edges_cte`` must
+    define ``e(s, d)`` (directed, distinct; emit both directions for an
+    undirected graph). The arithmetic mirrors the Spark update
+    term-for-term — ((1-d)/n) + (d*dangling/n) + d*in_rank — so the two
+    sides agree to summation-order noise, far inside ROUND(6)."""
+    d = repr(float(damping))
+    parts = [
+        edges_cte,
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT s AS node FROM e UNION SELECT d AS node FROM e))",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "odeg AS MATERIALIZED (SELECT s, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY s)",
+        "links AS MATERIALIZED (SELECT e.s, e.d, odeg.out_deg FROM e JOIN odeg ON e.s = odeg.s)",
+        "r0 AS MATERIALIZED (SELECT node, (1.0 / nn.n) AS rank FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+              SELECT l.d AS node, SUM(r.rank / l.out_deg) AS in_rank
+              FROM links l JOIN r{i} r ON l.s = r.node GROUP BY l.d
+            )"""
+        )
+        parts.append(
+            f"""dg{i} AS (
+              SELECT COALESCE(SUM(r.rank), 0.0) AS dangling_mass
+              FROM r{i} r LEFT JOIN odeg o ON r.node = o.s WHERE o.s IS NULL
+            )"""
+        )
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+              SELECT nodes.node,
+                     (((1.0 - {d}) / nn.n) + (({d} * dg{i}.dangling_mass) / nn.n)
+                      + ({d} * COALESCE(c{i}.in_rank, 0.0))) AS rank
+              FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, nn, dg{i}
+            )"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node AS term_id, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM r{iters}"
+    )

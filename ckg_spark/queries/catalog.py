@@ -2910,3 +2910,36 @@ def q_ttest_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_perm", 9).alias("p_perm"),
         F.round(p_adj, 9).alias("p_adj"),
     )
+
+
+# upgrade the two iterative-graph entries from rows-only to hash-verified:
+# unrolled MATERIALIZED-CTE DuckDB twins (ops/graph.py) over the same
+# co-mention graph. LPA is integer-exact; pagerank mirrors the float
+# update term-for-term (ROUND(6) absorbs summation-order noise).
+def _comention_sym_cte() -> str:
+    return f"""{_mentions_cte()},
+    cpairs AS (
+      SELECT a.term_id AS subj, b.term_id AS obj
+      FROM mentions a JOIN mentions b
+        ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+      GROUP BY a.term_id, b.term_id
+    ),
+    sym AS MATERIALIZED (
+      SELECT subj AS s, obj AS d FROM cpairs
+      UNION
+      SELECT obj AS s, subj AS d FROM cpairs
+    )"""
+
+
+def _attach_graph_oracles() -> None:
+    from ..ops.graph import lpa_oracle_sql, pagerank_oracle_sql
+
+    CATALOG["q_kg_communities"].sql = lpa_oracle_sql(
+        _comention_sym_cte(), iters=10
+    )
+    CATALOG["q_kg_pagerank"].sql = pagerank_oracle_sql(
+        _comention_sym_cte() + ",\n    e AS (SELECT s, d FROM sym)", iters=10
+    )
+
+
+_attach_graph_oracles()

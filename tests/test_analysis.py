@@ -20,7 +20,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def lineitem(spark):
-    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    yield df
+    df.unpersist()  # a lingering cache would hijack later plan-shape tests
 
 
 def _sorted_pdf(df):

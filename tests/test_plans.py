@@ -12,6 +12,15 @@ from ckg_spark.queries import CATALOG
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _no_cached_relations(spark):
+    """Plan-shape assertions target parquet scans; another module's
+    cached frame over the same path would substitute an InMemoryRelation
+    (full schema, no PushedFilters section) and fail them spuriously."""
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -215,7 +224,11 @@ def test_new_stats_queries_stay_jvm_side(spark):
 
 def test_curation_sample_prunes_columns(spark):
     """The deterministic sample reads only (doc_id, source) — the text
-    column must be pruned from the scan."""
+    column must be pruned from the scan. Another module's cached
+    documents frame would substitute an InMemoryRelation (full schema)
+    into this plan, so drop caches first — the assertion targets the
+    parquet scan, not cache-hit behavior."""
+    spark.catalog.clearCache()
     plan = plan_of(CATALOG["q_stratified_sample"].spark_fn(spark, SF_DIR))
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "text" not in read_schema
