@@ -326,3 +326,58 @@ def test_crash_mid_drain_of_recreated_checkpoint_no_duplicates(
         spark, d, ac, table, ckpt_b, blocklist=blocklist, max_files_per_trigger=1
     )
     assert _mention_rows(table.read(spark)) == expected
+
+
+def test_streaming_dedup_first_per_fingerprint(spark, tmp_path):
+    """Streaming ingest dedup (dropDuplicatesWithinWatermark on the
+    content fingerprint) keeps exactly the batch twin's first-per-
+    fingerprint set, including a cross-micro-batch duplicate caught by
+    checkpointed state."""
+    import datetime as dt
+
+    from ckg_spark.streaming.dedup import (
+        batch_first_per_fingerprint,
+        streaming_first_per_fingerprint,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    cols = ["doc_id", "ts", "text"]
+
+    def doc(i, minutes, text):
+        return (i, base + dt.timedelta(minutes=minutes), text)
+
+    # file 1: in-batch duplicate (2 dups 1); file 2: cross-batch
+    # duplicate (4 dups 1 via normalization — case/punct-insensitive
+    # fingerprint) plus a fresh doc
+    f1 = [doc(1, 0, "alpha beta"), doc(2, 1, "alpha beta"), doc(3, 2, "gamma delta")]
+    f2 = [doc(4, 3, "Alpha,  BETA!"), doc(5, 4, "epsilon zeta")]
+
+    d = str(tmp_path / "docs")
+    df1 = spark.createDataFrame(f1, cols)
+    df1.write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(df1.schema).parquet(d)
+    out: list[tuple] = []
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            streaming_first_per_fingerprint(stream)
+            .writeStream.foreachBatch(
+                lambda df, _e: out.extend((r["doc_id"],) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(f2, cols).write.mode("append").parquet(d)
+    drain()
+
+    survivors = sorted(i for (i,) in out)
+    assert survivors == [1, 3, 5]
+
+    batch = batch_first_per_fingerprint(spark.createDataFrame(f1 + f2, cols))
+    assert sorted(r["doc_id"] for r in batch.collect()) == survivors
