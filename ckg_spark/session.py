@@ -62,6 +62,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(16, cores)}g"),
         )
         .config("spark.ui.enabled", "false")
+        # the status store retains per-execution metadata EVEN with the UI
+        # off — including full physical-plan description strings. This
+        # engine's plans are huge (fixed-depth continued-fraction
+        # expressions, unrolled-iteration oracles), so the default 1000
+        # retained executions accumulate gigabytes over a long query
+        # suite and drive the JVM into GC thrash (measured: the 28-query
+        # bench tail ran 30x slower than fresh-session). Keep a handful.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # v2 commit: tasks move their files into place as they finish
         # (parallel) instead of one serial job-commit rename pass — the
