@@ -137,6 +137,44 @@ def _ttest(df: DataFrame, a: dict) -> DataFrame:
     return _maybe_correct(r, a)
 
 
+def _mannwhitney(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    r = stats.mann_whitney_u(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        a["group_a"],
+        a["group_b"],
+    )
+    return _maybe_correct(r, a)
+
+
+def _levene(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    return stats.levene_bf(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+    )
+
+
+def _effect_size(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    return stats.effect_sizes(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        a["group_a"],
+        a["group_b"],
+    )
+
+
 def _anova(df: DataFrame, a: dict) -> DataFrame:
     from .ops import stats
 
@@ -225,6 +263,9 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "imputation": _imputation,
     "pca": _pca,
     "ttest": _ttest,
+    "mannwhitney": _mannwhitney,
+    "levene": _levene,
+    "effect_size": _effect_size,
     "anova": _anova,
     "survival": _survival,
     "logrank": _logrank,

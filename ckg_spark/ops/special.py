@@ -522,3 +522,45 @@ def chi2_sf_spark(x: Column, k: Column) -> Column:
 
 def chi2_sf_sql(x: str, k: str) -> str:
     return gammainc_q_sql(f"(({k}) / 2.0)", f"(({x}) / 2.0)")
+
+
+# ----------------------------------------------------------------------
+# standard normal upper tail (Mann-Whitney / rank-test approximations)
+# ----------------------------------------------------------------------
+
+_SQRT_2 = 1.4142135623730951
+
+
+def _erfc_ge0(y: DE) -> DE:
+    """erfc(y) for y >= 0 via the Abramowitz-Stegun 7.1.26 rational
+    polynomial (|abs err| < 1.5e-7). Elementary ops only, so the Spark
+    Column and DuckDB SQL renderings share one expression graph — the
+    two backends agree to the ulp, which is what makes downstream
+    p-values hash-checkable regardless of the approximation's distance
+    from the true erfc."""
+    t = lit(1.0) / (lit(1.0) + lit(0.3275911) * y)
+    poly = t * (
+        lit(0.254829592)
+        + t * (
+            lit(-0.284496736)
+            + t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))
+        )
+    )
+    return poly * exp(-(y * y))
+
+
+def _norm_sf_de(z: DE) -> DE:
+    """P(Z >= z) = erfc(z / sqrt(2)) / 2, reflected for z < 0 so the
+    polynomial only ever sees a non-negative argument."""
+    half_erfc = lit(0.5) * _erfc_ge0(abs_(z) / lit(_SQRT_2))
+    return when_lt(z, lit(0.0), lit(1.0) - half_erfc, half_erfc)
+
+
+def norm_sf_spark(z: Column) -> Column:
+    """Standard-normal upper tail as a pure-JVM Column."""
+    return _norm_sf_de(DE(z, None)).c
+
+
+def norm_sf_sql(z: str) -> str:
+    """Standard-normal upper tail as DuckDB SQL text."""
+    return _norm_sf_de(DE(None, f"({z})")).s

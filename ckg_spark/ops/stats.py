@@ -159,6 +159,158 @@ def anova_oneway(
     )
 
 
+def effect_sizes(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Per-feature Cohen's d and Hedges' g (cohen_d / hedges_g,
+    analytics.py:2082-2170, both at the reference's default ddof=0, i.e.
+    population variances): one conditional aggregation, no shuffle
+    beyond the group-by. Cohen pools the two POPULATION variances with
+    (n-1) weights and Hedges divides by the std of the CONCATENATED
+    sample, with the reference's small-sample correction below n1+n2<50
+    — both formulas mirrored term-for-term from the reference."""
+    v = F.col(value_col).cast("double")
+    av = F.when(F.col(group_col) == group_a, v)
+    bv = F.when(F.col(group_col) == group_b, v)
+    both = F.when(F.col(group_col).isin(group_a, group_b), v)
+    s = df.groupBy(feature_col).agg(
+        F.avg(av).alias("m1"),
+        F.avg(bv).alias("m2"),
+        F.var_pop(av).alias("v1"),
+        F.var_pop(bv).alias("v2"),
+        F.var_pop(both).alias("vp"),
+        F.count(av).alias("n1"),
+        F.count(bv).alias("n2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    diff = F.col("m1") - F.col("m2")
+    d_raw = diff / F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    g_core = diff / F.sqrt(F.col("vp"))
+    g_raw = F.when(
+        (n1 + n2) < 50,
+        g_core * ((n1 + n2 - 3) / (n1 + n2 - 2.25)) * F.sqrt((n1 + n2 - 2) / (n1 + n2)),
+    ).otherwise(g_core)
+    return s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        feature_col,
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(d_raw, 6).alias("cohen_d"),
+        F.round(g_raw, 6).alias("hedges_g"),
+    )
+
+
+def levene_bf(
+    df: DataFrame, feature_col: str, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-feature Brown-Forsythe/Levene equal-variance test
+    (check_equal_variances, analytics.py:666-677; scipy's default
+    center='median'): one-way ANOVA on |x - per-group exact median|.
+    Output (feature, n_groups, n_obs, w_stat, p_value); the F tail is
+    the dual-backend incomplete beta. Two shuffles: the median
+    aggregation + join-back, then the ANOVA group-by — the medians frame
+    is group-cardinality-sized, so Spark broadcasts it."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(feature_col, group_col).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)").alias("__med__")
+    )
+    z = df.join(med, [feature_col, group_col]).select(
+        feature_col, group_col, F.abs(v - F.col("__med__")).alias("__zv__")
+    )
+    out = anova_oneway(z, feature_col, group_col, "__zv__")
+    return out.withColumnRenamed("f_stat", "w_stat")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Per-feature Mann-Whitney U (the non_par branch of
+    calculate_ttest, analytics.py:1229-1277 via pingouin.mwu):
+    average-rank U statistic, tie-corrected normal approximation with
+    continuity correction, two-sided p. U is reported for ``group_a``
+    (pingouin's 'U-val' convention).
+
+    Exact ranks need a per-feature sort: one hash shuffle on the
+    feature key, then an in-partition sort (spills gracefully) — the
+    inherent cost of any exact rank statistic. Every rank is a multiple
+    of 0.5 and the rank-sum stays far below 2^52, so the rank-sum is
+    bitwise summation-order-independent — only z/p carry float noise."""
+    v = F.col(value_col).cast("double")
+    d = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(feature_col), F.col(group_col), v.alias("__x__")
+    )
+    rmin = (
+        F.rank().over(Window.partitionBy(feature_col).orderBy("__x__")).cast("double")
+    )
+    tn = (
+        F.count(F.lit(1))
+        .over(Window.partitionBy(feature_col, "__x__"))
+        .cast("double")
+    )
+    rk = d.select(
+        feature_col,
+        group_col,
+        (rmin + ((tn - F.lit(1.0)) / F.lit(2.0))).alias("__ar__"),
+    )
+    s = rk.groupBy(feature_col).agg(
+        F.sum(F.when(F.col(group_col) == group_a, F.col("__ar__"))).alias("r1"),
+        F.count(F.when(F.col(group_col) == group_a, F.lit(1))).alias("n1"),
+        F.count(F.when(F.col(group_col) == group_b, F.lit(1))).alias("n2"),
+    )
+    tt = (
+        d.groupBy(feature_col, "__x__")
+        .agg(F.count(F.lit(1)).cast("double").alias("tn"))
+        .groupBy(feature_col)
+        .agg(
+            F.sum((F.col("tn") * F.col("tn") * F.col("tn")) - F.col("tn")).alias(
+                "tie_term"
+            )
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    u = s.join(tt, feature_col).select(
+        feature_col,
+        "n1",
+        "n2",
+        "tie_term",
+        (n1 * n2).alias("n1n2"),
+        (n1 + n2).alias("n"),
+        (F.col("r1") - ((n1 * (n1 + 1)) / F.lit(2.0))).alias("u1"),
+    )
+    var_u = (F.col("n1n2") / 12.0) * (
+        (F.col("n") + 1.0) - (F.col("tie_term") / (F.col("n") * (F.col("n") - 1.0)))
+    )
+    bigu = F.greatest(F.col("u1"), F.col("n1n2") - F.col("u1"))
+    vfr = u.select(
+        feature_col, "n1", "n2", "u1", "n1n2", bigu.alias("bigu"), var_u.alias("var_u")
+    ).filter(F.col("var_u") > 0)
+    z_raw = ((F.col("bigu") - (F.col("n1n2") / 2.0)) - 0.5) / F.sqrt(F.col("var_u"))
+    zf = vfr.select(feature_col, "n1", "n2", "u1", z_raw.alias("z_raw"))
+    return zf.select(
+        feature_col,
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("u1", 6).alias("u_stat"),
+        F.round("z_raw", 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(2.0) * special.norm_sf_spark(F.col("z_raw"))), 9
+        ).alias("p_value"),
+    )
+
+
 def zscore(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
     """Per-group z-score normalization ('normalization' method zscore,
     analytics.py:392-414): adds ``value_norm``."""

@@ -2943,3 +2943,181 @@ def _attach_graph_oracles() -> None:
 
 
 _attach_graph_oracles()
+
+
+# ======================================================================
+# stats parity pack #2: effect sizes, equal-variance check, rank test
+# (cohen_d/hedges_g analytics.py:2082-2170, check_equal_variances
+# analytics.py:666-677, calculate_ttest non_par branch analytics.py:1263)
+# ======================================================================
+
+@register(
+    "q_effect_sizes",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             AVG(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DOUBLE) END) AS m1,
+             AVG(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DOUBLE) END) AS m2,
+             VAR_POP(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DOUBLE) END) AS v1,
+             VAR_POP(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DOUBLE) END) AS v2,
+             VAR_POP(CASE WHEN l_linestatus IN ('F', 'O') THEN CAST(l_quantity AS DOUBLE) END) AS vp,
+             COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n1,
+             COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n2
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    e AS (
+      SELECT l_returnflag, n1, n2,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             (m1 - m2) AS diff, v1, v2, vp
+      FROM s WHERE n1 > 1 AND n2 > 1
+    ),
+    c AS (
+      SELECT l_returnflag, n1, n2,
+             (diff / sqrt((((n1d - 1) * v1) + ((n2d - 1) * v2)) / ((n1d + n2d) - 2))) AS d_raw,
+             (CASE WHEN (n1d + n2d) < 50
+                   THEN (((diff / sqrt(vp)) * (((n1d + n2d) - 3) / ((n1d + n2d) - 2.25)))
+                         * sqrt(((n1d + n2d) - 2) / (n1d + n2d)))
+                   ELSE (diff / sqrt(vp)) END) AS g_raw
+      FROM e
+    )
+    SELECT l_returnflag, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(ROUND(d_raw, 6) AS DOUBLE) AS cohen_d,
+           CAST(ROUND(g_raw, 6) AS DOUBLE) AS hedges_g
+    FROM c
+    """,
+    family="stats",
+)
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g per l_returnflag (F vs O line status) —
+    cohen_d / hedges_g (analytics.py:2082-2170) at the reference's
+    ddof=0, mirrored term-for-term: Cohen pools the two population
+    variances with (n-1) weights; Hedges divides by the concatenated
+    sample's std with the reference's <50-sample bias correction."""
+    from ..ops.stats import effect_sizes
+
+    li = _t(spark, sf_dir, "lineitem")
+    return effect_sizes(li, "l_returnflag", "l_linestatus", "l_quantity", "F", "O")
+
+
+@register(
+    "q_levene_bf",
+    f"""
+    WITH med AS (
+      SELECT l_returnflag, l_linestatus,
+             quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    z AS (
+      SELECT l.l_returnflag, l.l_linestatus,
+             abs(CAST(l.l_quantity AS DOUBLE) - m.med) AS zv
+      FROM lineitem l JOIN med m
+        ON l.l_returnflag = m.l_returnflag AND l.l_linestatus = m.l_linestatus
+    ),
+    g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             SUM(zv) AS s_g,
+             SUM(zv * zv) AS ss_g
+      FROM z GROUP BY l_returnflag, l_linestatus
+    ),
+    a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(s_g) AS grand_s,
+             SUM((s_g * s_g) / n_g) AS sum_gr,
+             SUM(ss_g) AS ss_tot
+      FROM g GROUP BY l_returnflag
+    ),
+    f AS (
+      SELECT l_returnflag, k, n,
+             (sum_gr - ((grand_s * grand_s) / n)) AS ssb,
+             (ss_tot - sum_gr) AS ssw
+      FROM a WHERE k > 1 AND n > k
+    ),
+    f2 AS (
+      SELECT l_returnflag, k, n,
+             ((ssb / (k - 1)) / (ssw / (n - k))) AS f_raw
+      FROM f
+    )
+    SELECT l_returnflag, k AS n_groups, n AS n_obs,
+           CAST(ROUND(f_raw, 6) AS DOUBLE) AS w_stat,
+           CAST(ROUND({special.f_sf_sql('f_raw', '(CAST(k AS DOUBLE) - 1.0)', '(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))')}, 9) AS DOUBLE) AS p_value
+    FROM f2
+    """,
+    family="stats",
+)
+def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe/Levene equal-variance test per l_returnflag
+    (check_equal_variances, analytics.py:666-677; scipy's default
+    center='median'): one-way ANOVA over |quantity - per-group exact
+    median|, F tail from the dual-backend incomplete beta."""
+    from ..ops.stats import levene_bf
+
+    li = _t(spark, sf_dir, "lineitem")
+    return levene_bf(li, "l_returnflag", "l_linestatus", "l_quantity")
+
+
+@register(
+    "q_mannwhitney",
+    f"""
+    WITH d AS (
+      SELECT l_returnflag AS f, l_linestatus AS g, CAST(l_quantity AS DOUBLE) AS x
+      FROM lineitem WHERE l_linestatus IN ('F', 'O')
+    ),
+    rk AS (
+      SELECT f, g,
+             (CAST(RANK() OVER (PARTITION BY f ORDER BY x) AS DOUBLE)
+              + ((CAST(COUNT(*) OVER (PARTITION BY f, x) AS DOUBLE) - 1.0) / 2.0)) AS ar
+      FROM d
+    ),
+    s AS (
+      SELECT f,
+             SUM(CASE WHEN g = 'F' THEN ar END) AS r1,
+             COUNT(CASE WHEN g = 'F' THEN 1 END) AS n1,
+             COUNT(CASE WHEN g = 'O' THEN 1 END) AS n2
+      FROM rk GROUP BY f
+    ),
+    tt AS (
+      SELECT f, SUM((tn * tn * tn) - tn) AS tie_term
+      FROM (SELECT f, x, CAST(COUNT(*) AS DOUBLE) AS tn FROM d GROUP BY f, x)
+      GROUP BY f
+    ),
+    u AS (
+      SELECT s.f, s.n1, s.n2, tt.tie_term,
+             (CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE)) AS n1n2,
+             (CAST(s.n1 AS DOUBLE) + CAST(s.n2 AS DOUBLE)) AS n,
+             (s.r1 - ((CAST(s.n1 AS DOUBLE) * (CAST(s.n1 AS DOUBLE) + 1)) / 2.0)) AS u1
+      FROM s JOIN tt ON s.f = tt.f
+    ),
+    v AS (
+      SELECT f, n1, n2, u1, n1n2,
+             GREATEST(u1, (n1n2 - u1)) AS bigu,
+             ((n1n2 / 12.0) * ((n + 1.0) - (tie_term / (n * (n - 1.0))))) AS var_u
+      FROM u
+    ),
+    zf AS (
+      SELECT f, n1, n2, u1,
+             (((bigu - (n1n2 / 2.0)) - 0.5) / sqrt(var_u)) AS z_raw
+      FROM v WHERE var_u > 0
+    )
+    SELECT f AS l_returnflag, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(ROUND(u1, 6) AS DOUBLE) AS u_stat,
+           CAST(ROUND(z_raw, 6) AS DOUBLE) AS z_stat,
+           CAST(ROUND(LEAST(1.0, 2.0 * {special.norm_sf_sql('z_raw')}), 9) AS DOUBLE) AS p_value
+    FROM zf
+    """,
+    family="stats",
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per l_returnflag (F vs O line status) — the
+    non-parametric branch of calculate_ttest (analytics.py:1263 via
+    pingouin.mwu): average-rank U, tie-corrected normal approximation
+    with continuity correction, two-sided p via the dual-backend
+    normal tail (A&S erfc — ops/special.py). The rank-sum is a sum of
+    exact multiples of 0.5 far below 2^52, so u_stat is bitwise
+    identical across engines; only z/p carry float noise (ROUND 6/9)."""
+    from ..ops.stats import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_returnflag", "l_linestatus", "l_quantity", "F", "O")

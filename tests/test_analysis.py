@@ -181,3 +181,145 @@ def test_analysis_container_and_unknown_type(spark, lineitem):
     assert "ttest" in res and "p_adj" in res["ttest"].columns
     with pytest.raises(ValueError, match="unsupported analysis_type"):
         run_analysis(lineitem, "tsne", {})
+
+
+# ----------------------------------------------------------------------
+# stats parity pack #2: Mann-Whitney / Levene / effect sizes.
+# The catalog oracle mirrors each implementation's arithmetic, so these
+# are the INDEPENDENT subject-level references (the q_logrank lesson):
+# dict-based ranking / statistics.median / numpy std, not window SQL.
+# ----------------------------------------------------------------------
+
+import math
+import statistics
+from collections import Counter
+
+
+def _mwu_reference(pairs):
+    """[(group, value)] -> (u1, z, p) for group 'a' vs 'b'."""
+    cnt = Counter(v for _, v in pairs)
+    ranks, pos = {}, 1
+    for v in sorted(cnt):
+        ranks[v] = pos + (cnt[v] - 1) / 2.0
+        pos += cnt[v]
+    n1 = sum(1 for g, _ in pairs if g == "a")
+    n2 = len(pairs) - n1
+    r1 = sum(ranks[v] for g, v in pairs if g == "a")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    tie = sum(c**3 - c for c in cnt.values())
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    bigu = max(u1, n1 * n2 - u1)
+    z = (bigu - n1 * n2 / 2.0 - 0.5) / math.sqrt(var_u)
+    p = min(1.0, math.erfc(z / math.sqrt(2.0)))
+    return u1, z, p
+
+
+MWU_FIXTURE = {
+    "A": {"a": [1, 2, 2, 3, 5, 7, 7, 8], "b": [2, 4, 4, 5, 6, 9, 9]},
+    "B": {"a": [1.5, 2.5, 9.0, 12.5, 0.5], "b": [3.5, 6.5, 7.0, 11.0]},
+}
+
+
+def _fixture_df(spark):
+    rows = [
+        (f, g, float(v))
+        for f, groups in MWU_FIXTURE.items()
+        for g, vals in groups.items()
+        for v in vals
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["f", "g", "x"]))
+
+
+def test_mann_whitney_matches_independent_reference(spark):
+    from ckg_spark.ops.stats import mann_whitney_u
+
+    got = {
+        r["f"]: r
+        for r in mann_whitney_u(_fixture_df(spark), "f", "g", "x", "a", "b").collect()
+    }
+    for feat, groups in MWU_FIXTURE.items():
+        pairs = [(g, v) for g, vals in groups.items() for v in vals]
+        u1, z, p = _mwu_reference(pairs)
+        assert got[feat]["n1"] == len(groups["a"])
+        assert got[feat]["n2"] == len(groups["b"])
+        assert got[feat]["u_stat"] == pytest.approx(u1, abs=1e-9), feat
+        assert got[feat]["z_stat"] == pytest.approx(round(z, 6), abs=1e-6), feat
+        assert got[feat]["p_value"] == pytest.approx(p, abs=3e-7), feat
+
+
+def test_levene_bf_matches_independent_reference(spark):
+    from test_special import betainc_ref
+
+    from ckg_spark.ops.stats import levene_bf
+
+    got = {
+        r["f"]: r for r in levene_bf(_fixture_df(spark), "f", "g", "x").collect()
+    }
+    for feat, groups in MWU_FIXTURE.items():
+        zs = {
+            g: [abs(v - statistics.median(vals)) for v in vals]
+            for g, vals in groups.items()
+        }
+        k = len(zs)
+        n = sum(len(z) for z in zs.values())
+        means = {g: sum(z) / len(z) for g, z in zs.items()}
+        grand = sum(sum(z) for z in zs.values()) / n
+        ssb = sum(len(z) * (means[g] - grand) ** 2 for g, z in zs.items())
+        ssw = sum((v - means[g]) ** 2 for g, z in zs.items() for v in z)
+        w = (ssb / (k - 1)) / (ssw / (n - k))
+        d1, d2 = float(k - 1), float(n - k)
+        p = betainc_ref(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * w))
+        assert got[feat]["n_groups"] == k and got[feat]["n_obs"] == n
+        assert got[feat]["w_stat"] == pytest.approx(w, abs=1e-6), feat
+        assert got[feat]["p_value"] == pytest.approx(p, abs=1e-8), feat
+
+
+def test_effect_sizes_match_independent_reference(spark):
+    import numpy as np
+
+    from ckg_spark.ops.stats import effect_sizes
+
+    got = {
+        r["f"]: r
+        for r in effect_sizes(_fixture_df(spark), "f", "g", "x", "a", "b").collect()
+    }
+    for feat, groups in MWU_FIXTURE.items():
+        g1 = np.array(groups["a"], dtype=float)
+        g2 = np.array(groups["b"], dtype=float)
+        n1, n2 = g1.size, g2.size
+        d = (g1.mean() - g2.mean()) / math.sqrt(
+            ((n1 - 1) * g1.std() ** 2 + (n2 - 1) * g2.std() ** 2) / (n1 + n2 - 2)
+        )
+        sdp = np.concatenate([g1, g2]).std()
+        g_val = (g1.mean() - g2.mean()) / sdp
+        if n1 + n2 < 50:  # the reference's small-sample correction
+            g_val *= ((n1 + n2 - 3) / (n1 + n2 - 2.25)) * math.sqrt(
+                (n1 + n2 - 2) / (n1 + n2)
+            )
+        assert got[feat]["cohen_d"] == pytest.approx(d, abs=1e-6), feat
+        assert got[feat]["hedges_g"] == pytest.approx(g_val, abs=1e-6), feat
+
+
+def test_dispatch_mannwhitney_levene_effect_size(spark, lineitem):
+    args = {
+        "feature_col": "l_returnflag",
+        "group_col": "l_linestatus",
+        "value_col": "l_quantity",
+        "group_a": "F",
+        "group_b": "O",
+    }
+    mw = run_analysis(lineitem, "mannwhitney", dict(args, correction="fdr_bh"))
+    assert {"u_stat", "z_stat", "p_value", "p_adj"} <= set(mw.columns)
+    lv = run_analysis(lineitem, "levene", args)
+    assert {"w_stat", "p_value"} <= set(lv.columns)
+    es = run_analysis(lineitem, "effect_size", args)
+    assert {"cohen_d", "hedges_g"} <= set(es.columns)
+    # generic spellings reproduce the catalog's oracle-checked outputs
+    for q, generic in (
+        ("q_mannwhitney", mw.drop("p_adj", "rejected")),
+        ("q_levene_bf", lv),
+        ("q_effect_sizes", es),
+    ):
+        cat = CATALOG[q].spark_fn(spark, SF_DIR)
+        assert _sorted_pdf(generic).equals(_sorted_pdf(cat)), q

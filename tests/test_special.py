@@ -341,3 +341,37 @@ def test_logrank_counts_all_groups_at_risk(spark):
         spark.createDataFrame(pdf2), "t", F.col("ev"), "grp"
     ).collect()[0]
     assert got2["chi2"] == pytest.approx(_logrank_reference(rows2), abs=1e-6)
+
+
+# ----------------------------------------------------------------------
+# standard normal upper tail (A&S erfc)
+# ----------------------------------------------------------------------
+
+NORM_Z = [-4.0, -2.5, -1.0, -0.5, 0.0, 0.3, 1.0, 1.96, 2.575, 4.0, 6.0]
+
+
+def test_norm_sf_both_backends_match_erfc(spark):
+    """Spark and DuckDB renderings agree with each other to the ulp and
+    with math.erfc (the true normal tail) within the A&S 7.1.26
+    polynomial's documented 1.5e-7 absolute error."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE z(z DOUBLE)")
+    con.executemany("INSERT INTO z VALUES (?)", [(z,) for z in NORM_Z])
+    duck = dict(
+        con.execute(f"SELECT z, {special.norm_sf_sql('z')} FROM z").fetchall()
+    )
+    rows = (
+        spark.createDataFrame(pd.DataFrame({"z": NORM_Z}))
+        .select("z", special.norm_sf_spark(F.col("z")).alias("p"))
+        .collect()
+    )
+    for r in rows:
+        want = 0.5 * math.erfc(r["z"] / math.sqrt(2.0))
+        assert r["p"] == pytest.approx(want, abs=2e-7), r["z"]
+        assert r["p"] == pytest.approx(duck[r["z"]], abs=1e-14), r["z"]
+    # symmetry: sf(z) + sf(-z) == 1 under the reflection branch
+    p = {r["z"]: r["p"] for r in rows}
+    assert p[1.0] + p[-1.0] == pytest.approx(1.0, abs=1e-12)
