@@ -175,6 +175,21 @@ def _effect_size(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _wilcoxon(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    r = stats.wilcoxon_signed_rank(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("subject_col", "subject"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        a["group_a"],
+        a["group_b"],
+    )
+    return _maybe_correct(r, a)
+
+
 def _anova(df: DataFrame, a: dict) -> DataFrame:
     from .ops import stats
 
@@ -264,6 +279,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "pca": _pca,
     "ttest": _ttest,
     "mannwhitney": _mannwhitney,
+    "wilcoxon": _wilcoxon,
     "levene": _levene,
     "effect_size": _effect_size,
     "anova": _anova,

@@ -311,6 +311,106 @@ def mann_whitney_u(
     )
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    feature_col: str,
+    subject_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Per-feature Wilcoxon signed-rank test — the PAIRED branch of the
+    reference's calculate_ttest (analytics.py:1229-1277, is_paired=True
+    via pingouin.wilcoxon -> scipy.wilcoxon, zero_method='wilcox',
+    normal approximation, no continuity correction).
+
+    Pairing: per (feature, subject) the two sides aggregate with SUM —
+    exact for decimal/integer inputs, so the paired differences and
+    therefore the |d| ranks are bitwise engine-independent (an AVG here
+    would reintroduce float summation-order noise into the ranking).
+    Subjects missing either side drop out (inner pairing); zero
+    differences drop per 'wilcox'. One shuffle pairs the sides, one
+    window ranks |d| within each feature, one group-by aggregates —
+    the same exact-rank cost profile as :func:`mann_whitney_u`.
+
+    Output: (feature, n_pairs, w_stat, z_stat, p_value) where w_stat is
+    scipy's T = min(W+, W-) and p the two-sided normal tail with the
+    tie-corrected variance n(n+1)(2n+1)/24 - sum(t^3-t)/48."""
+    a_sum = F.sum(
+        F.when(F.col(group_col) == group_a, F.col(value_col))
+    ).alias("__xa__")
+    b_sum = F.sum(
+        F.when(F.col(group_col) == group_b, F.col(value_col))
+    ).alias("__xb__")
+    paired = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .groupBy(feature_col, subject_col)
+        .agg(a_sum, b_sum)
+        .filter(F.col("__xa__").isNotNull() & F.col("__xb__").isNotNull())
+        .select(
+            feature_col,
+            (F.col("__xa__") - F.col("__xb__")).cast("double").alias("__d__"),
+        )
+        .filter(F.col("__d__") != 0.0)
+        .withColumn("__ad__", F.abs(F.col("__d__")))
+    )
+    rmin = (
+        F.rank().over(Window.partitionBy(feature_col).orderBy("__ad__")).cast("double")
+    )
+    tn = (
+        F.count(F.lit(1))
+        .over(Window.partitionBy(feature_col, "__ad__"))
+        .cast("double")
+    )
+    rk = paired.select(
+        feature_col,
+        "__d__",
+        "__ad__",
+        (rmin + ((tn - F.lit(1.0)) / F.lit(2.0))).alias("__ar__"),
+    )
+    s = rk.groupBy(feature_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("__d__") > 0, F.col("__ar__")).otherwise(F.lit(0.0))).alias(
+            "w_plus"
+        ),
+    )
+    tt = (
+        rk.groupBy(feature_col, "__ad__")
+        .agg(F.count(F.lit(1)).cast("double").alias("tn"))
+        .groupBy(feature_col)
+        .agg(
+            F.sum((F.col("tn") * F.col("tn") * F.col("tn")) - F.col("tn")).alias(
+                "tie_term"
+            )
+        )
+    )
+    n = F.col("n")
+    w_tot = (n * (n + 1.0)) / 2.0
+    t_stat = F.least(F.col("w_plus"), w_tot - F.col("w_plus"))
+    mu = (n * (n + 1.0)) / 4.0
+    var_t = ((n * (n + 1.0) * ((2.0 * n) + 1.0)) / 24.0) - (F.col("tie_term") / 48.0)
+    j = (
+        s.join(tt, feature_col)
+        .select(feature_col, "n", t_stat.alias("t"), mu.alias("mu"), var_t.alias("var_t"))
+        .filter(F.col("var_t") > 0)
+    )
+    z_raw = (F.col("t") - F.col("mu")) / F.sqrt(F.col("var_t"))
+    zf = j.select(feature_col, "n", "t", z_raw.alias("z_raw"))
+    return zf.select(
+        feature_col,
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round("t", 6).alias("w_stat"),
+        F.round("z_raw", 6).alias("z_stat"),
+        F.round(
+            F.least(
+                F.lit(1.0), F.lit(2.0) * special.norm_sf_spark(F.abs(F.col("z_raw")))
+            ),
+            9,
+        ).alias("p_value"),
+    )
+
+
 def zscore(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
     """Per-group z-score normalization ('normalization' method zscore,
     analytics.py:392-414): adds ``value_norm``."""

@@ -3121,3 +3121,72 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return mann_whitney_u(li, "l_returnflag", "l_linestatus", "l_quantity", "F", "O")
+
+
+@register(
+    "q_wilcoxon_signed",
+    f"""
+    WITH p AS (
+      SELECT l_returnflag AS f, l_orderkey AS s,
+             SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS xa,
+             SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS xb
+      FROM lineitem WHERE l_linestatus IN ('F', 'O')
+      GROUP BY l_returnflag, l_orderkey
+    ),
+    d AS (
+      SELECT f, CAST(xa - xb AS DOUBLE) AS d, ABS(CAST(xa - xb AS DOUBLE)) AS ad
+      FROM p
+      WHERE xa IS NOT NULL AND xb IS NOT NULL AND CAST(xa - xb AS DOUBLE) <> 0.0
+    ),
+    rk AS (
+      SELECT f, d, ad,
+             (CAST(RANK() OVER (PARTITION BY f ORDER BY ad) AS DOUBLE)
+              + ((CAST(COUNT(*) OVER (PARTITION BY f, ad) AS DOUBLE) - 1.0) / 2.0)) AS ar
+      FROM d
+    ),
+    s AS (
+      SELECT f, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CASE WHEN d > 0 THEN ar ELSE 0.0 END) AS w_plus
+      FROM rk GROUP BY f
+    ),
+    tt AS (
+      SELECT f, SUM((tn * tn * tn) - tn) AS tie_term
+      FROM (SELECT f, ad, CAST(COUNT(*) AS DOUBLE) AS tn FROM rk GROUP BY f, ad)
+      GROUP BY f
+    ),
+    j AS (
+      SELECT s.f, s.n,
+             LEAST(s.w_plus, ((s.n * (s.n + 1.0)) / 2.0) - s.w_plus) AS t,
+             ((s.n * (s.n + 1.0)) / 4.0) AS mu,
+             (((s.n * (s.n + 1.0) * ((2.0 * s.n) + 1.0)) / 24.0)
+              - (tt.tie_term / 48.0)) AS var_t
+      FROM s JOIN tt ON s.f = tt.f
+    ),
+    zf AS (
+      SELECT f, n, t, ((t - mu) / sqrt(var_t)) AS z_raw
+      FROM j WHERE var_t > 0
+    )
+    SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(ROUND(t, 6) AS DOUBLE) AS w_stat,
+           CAST(ROUND(z_raw, 6) AS DOUBLE) AS z_stat,
+           CAST(ROUND(LEAST(1.0, 2.0 * {special.norm_sf_sql('abs(z_raw)')}), 9) AS DOUBLE) AS p_value
+    FROM zf
+    """,
+    family="stats",
+)
+def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank per l_returnflag — the PAIRED branch of the
+    reference's calculate_ttest (analytics.py:1229-1277, is_paired=True
+    via pingouin.wilcoxon; scipy zero_method='wilcox', normal approx,
+    no continuity correction). Subjects are orderkeys; each side is the
+    order's F- vs O-status quantity SUM — an exact decimal aggregate,
+    so the paired differences and the |d| ranks are bitwise identical
+    across engines (AVG would leak float summation order into the
+    ranking). Only z/p carry float noise (ROUND 6/9) via the
+    dual-backend A&S-erfc normal tail."""
+    from ..ops.stats import wilcoxon_signed_rank
+
+    li = _t(spark, sf_dir, "lineitem")
+    return wilcoxon_signed_rank(
+        li, "l_returnflag", "l_orderkey", "l_linestatus", "l_quantity", "F", "O"
+    )

@@ -323,3 +323,96 @@ def test_dispatch_mannwhitney_levene_effect_size(spark, lineitem):
     ):
         cat = CATALOG[q].spark_fn(spark, SF_DIR)
         assert _sorted_pdf(generic).equals(_sorted_pdf(cat)), q
+
+
+# ----------------------------------------------------------------------
+# Wilcoxon signed-rank (paired branch): independent reference on a
+# fixture exercising multi-row sides, missing-side subjects, zero
+# diffs, and tied |d| ranks.
+# ----------------------------------------------------------------------
+
+WSR_FIXTURE = {
+    # feature -> subject -> ([a-side rows], [b-side rows] or None)
+    "A": {
+        1: ([3.0, 2.0], [1.0]),
+        2: ([5.0], [5.0]),          # zero diff -> dropped ('wilcox')
+        3: ([2.0], [6.0]),
+        4: ([8.0, 1.0], [4.0]),
+        5: ([1.0], [5.0]),
+        6: ([9.0], [2.0, 3.0]),
+        7: ([4.0], None),           # missing b side -> dropped
+    },
+    "B": {
+        1: ([1.0], [2.0]),
+        2: ([7.0], [3.0]),
+        3: ([6.5], [6.0]),
+        4: ([2.0], [9.0]),
+        5: ([10.0], [4.5]),
+    },
+}
+
+
+def _wsr_reference(pairs):
+    """[(sum_a, sum_b)] -> (n, T, z, p) per scipy wilcoxon
+    (zero_method='wilcox', normal approx, no continuity correction)."""
+    ds = [a - b for a, b in pairs if a - b != 0]
+    n = len(ds)
+    cnt = Counter(abs(d) for d in ds)
+    ranks, pos = {}, 1
+    for v in sorted(cnt):
+        ranks[v] = pos + (cnt[v] - 1) / 2.0
+        pos += cnt[v]
+    w_plus = sum(ranks[abs(d)] for d in ds if d > 0)
+    t = min(w_plus, n * (n + 1) / 2.0 - w_plus)
+    mu = n * (n + 1) / 4.0
+    tie = sum(c**3 - c for c in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+    z = (t - mu) / math.sqrt(var)
+    p = min(1.0, math.erfc(abs(z) / math.sqrt(2.0)))
+    return n, t, z, p
+
+
+def test_wilcoxon_matches_independent_reference(spark):
+    from ckg_spark.ops.stats import wilcoxon_signed_rank
+
+    rows = [
+        (f, s, g, v)
+        for f, subs in WSR_FIXTURE.items()
+        for s, (avals, bvals) in subs.items()
+        for g, vals in (("a", avals), ("b", bvals))
+        if vals is not None
+        for v in vals
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["f", "s", "g", "x"]))
+    got = {
+        r["f"]: r
+        for r in wilcoxon_signed_rank(df, "f", "s", "g", "x", "a", "b").collect()
+    }
+    for feat, subs in WSR_FIXTURE.items():
+        pairs = [
+            (sum(a), sum(b)) for a, b in subs.values() if a is not None and b is not None
+        ]
+        n, t, z, p = _wsr_reference(pairs)
+        assert got[feat]["n_pairs"] == n, feat
+        assert got[feat]["w_stat"] == pytest.approx(t, abs=1e-9), feat
+        assert got[feat]["z_stat"] == pytest.approx(round(z, 6), abs=1e-6), feat
+        assert got[feat]["p_value"] == pytest.approx(p, abs=3e-7), feat
+
+
+def test_dispatch_wilcoxon(spark, lineitem):
+    wx = run_analysis(
+        lineitem,
+        "wilcoxon",
+        {
+            "feature_col": "l_returnflag",
+            "subject_col": "l_orderkey",
+            "group_col": "l_linestatus",
+            "value_col": "l_quantity",
+            "group_a": "F",
+            "group_b": "O",
+            "correction": "fdr_bh",
+        },
+    )
+    assert {"n_pairs", "w_stat", "z_stat", "p_value", "p_adj"} <= set(wx.columns)
+    cat = CATALOG["q_wilcoxon_signed"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(wx.drop("p_adj", "rejected")).equals(_sorted_pdf(cat))
