@@ -175,6 +175,18 @@ def _effect_size(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _normality(df: DataFrame, a: dict) -> DataFrame:
+    from .ops import stats
+
+    return stats.normality_test(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        alpha=a.get("alpha", 0.05),
+    )
+
+
 def _wilcoxon(df: DataFrame, a: dict) -> DataFrame:
     from .ops import stats
 
@@ -280,6 +292,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "ttest": _ttest,
     "mannwhitney": _mannwhitney,
     "wilcoxon": _wilcoxon,
+    "normality": _normality,
     "levene": _levene,
     "effect_size": _effect_size,
     "anova": _anova,

@@ -564,3 +564,64 @@ def norm_sf_spark(z: Column) -> Column:
 def norm_sf_sql(z: str) -> str:
     """Standard-normal upper tail as DuckDB SQL text."""
     return _norm_sf_de(DE(None, f"({z})")).s
+
+
+# ----------------------------------------------------------------------
+# D'Agostino-Pearson K^2 normality statistic (check_normality analog)
+# ----------------------------------------------------------------------
+
+def _skew_z_de(n: DE, g1: DE) -> DE:
+    """D'Agostino (1970) skewness z-transform — the classical published
+    constants (scipy.stats.skewtest uses the same formulas). ``g1`` is
+    the biased sample skewness m3/m2^1.5. Valid for n >= 8."""
+    y_raw = g1 * sqrt(((n + lit(1.0)) * (n + lit(3.0))) / (lit(6.0) * (n - lit(2.0))))
+    beta2 = (
+        lit(3.0) * ((n * n) + (lit(27.0) * n) - lit(70.0)) * (n + lit(1.0)) * (n + lit(3.0))
+    ) / ((n - lit(2.0)) * (n + lit(5.0)) * (n + lit(7.0)) * (n + lit(9.0)))
+    w2 = sqrt(lit(2.0) * (beta2 - lit(1.0))) - lit(1.0)
+    delta = lit(1.0) / sqrt(lit(0.5) * ln(w2))
+    alpha = sqrt(lit(2.0) / (w2 - lit(1.0)))
+    # scipy: y == 0 is replaced by 1 before the asinh transform
+    y = when_lt(abs_(y_raw), lit(_FPMIN), lit(1.0), y_raw)
+    ya = y / alpha
+    return delta * ln(ya + sqrt((ya * ya) + lit(1.0)))
+
+
+def _kurt_z_de(n: DE, b2: DE) -> DE:
+    """Anscombe-Glynn (1983) kurtosis z-transform (scipy.stats
+    kurtosistest formulas). ``b2`` is the biased non-Fisher sample
+    kurtosis m4/m2^2. Valid for n >= 20 (scipy's recommended floor)."""
+    e = (lit(3.0) * (n - lit(1.0))) / (n + lit(1.0))
+    var = (lit(24.0) * n * (n - lit(2.0)) * (n - lit(3.0))) / (
+        ((n + lit(1.0)) * (n + lit(1.0))) * (n + lit(3.0)) * (n + lit(5.0))
+    )
+    x = (b2 - e) / sqrt(var)
+    sb1 = (
+        (lit(6.0) * ((n * n) - (lit(5.0) * n) + lit(2.0))) / ((n + lit(7.0)) * (n + lit(9.0)))
+    ) * sqrt((lit(6.0) * (n + lit(3.0)) * (n + lit(5.0))) / (n * (n - lit(2.0)) * (n - lit(3.0))))
+    a = lit(6.0) + ((lit(8.0) / sb1) * ((lit(2.0) / sb1) + sqrt(lit(1.0) + (lit(4.0) / (sb1 * sb1)))))
+    t1 = lit(1.0) - (lit(2.0) / (lit(9.0) * a))
+    denom = lit(1.0) + (x * sqrt(lit(2.0) / (a - lit(4.0))))
+    # cube root with sign: sign(denom) * ((1-2/A)/|denom|)^(1/3);
+    # |denom| underflow-guarded so ln never sees 0 (scipy yields nan
+    # there; real aggregates never land on the singular point).
+    mag = exp(ln((lit(1.0) - (lit(2.0) / a)) / _guard(abs_(denom))) / lit(3.0))
+    t2 = when_lt(denom, lit(0.0), -mag, mag)
+    return (t1 - t2) / sqrt(lit(2.0) / (lit(9.0) * a))
+
+
+def _normal_k2_de(n: DE, g1: DE, b2: DE) -> DE:
+    zs = _skew_z_de(n, g1)
+    zk = _kurt_z_de(n, b2)
+    return (zs * zs) + (zk * zk)
+
+
+def normaltest_k2_spark(n: Column, g1: Column, b2: Column) -> Column:
+    """K^2 = z_skew^2 + z_kurt^2 as a pure-JVM Column; the p-value is
+    the chi-square(2) upper tail, exactly exp(-K^2/2)."""
+    return _normal_k2_de(DE(n, None), DE(g1, None), DE(b2, None)).c
+
+
+def normaltest_k2_sql(n: str, g1: str, b2: str) -> str:
+    """K^2 as DuckDB SQL text (identical arithmetic graph)."""
+    return _normal_k2_de(DE(None, f"({n})"), DE(None, f"({g1})"), DE(None, f"({b2})")).s

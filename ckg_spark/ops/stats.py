@@ -453,3 +453,74 @@ def median_polish(
             "__r__", F.col("__r__") - F.expr("percentile(__r__, 0.5)").over(w)
         )
     return out.select(row_col, col_col, F.round("__r__", 6).alias("residual"))
+
+
+def normality_test(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-(feature, group) normality gate — check_normality
+    (analytics.py:679-687) re-expressed Spark-first. The reference runs
+    scipy Shapiro-Wilk per group/feature on collected columns;
+    Shapiro-Wilk is an order-statistics computation (sorted-sample
+    coefficients, inherently sequential), so the distributed analog is
+    the classical moment-based D'Agostino-Pearson K^2 omnibus test:
+    ONE aggregation pass collects the raw power sums S1..S4, the
+    skew/kurtosis z-transforms and the K^2 statistic evaluate on the
+    dimension-sized result, and the chi-square(2) upper tail is exactly
+    exp(-K^2/2). Same decision role as the reference ('passes' at
+    alpha); published D'Agostino/Anscombe-Glynn constants
+    (ops/special.py), dual-backend so p-values stay hash-checkable.
+
+    Power sums of integer-valued inputs stay exactly representable
+    (< 2^53), making S1..S4 summation-order-independent — the catalog
+    framing over l_quantity is bitwise identical across engines; for
+    general doubles the usual float-noise caveat of any distributed sum
+    applies. Groups with n < 20 are dropped (the Anscombe-Glynn
+    transform's validity floor, scipy's documented recommendation)."""
+    v = F.col(value_col).cast("double")
+    s = (
+        df.groupBy(feature_col, group_col)
+        .agg(
+            F.count(v).cast("double").alias("nn"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.sum(v * v * v).alias("s3"),
+            F.sum(v * v * v * v).alias("s4"),
+        )
+        .filter(F.col("nn") >= 20)
+    )
+    nn = F.col("nn")
+    mean = F.col("s1") / nn
+    r2 = F.col("s2") / nn
+    r3 = F.col("s3") / nn
+    r4 = F.col("s4") / nn
+    m2 = r2 - (mean * mean)
+    m3 = r3 - (3.0 * mean * r2) + (2.0 * mean * mean * mean)
+    m4 = (
+        r4
+        - (4.0 * mean * r3)
+        + (6.0 * mean * mean * r2)
+        - (3.0 * mean * mean * mean * mean)
+    )
+    g = s.select(
+        feature_col,
+        group_col,
+        "nn",
+        (m3 / F.sqrt(m2 * m2 * m2)).alias("g1"),
+        (m4 / (m2 * m2)).alias("g2"),
+    ).filter(F.col("g1").isNotNull() & ~F.isnan("g1"))
+    k2 = special.normaltest_k2_spark(F.col("nn"), F.col("g1"), F.col("g2"))
+    w = g.select(feature_col, group_col, "nn", k2.alias("k2"))
+    p = F.exp(-F.col("k2") / 2.0)
+    return w.select(
+        feature_col,
+        group_col,
+        F.col("nn").cast("bigint").alias("n"),
+        F.round("k2", 6).alias("k2_stat"),
+        F.round(p, 9).alias("p_value"),
+        (p > alpha).alias("passes"),
+    )

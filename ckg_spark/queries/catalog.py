@@ -3190,3 +3190,72 @@ def q_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilcoxon_signed_rank(
         li, "l_returnflag", "l_orderkey", "l_linestatus", "l_quantity", "F", "O"
     )
+
+
+@register(
+    "q_normality_check",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS DOUBLE) AS nn,
+             SUM(CAST(l_quantity AS DOUBLE)) AS s1,
+             SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s2,
+             SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                 * CAST(l_quantity AS DOUBLE)) AS s3,
+             SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                 * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s4
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      HAVING CAST(COUNT(*) AS DOUBLE) >= 20
+    ),
+    r AS (
+      SELECT l_returnflag, l_linestatus, nn,
+             (s1 / nn) AS mean, (s2 / nn) AS r2, (s3 / nn) AS r3, (s4 / nn) AS r4
+      FROM s
+    ),
+    m AS (
+      SELECT l_returnflag, l_linestatus, nn,
+             (r2 - (mean * mean)) AS m2,
+             ((r3 - ((3.0 * mean) * r2)) + (((2.0 * mean) * mean) * mean)) AS m3,
+             (((r4 - ((4.0 * mean) * r3)) + (((6.0 * mean) * mean) * r2))
+              - ((((3.0 * mean) * mean) * mean) * mean)) AS m4
+      FROM r
+    ),
+    g AS (
+      SELECT l_returnflag, l_linestatus, nn,
+             (m3 / sqrt((m2 * m2) * m2)) AS g1,
+             (m4 / (m2 * m2)) AS g2
+      FROM m
+    ),
+    gf AS (
+      SELECT * FROM g WHERE g1 IS NOT NULL AND NOT isnan(g1)
+    ),
+    k AS (
+      SELECT l_returnflag, l_linestatus, nn,
+             {special.normaltest_k2_sql('nn', 'g1', 'g2')} AS k2
+      FROM gf
+    )
+    SELECT l_returnflag, l_linestatus, CAST(nn AS BIGINT) AS n,
+           CAST(ROUND(k2, 6) AS DOUBLE) AS k2_stat,
+           CAST(ROUND(exp((-k2) / 2.0), 9) AS DOUBLE) AS p_value,
+           CAST((exp((-k2) / 2.0) > 0.05) AS INT) AS passes
+    FROM k
+    """,
+    family="stats",
+)
+def q_normality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) normality gate — check_normality
+    (analytics.py:679-687) re-expressed Spark-first as the
+    D'Agostino-Pearson K^2 omnibus test (the reference's per-group
+    Shapiro-Wilk is an order-statistics computation, inherently
+    collected+sorted; K^2 is the classical moment-based equivalent and
+    distributes as ONE aggregation pass over raw power sums). chi2(2)
+    upper tail is exactly exp(-K^2/2); the z-transforms run dual-backend
+    (ops/special.py) so the p-value is hash-checkable. Power sums of the
+    integer-valued quantities are exactly representable, so every rank
+    of the arithmetic is bitwise identical across engines."""
+    from ..ops.stats import normality_test
+
+    li = _t(spark, sf_dir, "lineitem")
+    return normality_test(li, "l_returnflag", "l_linestatus", "l_quantity").withColumn(
+        "passes", F.col("passes").cast("int")
+    )

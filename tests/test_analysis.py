@@ -416,3 +416,93 @@ def test_dispatch_wilcoxon(spark, lineitem):
     assert {"n_pairs", "w_stat", "z_stat", "p_value", "p_adj"} <= set(wx.columns)
     cat = CATALOG["q_wilcoxon_signed"].spark_fn(spark, SF_DIR)
     assert _sorted_pdf(wx.drop("p_adj", "rejected")).equals(_sorted_pdf(cat))
+
+
+# ----------------------------------------------------------------------
+# Normality gate (D'Agostino-Pearson K^2): independent pure-Python
+# reference implementing the published D'Agostino (1970) /
+# Anscombe-Glynn (1983) transforms from scratch, plus the behavioral
+# property the reference uses check_normality FOR (pass normal data,
+# fail skewed data).
+# ----------------------------------------------------------------------
+
+
+def _k2_reference(xs):
+    n = float(len(xs))
+    mean = sum(xs) / n
+    m2 = sum((x - mean) ** 2 for x in xs) / n
+    m3 = sum((x - mean) ** 3 for x in xs) / n
+    m4 = sum((x - mean) ** 4 for x in xs) / n
+    g1 = m3 / m2**1.5
+    b2 = m4 / m2**2
+    # skewness z (D'Agostino 1970)
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = 3.0 * (n**2 + 27 * n - 70) * (n + 1) * (n + 3) / (
+        (n - 2) * (n + 5) * (n + 7) * (n + 9)
+    )
+    w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1))
+    if y == 0:
+        y = 1.0
+    zs = delta * math.asinh(y / alpha)
+    # kurtosis z (Anscombe-Glynn 1983)
+    e = 3.0 * (n - 1) / (n + 1)
+    var = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    x = (b2 - e) / math.sqrt(var)
+    sb1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))) * math.sqrt(
+        6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))
+    )
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + math.sqrt(1 + 4.0 / sb1**2))
+    denom = 1 + x * math.sqrt(2.0 / (a - 4.0))
+    t2 = math.copysign(abs((1 - 2.0 / a) / denom) ** (1 / 3.0), denom)
+    zk = (1 - 2.0 / (9.0 * a) - t2) / math.sqrt(2.0 / (9.0 * a))
+    k2 = zs * zs + zk * zk
+    return k2, math.exp(-k2 / 2.0)
+
+
+def test_normality_matches_independent_reference(spark):
+    import random
+
+    from ckg_spark.ops.stats import normality_test
+
+    rng = random.Random(7)
+    samples = {
+        ("F1", "normal"): [rng.gauss(10.0, 2.0) for _ in range(400)],
+        ("F1", "skewed"): [rng.expovariate(0.5) for _ in range(400)],
+        ("F2", "uniformish"): [rng.uniform(0.0, 50.0) for _ in range(300)],
+        ("F2", "tiny"): [1.0, 2.0, 3.0],  # n < 20 -> dropped
+    }
+    rows = [(f, g, v) for (f, g), vs in samples.items() for v in vs]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["f", "g", "x"]))
+    got = {
+        (r["f"], r["g"]): r
+        for r in normality_test(df, "f", "g", "x").collect()
+    }
+    assert ("F2", "tiny") not in got
+    for key, vs in samples.items():
+        if key == ("F2", "tiny"):
+            continue
+        k2, p = _k2_reference(vs)
+        assert got[key]["n"] == len(vs)
+        assert got[key]["k2_stat"] == pytest.approx(k2, rel=1e-6), key
+        assert got[key]["p_value"] == pytest.approx(p, abs=1e-8), key
+    # the decision role check_normality exists for:
+    assert got[("F1", "normal")]["passes"] is True
+    assert got[("F1", "skewed")]["passes"] is False
+
+
+def test_dispatch_normality(spark, lineitem):
+    nm = run_analysis(
+        lineitem,
+        "normality",
+        {
+            "feature_col": "l_returnflag",
+            "group_col": "l_linestatus",
+            "value_col": "l_quantity",
+        },
+    )
+    assert {"n", "k2_stat", "p_value", "passes"} <= set(nm.columns)
+    cat = CATALOG["q_normality_check"].spark_fn(spark, SF_DIR)
+    got = nm.withColumn("passes", F.col("passes").cast("int"))
+    assert _sorted_pdf(got).equals(_sorted_pdf(cat))
