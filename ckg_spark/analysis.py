@@ -88,6 +88,20 @@ def _imputation(df: DataFrame, a: dict) -> DataFrame:
             value,
             missing,
             k=a.get("k", 5),
+            block_col=a.get("block_col"),
+        )
+    if method == "mixed":
+        # imputation_mixed_norm_KNN (analytics.py:268-291)
+        return impute.impute_mixed(
+            df,
+            a.get("sample_col", "sample"),
+            a.get("feature_col", "identifier"),
+            value,
+            missing,
+            a.get("group_col", "group"),
+            cutoff=a.get("cutoff", 0.6),
+            shift=a.get("shift", 1.8),
+            k=a.get("k", 3),
         )
     raise ValueError(f"unknown imputation method {method!r}")
 
@@ -118,8 +132,13 @@ def _maybe_correct(r: DataFrame, a: dict) -> DataFrame:
         return stats.bh_adjust(
             r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
         )
+    if correction == "fdr_tsbh":
+        # apply_pvalue_twostage_fdrcorrection (analytics.py:905-921)
+        return stats.bh_twostage(
+            r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
+        )
     raise ValueError(
-        f"unknown correction {correction!r} (supported: 'fdr_bh', 'none')"
+        f"unknown correction {correction!r} (supported: 'fdr_bh', 'fdr_tsbh', 'none')"
     )
 
 

@@ -73,40 +73,56 @@ def impute_knn(
     value_col: str,
     is_missing: Column,
     k: int = 5,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Fill each missing (sample, feature) cell with the mean of the k
     nearest samples' observed values for that feature.
 
     Distance is sklearn's nan-euclidean: ``sqrt(d_total * ssd / n_shared)``
-    over features observed in BOTH samples (d_total = global feature
-    count). Neighbors are ranked (distance, neighbor id) — the id
+    over features observed in BOTH samples (d_total = the matrix's
+    feature count). Neighbors are ranked (distance, neighbor id) — the id
     tiebreak makes the operator deterministic where sklearn's
     argpartition order is not. Samples sharing no observed feature are
     simply not candidates; a feature-mean fallback covers cells with no
     candidate at all (sklearn's column-mean fallback).
 
-    Returns one row per missing cell: (sample, feature, value_imputed).
+    ``block_col`` restricts neighbors (and d_total / the fallback mean)
+    to samples of the same block — the reference's imputation_KNN runs
+    one KNN per GROUP submatrix (analytics.py:240-266 loops
+    ``df[group] == g``), and at scale blocking is also what keeps the
+    pairwise table bounded per cohort instead of global.
+
+    Returns one row per missing cell: (sample, feature, value_imputed)
+    plus the block column when given.
     """
     v = F.col(value_col).cast("double")
+    blk = [block_col] if block_col else []
+    bsel = [F.col(c) for c in blk]
     obs = cells.filter(~is_missing).select(
+        *bsel,
         F.col(sample_col).alias("__s__"),
         F.col(feature_col).alias("__f__"),
         v.alias("__v__"),
     )
     miss = cells.filter(is_missing).select(
-        F.col(sample_col).alias("__s__"), F.col(feature_col).alias("__f__")
+        *bsel, F.col(sample_col).alias("__s__"), F.col(feature_col).alias("__f__")
     )
-    d_total = cells.agg(
+    d_total = cells.groupBy(*blk).agg(
         F.countDistinct(feature_col).cast("double").alias("__d__")
     )
     a, b = obs.alias("a"), obs.alias("b")
+    pair_cond = (F.col("a.__f__") == F.col("b.__f__")) & (
+        F.col("a.__s__") != F.col("b.__s__")
+    )
+    for c in blk:
+        pair_cond = pair_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.__f__") == F.col("b.__f__"))
-            & (F.col("a.__s__") != F.col("b.__s__")),
+        a.join(b, pair_cond)
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in blk],
+            F.col("a.__s__").alias("s1"),
+            F.col("b.__s__").alias("s2"),
         )
-        .groupBy(F.col("a.__s__").alias("s1"), F.col("b.__s__").alias("s2"))
         .agg(
             F.sum(
                 (F.col("a.__v__") - F.col("b.__v__"))
@@ -115,43 +131,124 @@ def impute_knn(
             F.count(F.lit(1)).cast("bigint").alias("nsh"),
         )
     )
-    dist = pairs.crossJoin(F.broadcast(d_total)).select(
+    if blk:
+        dist = pairs.join(F.broadcast(d_total), blk)
+    else:
+        dist = pairs.crossJoin(F.broadcast(d_total))
+    dist = dist.select(
+        *bsel,
         "s1",
         "s2",
         F.sqrt(F.col("__d__") * F.col("ssd") / F.col("nsh")).alias("dist"),
     )
-    cand = (
-        miss.join(dist, miss["__s__"] == dist["s1"])
-        .join(
-            obs.select(
-                F.col("__s__").alias("s2o"),
-                F.col("__f__").alias("f2"),
-                F.col("__v__").alias("nv"),
-            ),
-            (F.col("s2") == F.col("s2o")) & (F.col("__f__") == F.col("f2")),
-        )
-        .select("__s__", "__f__", "s2", "nv", "dist")
+    cand = miss.join(dist.withColumnRenamed("s1", "__s__"), [*blk, "__s__"])
+    nb = obs.select(
+        *[F.col(c).alias(f"__b_{c}__") for c in blk],
+        F.col("__s__").alias("s2o"),
+        F.col("__f__").alias("f2"),
+        F.col("__v__").alias("nv"),
     )
-    w = Window.partitionBy("__s__", "__f__").orderBy(
+    nb_cond = (F.col("s2") == F.col("s2o")) & (F.col("__f__") == F.col("f2"))
+    for c in blk:
+        nb_cond = nb_cond & (F.col(c) == F.col(f"__b_{c}__"))
+    cand = cand.join(nb, nb_cond).select(*blk, "__s__", "__f__", "s2", "nv", "dist")
+    w = Window.partitionBy(*blk, "__s__", "__f__").orderBy(
         F.col("dist").asc(), F.col("s2").asc()
     )
     knn = (
         cand.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
-        .groupBy("__s__", "__f__")
+        .groupBy(*blk, "__s__", "__f__")
         .agg(F.avg("nv").alias("__knn__"))
     )
-    fmean = obs.groupBy("__f__").agg(F.avg("__v__").alias("__fmean__"))
+    fmean = obs.groupBy(*blk, "__f__").agg(F.avg("__v__").alias("__fmean__"))
     return (
-        miss.join(knn, ["__s__", "__f__"], "left")
-        .join(F.broadcast(fmean), "__f__", "left")
+        miss.join(knn, [*blk, "__s__", "__f__"], "left")
+        .join(F.broadcast(fmean), [*blk, "__f__"], "left")
         .select(
+            *bsel,
             F.col("__s__").alias(sample_col),
             F.col("__f__").alias(feature_col),
             F.round(F.coalesce(F.col("__knn__"), F.col("__fmean__")), 6).alias(
                 "value_imputed"
             ),
         )
+    )
+
+
+def impute_mixed(
+    cells: DataFrame,
+    sample_col: str,
+    feature_col: str,
+    value_col: str,
+    is_missing: Column,
+    group_col: str,
+    cutoff: float = 0.6,
+    shift: float = 1.8,
+    k: int = 3,
+) -> DataFrame:
+    """Mixed KNN + down-shifted-normal imputation
+    (imputation_mixed_norm_KNN, analytics.py:268-291): features observed
+    in at least ``cutoff`` of a group's samples are KNN-imputed WITHIN
+    that group (the reference loops ``df[group] == g`` and keeps only
+    columns with ``notnull().mean() >= cutoff``; fancyimpute KNN(k=3));
+    every remaining missing cell gets the feature's ``mean - shift*std``
+    computed over the POST-KNN values — exactly the reference's stage-2
+    ``imputation_normal_distribution`` over the KNN-updated frame (minus
+    the seeded jitter, the module's documented determinism trade).
+
+    Returns one row per missing cell:
+    (group, sample, feature, value_imputed, method∈{'knn','downshift'}).
+    """
+    v = F.col(value_col).cast("double")
+    g = cells.select(
+        F.col(group_col).alias("__g__"),
+        F.col(sample_col).alias("__s__"),
+        F.col(feature_col).alias("__f__"),
+        v.alias("__v__"),
+        is_missing.alias("__miss__"),
+    )
+    elig = (
+        g.groupBy("__g__", "__f__")
+        .agg(F.avg(F.when(F.col("__miss__"), 0.0).otherwise(1.0)).alias("__frac__"))
+        .filter(F.col("__frac__") >= F.lit(float(cutoff)))
+        .select("__g__", "__f__")
+    )
+    ge = g.join(F.broadcast(elig), ["__g__", "__f__"])
+    knn_fill = impute_knn(
+        ge, "__s__", "__f__", "__v__", F.col("__miss__"), k=k, block_col="__g__"
+    ).withColumnRenamed("value_imputed", "__iv__")
+    post = g.filter(~F.col("__miss__")).select("__f__", "__v__").unionByName(
+        knn_fill.select("__f__", F.col("__iv__").alias("__v__"))
+    )
+    fstat = post.groupBy("__f__").agg(
+        (F.avg("__v__") - F.lit(float(shift)) * F.stddev_samp("__v__")).alias("__fill__")
+    )
+    down = (
+        g.filter(F.col("__miss__"))
+        .join(F.broadcast(elig), ["__g__", "__f__"], "left_anti")
+        .join(F.broadcast(fstat), "__f__", "left")
+        .select(
+            "__g__",
+            "__s__",
+            "__f__",
+            F.round(F.col("__fill__"), 6).alias("value_imputed"),
+            F.lit("downshift").alias("method"),
+        )
+    )
+    knn_rows = knn_fill.select(
+        "__g__",
+        "__s__",
+        "__f__",
+        F.round(F.col("__iv__"), 6).alias("value_imputed"),
+        F.lit("knn").alias("method"),
+    )
+    return knn_rows.unionByName(down).select(
+        F.col("__g__").alias(group_col),
+        F.col("__s__").alias(sample_col),
+        F.col("__f__").alias(feature_col),
+        "value_imputed",
+        "method",
     )
 
 

@@ -120,6 +120,52 @@ def bh_adjust(
     )
 
 
+def bh_twostage(
+    df: DataFrame, p_col: str, key_cols: list[str], alpha: float = 0.05
+) -> DataFrame:
+    """Two-stage linear step-up FDR (apply_pvalue_twostage_fdrcorrection,
+    analytics.py:905-921 → statsmodels fdrcorrection_twostage with the
+    reference's default method='bh', maxiter=1): stage 1 is plain BH;
+    r1 = #(p_adj_bh <= alpha) estimates the true-null count m0 = m - r1;
+    if 0 < r1 < m, stage 2 re-runs the step-up at alpha* = alpha*m/m0 and
+    scales the adjusted p-values by m0/m. Adds ``p_adj``, ``m0`` and
+    ``rejected``. Same dimension-sized-frame window math as
+    :func:`bh_adjust` (statsmodels' <= rejection mirrored exactly)."""
+    order = [F.col(p_col).asc()] + [F.col(k).asc() for k in key_cols]
+    r = df.select(
+        "*",
+        F.row_number().over(Window.orderBy(*order)).alias("__rn__"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m__"),
+    )
+    tail = Window.orderBy(F.desc("__rn__")).rowsBetween(Window.unboundedPreceding, 0)
+    bh = r.withColumn(
+        "__bh__",
+        F.least(
+            F.lit(1.0),
+            F.min((F.col(p_col) * F.col("__m__")) / F.col("__rn__")).over(tail),
+        ),
+    )
+    st = bh.withColumn(
+        "__r1__",
+        F.sum(F.when(F.col("__bh__") <= F.lit(alpha), 1).otherwise(0)).over(
+            Window.partitionBy()
+        ),
+    )
+    m = F.col("__m__")
+    r1 = F.col("__r1__")
+    active = (r1 > 0) & (r1 < m)
+    p_adj = F.when(active, (F.col("__bh__") * (m - r1)) / m).otherwise(F.col("__bh__"))
+    rejected = F.when(
+        active, F.col("__bh__") <= (F.lit(alpha) * m) / (m - r1)
+    ).otherwise(F.col("__bh__") <= F.lit(alpha))
+    return (
+        st.withColumn("p_adj", F.round(p_adj, 9))
+        .withColumn("m0", F.when(active, m - r1).otherwise(m).cast("bigint"))
+        .withColumn("rejected", F.when(rejected, 1).otherwise(0).cast("int"))
+        .drop("__rn__", "__m__", "__bh__", "__r1__")
+    )
+
+
 def anova_oneway(
     df: DataFrame, feature_col: str, group_col: str, value_col: str
 ) -> DataFrame:

@@ -1348,6 +1348,64 @@ def q_ttest_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ttest_fdr_twostage",
+    _WELCH_BASE_SQL
+    + f"""
+    , pv AS (
+      SELECT l_returnflag,
+             CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+      FROM w2
+    ),
+    r AS (
+      SELECT l_returnflag, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, l_returnflag) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    bh AS (
+      SELECT l_returnflag, p_value, rn, m,
+             LEAST(1.0, MIN((p_value * m) / rn) OVER
+               (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bh_adj
+      FROM r
+    ),
+    st AS (
+      SELECT *, SUM(CASE WHEN bh_adj <= 0.05 THEN 1 ELSE 0 END) OVER () AS r1 FROM bh
+    )
+    SELECT l_returnflag, p_value,
+           CAST(ROUND(CASE WHEN r1 > 0 AND r1 < m
+                           THEN (bh_adj * (m - r1)) / m ELSE bh_adj END, 9)
+             AS DOUBLE) AS p_adj,
+           CAST(CASE WHEN r1 > 0 AND r1 < m THEN m - r1 ELSE m END AS BIGINT) AS m0,
+           CAST(CASE WHEN (CASE WHEN r1 > 0 AND r1 < m
+                                THEN bh_adj <= (0.05 * m) / (m - r1)
+                                ELSE bh_adj <= 0.05 END)
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM st
+    """,
+    family="stats",
+)
+def q_ttest_fdr_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (BKY-style, method='bh') FDR over the Welch p-values —
+    apply_pvalue_twostage_fdrcorrection (analytics.py:905-921, statsmodels
+    fdrcorrection_twostage at its reference-default method='bh',
+    maxiter=1). Stage 1 BH estimates the true-null count m0 = m - r1;
+    stage 2 re-runs the step-up at alpha*m/m0 and rescales p_adj by m0/m.
+    Pure window math over the dimension-sized p-value frame; both stages
+    hash-verified end-to-end (ops/stats.py::bh_twostage is the generic
+    spelling)."""
+    from ..ops.stats import bh_twostage
+
+    base = _welch_base_spark(spark, sf_dir)
+    pv = base.select(
+        "l_returnflag",
+        F.round(special.t_sf2_spark(F.col("t_raw"), F.col("dof_raw")), 9).alias(
+            "p_value"
+        ),
+    )
+    return bh_twostage(pv, "p_value", ["l_returnflag"], alpha=0.05)
+
+
+@register(
     "q_enrichment_fisher",
     f"""
     WITH ann AS (
@@ -2255,6 +2313,110 @@ def q_impute_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIRST_EVENT_CELL_SQL = """
+    fst AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    cell AS (SELECT user_id, event_type, v FROM fst WHERE rn = 1)
+"""
+
+
+@register(
+    "q_impute_mixed",
+    f"""
+    WITH {_FIRST_EVENT_CELL_SQL},
+    g AS (SELECT (user_id % 3) AS grp, user_id AS s, event_type AS f, v,
+                 (v < 30.0) AS miss
+          FROM cell),
+    elig AS (
+      SELECT grp, f FROM g GROUP BY grp, f
+      HAVING AVG(CASE WHEN miss THEN 0.0 ELSE 1.0 END) >= 0.6
+    ),
+    ge AS (SELECT g.grp, g.s, g.f, g.v, g.miss
+           FROM g JOIN elig ON g.grp = elig.grp AND g.f = elig.f),
+    obs AS (SELECT grp, s, f, v FROM ge WHERE NOT miss),
+    mis AS (SELECT grp, s, f FROM ge WHERE miss),
+    dtot AS (SELECT grp, CAST(COUNT(DISTINCT f) AS DOUBLE) AS d FROM ge GROUP BY grp),
+    pairs AS (
+      SELECT a.grp, a.s AS s1, b.s AS s2,
+             SUM((a.v - b.v) * (a.v - b.v)) AS ssd,
+             CAST(COUNT(*) AS BIGINT) AS nsh
+      FROM obs a JOIN obs b ON a.grp = b.grp AND a.f = b.f AND a.s <> b.s
+      GROUP BY a.grp, a.s, b.s
+    ),
+    dist AS (SELECT p.grp, p.s1, p.s2, SQRT(d.d * p.ssd / p.nsh) AS dist
+             FROM pairs p JOIN dtot d ON p.grp = d.grp),
+    cand AS (
+      SELECT mis.grp, mis.s, mis.f, dist.s2, obs.v AS nv, dist.dist
+      FROM mis JOIN dist ON mis.grp = dist.grp AND mis.s = dist.s1
+               JOIN obs ON obs.grp = mis.grp AND obs.s = dist.s2 AND obs.f = mis.f
+    ),
+    knn AS (
+      SELECT grp, s, f, AVG(nv) AS knn_v
+      FROM (SELECT grp, s, f, nv,
+                   ROW_NUMBER() OVER (PARTITION BY grp, s, f
+                                      ORDER BY dist ASC, s2 ASC) AS rn
+            FROM cand)
+      WHERE rn <= 3 GROUP BY grp, s, f
+    ),
+    gfmean AS (SELECT grp, f, AVG(v) AS f_mean FROM obs GROUP BY grp, f),
+    knn_fill AS (
+      SELECT mis.grp, mis.s, mis.f,
+             ROUND(COALESCE(knn.knn_v, gfmean.f_mean), 6) AS iv
+      FROM mis LEFT JOIN knn ON mis.grp = knn.grp AND mis.s = knn.s AND mis.f = knn.f
+               LEFT JOIN gfmean ON mis.grp = gfmean.grp AND mis.f = gfmean.f
+    ),
+    post AS (
+      SELECT f, v FROM g WHERE NOT miss
+      UNION ALL SELECT f, iv AS v FROM knn_fill
+    ),
+    fstat AS (SELECT f, (AVG(v) - 1.8 * STDDEV_SAMP(v)) AS fill FROM post GROUP BY f),
+    down AS (
+      SELECT g.grp, g.s, g.f FROM g
+      WHERE g.miss AND NOT EXISTS (SELECT 1 FROM elig e WHERE e.grp = g.grp AND e.f = g.f)
+    )
+    SELECT grp, s AS user_id, f AS event_type,
+           CAST(value_imputed AS DOUBLE) AS value_imputed, method
+    FROM (
+      SELECT grp, s, f, iv AS value_imputed, 'knn' AS method FROM knn_fill
+      UNION ALL
+      SELECT d.grp, d.s, d.f, ROUND(fs.fill, 6), 'downshift'
+      FROM down d JOIN fstat fs ON d.f = fs.f
+    )
+    """,
+    family="stats",
+)
+def q_impute_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed KNN + down-shifted-normal imputation
+    (imputation_mixed_norm_KNN, analytics.py:268-291): per GROUP
+    (user_id % 3), features observed in >= 60% of the group's samples
+    are KNN-imputed within the group (fancyimpute KNN(k=3) semantics,
+    id-tiebroken); every remaining missing cell (v < 30 is the
+    missingness predicate at this framing) gets the feature's
+    mean - 1.8*std over the POST-KNN values — the reference's stage-2
+    imputation_normal_distribution over the KNN-updated frame. Both
+    stages and the eligibility split are hash-verified."""
+    from ..ops.impute import impute_mixed
+
+    cell = _first_event_cell(spark, sf_dir).withColumn(
+        "grp", F.col("user_id") % 3
+    )
+    return impute_mixed(
+        cell,
+        "user_id",
+        "event_type",
+        "v",
+        F.col("v") < 30.0,
+        "grp",
+        cutoff=0.6,
+        shift=1.8,
+        k=3,
+    )
+
+
 def _kmeans_oracle() -> str:
     from ..ops.cluster import kmeans_oracle_sql
 
@@ -2467,17 +2629,6 @@ CATALOG["q_contamination_screen"].sql = CATALOG["q_contamination_screen"].sql.re
 # + eigenvector centrality
 # ======================================================================
 
-_FIRST_EVENT_CELL_SQL = """
-    fst AS (
-      SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
-             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts ASC, event_id ASC) AS rn
-      FROM events
-    ),
-    cell AS (SELECT user_id, event_type, v FROM fst WHERE rn = 1)
-"""
-
-
 def _first_event_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (user × event_type) first-reading matrix — the same complete
     150×5 cell framing q_impute_knn samples from. min_by aggregation
@@ -2651,7 +2802,9 @@ def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(ROUND(f_raw, 6) AS DOUBLE) AS f_stat,
            CAST(ROUND({special.f_sf_sql('f_raw', 'df_eff', 'df_err')}, 9) AS DOUBLE) AS p_value,
-           CAST(ROUND(ss_eff / ss_tot, 6) AS DOUBLE) AS eta_sq
+           CAST(ROUND(ss_eff / ss_tot, 6) AS DOUBLE) AS eta_sq,
+           CAST(ROUND((ss_eff - df_eff * (ss_err / df_err)) / (ss_tot + (ss_err / df_err)), 6)
+             AS DOUBLE) AS omega_sq
     FROM f
     """,
     family="stats",
@@ -2662,8 +2815,9 @@ def q_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced closed form, where Type I/II/III coincide). The design is
     balanced deterministically: every (returnflag × linestatus) cell is
     trimmed to the global minimum cell count in (orderkey, linenumber)
-    order. Emits F, p (F-tail), and eta_sq per source — all
-    hash-verified."""
+    order. Emits F, p (F-tail), eta_sq (eta_squared, analytics.py:2383)
+    and omega_sq (omega_squared, analytics.py:2375-2381: (SS_eff −
+    df_eff·MS_err)/(SS_tot + MS_err)) per source — all hash-verified."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
         F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
@@ -2730,11 +2884,15 @@ def q_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f_raw = (F.col("ss_eff") / F.col("df_eff")) / (F.col("ss_err") / F.col("df_err"))
     f = rows.withColumn("f_raw", f_raw)
+    ms_err = F.col("ss_err") / F.col("df_err")
     return f.select(
         "source",
         F.round("f_raw", 6).alias("f_stat"),
         F.round(special.f_sf_spark(F.col("f_raw"), F.col("df_eff"), F.col("df_err")), 9).alias("p_value"),
         F.round(F.col("ss_eff") / F.col("ss_tot"), 6).alias("eta_sq"),
+        F.round(
+            (F.col("ss_eff") - F.col("df_eff") * ms_err) / (F.col("ss_tot") + ms_err), 6
+        ).alias("omega_sq"),
     )
 
 

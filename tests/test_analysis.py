@@ -115,6 +115,62 @@ def test_bh_adjust_matches_catalog_fdr(spark, lineitem):
     assert _sorted_pdf(adj).equals(_sorted_pdf(catalog))
 
 
+def test_bh_twostage_matches_catalog(spark, lineitem):
+    from ckg_spark.ops import stats
+
+    welch = stats.welch_ttest(
+        lineitem, "l_returnflag", "l_linestatus", "l_quantity", "F", "O"
+    ).select("l_returnflag", "p_value")
+    adj = stats.bh_twostage(welch, "p_value", ["l_returnflag"])
+    catalog = CATALOG["q_ttest_fdr_twostage"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(adj).equals(_sorted_pdf(catalog))
+
+
+def _twostage_reference(pvals, alpha=0.05):
+    """From-scratch statsmodels fdrcorrection_twostage (method='bh',
+    maxiter=1) — independent of the engine's window-math spelling."""
+    m = len(pvals)
+    order = sorted(range(m), key=lambda i: pvals[i])
+    padj = [0.0] * m
+    run = float("inf")
+    for pos in range(m - 1, -1, -1):
+        i = order[pos]
+        run = min(run, pvals[i] * m / (pos + 1))
+        padj[i] = min(1.0, run)
+    r1 = sum(1 for v in padj if v <= alpha)
+    if r1 == 0 or r1 == m:
+        return padj, [v <= alpha for v in padj], m
+    m0 = m - r1
+    alpha_star = alpha * m / m0
+    return [v * m0 / m for v in padj], [v <= alpha_star for v in padj], m0
+
+
+@pytest.mark.parametrize(
+    "pvals",
+    [
+        [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216],
+        [0.3, 0.5, 0.7, 0.9],          # r1 == 0: falls back to plain BH
+        [1e-8, 1e-7, 1e-6, 1e-5],      # r1 == m: falls back to plain BH
+    ],
+)
+def test_bh_twostage_matches_independent_reference(spark, pvals):
+    from ckg_spark.ops import stats
+
+    df = spark.createDataFrame(
+        [(f"f{i:02d}", p) for i, p in enumerate(pvals)], ["feature", "p_value"]
+    )
+    got = {
+        r["feature"]: (r["p_adj"], r["m0"], r["rejected"])
+        for r in stats.bh_twostage(df, "p_value", ["feature"]).collect()
+    }
+    padj, rej, m0 = _twostage_reference(pvals)
+    for i, p in enumerate(pvals):
+        g = got[f"f{i:02d}"]
+        assert g[0] == pytest.approx(round(padj[i], 9), abs=1e-12)
+        assert g[1] == m0
+        assert g[2] == int(rej[i])
+
+
 def test_dispatch_survival_and_graph(spark):
     # survival: the catalog's duration framing through the dispatcher
     from ckg_spark.queries.catalog import _km_duration_frame
@@ -273,6 +329,115 @@ def test_levene_bf_matches_independent_reference(spark):
         assert got[feat]["n_groups"] == k and got[feat]["n_obs"] == n
         assert got[feat]["w_stat"] == pytest.approx(w, abs=1e-6), feat
         assert got[feat]["p_value"] == pytest.approx(p, abs=1e-8), feat
+
+
+def test_impute_mixed_matches_independent_reference(spark):
+    """From-scratch per-group KNN + post-KNN downshift mirror of
+    imputation_mixed_norm_KNN (analytics.py:268-291): nan-euclidean
+    distances over the group's eligible-feature submatrix, k nearest by
+    (distance, id), then per-feature mean - 1.8*std over observed ∪
+    KNN-imputed values for everything the cutoff excluded."""
+    import numpy as np
+
+    from ckg_spark.ops.impute import impute_mixed
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 2 groups × 6 samples × 4 features; missingness planted so that per
+    # group some features pass the 0.6 cutoff and some do not
+    miss_plan = {
+        ("g0", "f1"): {"s1"},               # 5/6 observed -> eligible
+        ("g0", "f2"): {"s1", "s2", "s3"},   # 3/6 = 0.5    -> downshift
+        ("g0", "f3"): set(),                # complete      -> eligible
+        ("g0", "f4"): {"s0", "s4"},         # 4/6           -> eligible
+        ("g1", "f1"): {"s0", "s1", "s2"},   # 0.5           -> downshift
+        ("g1", "f2"): {"s5"},               # eligible
+        ("g1", "f3"): {"s3"},               # eligible
+        ("g1", "f4"): set(),                # eligible
+    }
+    vals = {}
+    for (g, f), missing in miss_plan.items():
+        for i in range(6):
+            s = f"s{i}"
+            v = float(np.round(rng.uniform(5, 25), 3))
+            vals[(g, s, f)] = (v, s in missing)
+            rows.append((g, s, f, v, s in missing))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["grp", "smp", "feat", "v", "miss"])
+    )
+    got = {
+        (r["grp"], r["smp"], r["feat"]): (r["value_imputed"], r["method"])
+        for r in impute_mixed(
+            df, "smp", "feat", "v", F.col("miss"), "grp", cutoff=0.6, shift=1.8, k=3
+        ).collect()
+    }
+
+    cutoff, shift, k = 0.6, 1.8, 3
+    groups = sorted({g for (g, _, _) in vals})
+    feats = sorted({f for (_, _, f) in vals})
+    samples = sorted({s for (_, s, _) in vals})
+    elig = {
+        (g, f)
+        for g in groups
+        for f in feats
+        if np.mean([0.0 if vals[(g, s, f)][1] else 1.0 for s in samples]) >= cutoff
+    }
+    expected = {}
+    knn_fills = []
+    for g in groups:
+        efs = sorted(f for (gg, f) in elig if gg == g)
+        d = float(len(efs))
+        obs = {
+            (s, f): vals[(g, s, f)][0]
+            for s in samples
+            for f in efs
+            if not vals[(g, s, f)][1]
+        }
+        for s in samples:
+            for f in efs:
+                if not vals[(g, s, f)][1]:
+                    continue
+                dists = []
+                for s2 in samples:
+                    if s2 == s or (s2, f) not in obs:
+                        continue
+                    shared = [
+                        (obs[(s, f2)], obs[(s2, f2)])
+                        for f2 in efs
+                        if (s, f2) in obs and (s2, f2) in obs
+                    ]
+                    if not shared:
+                        continue
+                    ssd = sum((x - y) ** 2 for x, y in shared)
+                    dists.append((math.sqrt(d * ssd / len(shared)), s2))
+                if dists:
+                    nearest = sorted(dists)[:k]
+                    fill = sum(obs[(s2, f)] for _, s2 in nearest) / len(nearest)
+                else:
+                    fmean = [obs[(s2, f)] for s2 in samples if (s2, f) in obs]
+                    fill = sum(fmean) / len(fmean)
+                fill = round(fill, 6)
+                expected[(g, s, f)] = (fill, "knn")
+                knn_fills.append((f, fill))
+    for f in feats:
+        post = [
+            vals[(g, s, f)][0]
+            for g in groups
+            for s in samples
+            if not vals[(g, s, f)][1]
+        ] + [v for ff, v in knn_fills if ff == f]
+        fill = np.mean(post) - shift * np.std(post, ddof=1)
+        for g in groups:
+            if (g, f) in elig:
+                continue
+            for s in samples:
+                if vals[(g, s, f)][1]:
+                    expected[(g, s, f)] = (fill, "downshift")
+
+    assert set(got) == set(expected)
+    for key, (v, method) in expected.items():
+        assert got[key][1] == method, key
+        assert got[key][0] == pytest.approx(v, abs=1e-6), key
 
 
 def test_effect_sizes_match_independent_reference(spark):
