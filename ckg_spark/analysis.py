@@ -291,6 +291,25 @@ def _pagerank(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _dabest(df: DataFrame, a: dict) -> DataFrame:
+    # run_dabest / calculate_dabest (analytics.py:1348-1510): mean
+    # difference + bootstrap percentile CI, as the deterministic
+    # Poisson bootstrap
+    from .ops import stats
+
+    return stats.bootstrap_meandiff(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        a.get("id_col", "subject"),
+        a["group_a"],
+        a["group_b"],
+        n_boot=a.get("n_boot", 100),
+        alpha=a.get("alpha", 0.05),
+    )
+
+
 def _eigenvector(df: DataFrame, a: dict) -> DataFrame:
     from .ops.graph import eigenvector_centrality
 
@@ -315,6 +334,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "levene": _levene,
     "effect_size": _effect_size,
     "anova": _anova,
+    "dabest": _dabest,
     "survival": _survival,
     "logrank": _logrank,
     "clustering": _clustering,

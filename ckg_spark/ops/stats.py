@@ -457,6 +457,139 @@ def wilcoxon_signed_rank(
     )
 
 
+def _poisson1_cdf(max_w: int = 8) -> list[float]:
+    """P(Poisson(1) <= j) for j = 0..max_w-1 — the inverse-CDF ladder of
+    the deterministic Poisson bootstrap (weights capped at max_w; the
+    truncated tail mass is ~1e-6)."""
+    import math
+
+    acc, out = 0.0, []
+    for j in range(max_w):
+        acc += 1.0 / math.factorial(j)
+        out.append(acc * math.exp(-1.0))
+    return out
+
+
+_P1_CDF = _poisson1_cdf()
+
+
+def poisson1_weight(u: Column) -> Column:
+    """Poisson(1) draw from a uniform via the inverse CDF — the per-row
+    per-replicate resample multiplicity of the Poisson bootstrap."""
+    w = F.lit(0)
+    for c in _P1_CDF:
+        w = w + F.when(u >= F.lit(c), 1).otherwise(0)
+    return w.cast("double")
+
+
+def poisson1_weight_sql(u_expr: str) -> str:
+    """The identical ladder as SQL text (same double literals, so the
+    comparisons agree bitwise across engines)."""
+    terms = " + ".join(
+        f"(CASE WHEN {u_expr} >= {c!r} THEN 1 ELSE 0 END)" for c in _P1_CDF
+    )
+    return f"CAST(({terms}) AS DOUBLE)"
+
+
+def bootstrap_meandiff(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    group_a: str,
+    group_b: str,
+    n_boot: int = 100,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Estimation statistics: per-feature mean difference between two
+    groups with a bootstrap percentile CI (calculate_dabest / run_dabest,
+    analytics.py:1348-1510 — dabest mean_diff's 'pct low/high' interval),
+    as a DETERMINISTIC distributed Poisson bootstrap.
+
+    Instead of materializing B resamples (a B× data blowup), each row
+    gets B Poisson(1) multiplicities derived from the lowbias32 hash of
+    (id, replicate) — the standard streaming-bootstrap construction for
+    with-replacement resampling at scale. The B weights are built as ONE
+    array column via nested ``transform`` lambdas (O(1) plan nodes — an
+    unrolled per-replicate expression tree made the plan, and the task
+    binary, grow linearly with B and Catalyst time quadratically); the
+    4*B aggregates then read cheap ``try_element_at`` slots off that
+    projected attribute. ONE aggregation pass computes all partial sums
+    per feature (map-side combined, so the shuffle carries features × 4B
+    doubles, independent of row count); the replicate-diff explode and
+    the percentile run on the dimension-sized (feature × B) frame.
+    Replicates where either group draws total weight 0 are dropped
+    (counted in n_valid_boot). Deterministic ⇒ cross-engine
+    value-hash-verifiable, stable under repartitioning; the reference
+    instead reseeds numpy (random seed column in calculate_dabest's
+    output).
+    """
+    from .curation import _M32, split_u
+
+    base = df.select(
+        F.col(feature_col),
+        F.col(value_col).cast("double").alias("__v__"),
+        (F.col(group_col) == group_a).alias("__a__"),
+        (F.col(group_col) == group_b).alias("__b__"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(_M32)).alias("__id32__"),
+    )
+    # inner transform: one uniform per replicate (id32 is a projected
+    # attribute, so the per-element re-evaluation is 3 integer ops);
+    # outer transform: the CDF ladder references its lambda variable —
+    # an attribute, not a re-evaluated subtree — 8 times.
+    us = F.transform(
+        F.sequence(F.lit(0), F.lit(n_boot - 1)),
+        lambda b: split_u(F.col("__id32__") * F.lit(n_boot) + b.cast("long")),
+    )
+    proj = base.select(
+        feature_col,
+        "__v__",
+        "__a__",
+        "__b__",
+        F.transform(us, poisson1_weight).alias("__w__"),
+    )
+    v = F.col("__v__")
+    is_a = F.col("__a__")
+    is_b = F.col("__b__")
+    aggs = [
+        F.avg(F.when(is_a, v)).alias("m_a"),
+        F.avg(F.when(is_b, v)).alias("m_b"),
+    ]
+    for b in range(n_boot):
+        w = F.try_element_at("__w__", F.lit(b + 1))
+        aggs += [
+            F.sum(F.when(is_a, w * v)).alias(f"swx_a_{b}"),
+            F.sum(F.when(is_a, w)).alias(f"sw_a_{b}"),
+            F.sum(F.when(is_b, w * v)).alias(f"swx_b_{b}"),
+            F.sum(F.when(is_b, w)).alias(f"sw_b_{b}"),
+        ]
+    s = proj.groupBy(feature_col).agg(*aggs)
+    diffs = F.array(
+        *[
+            F.when(
+                (F.col(f"sw_a_{b}") > 0) & (F.col(f"sw_b_{b}") > 0),
+                F.round(
+                    F.col(f"swx_a_{b}") / F.col(f"sw_a_{b}")
+                    - F.col(f"swx_b_{b}") / F.col(f"sw_b_{b}"),
+                    6,
+                ),
+            )
+            for b in range(n_boot)
+        ]
+    )
+    e = s.select(
+        feature_col,
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.explode(diffs).alias("diff"),
+    )
+    return e.groupBy(feature_col, "mean_diff").agg(
+        F.round(F.expr(f"percentile(diff, {alpha / 2.0!r})"), 6).alias("ci_low"),
+        F.round(F.expr(f"percentile(diff, {1.0 - alpha / 2.0!r})"), 6).alias("ci_high"),
+        F.count("diff").cast("bigint").alias("n_valid_boot"),
+    )
+
+
 def zscore(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
     """Per-group z-score normalization ('normalization' method zscore,
     analytics.py:392-414): adds ``value_norm``."""

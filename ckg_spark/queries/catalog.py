@@ -3417,3 +3417,194 @@ def q_normality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normality_test(li, "l_returnflag", "l_linestatus", "l_quantity").withColumn(
         "passes", F.col("passes").cast("int")
     )
+
+
+def _bootstrap_meandiff_sql(n_boot: int = 100) -> str:
+    """DuckDB twin of q_bootstrap_meandiff, deliberately spelled the
+    NAIVE way — materialize the row × replicate cross join and group per
+    (feature, replicate) — while the Spark side runs the one-pass wide
+    aggregation. Same lowbias32-derived Poisson(1) weights, so every
+    replicate mean is bitwise identical (integer-valued quantities ⇒
+    exact partial sums on both engines)."""
+    from ..ops.curation import _M32, split_u_sql
+    from ..ops.stats import poisson1_weight_sql
+
+    id32 = f"(((((l_orderkey * 8) + l_linenumber) % {_M32}) + {_M32}) % {_M32})"
+    u = split_u_sql(f"(({id32}) * {n_boot}) + b")
+    w = poisson1_weight_sql("u")
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus AS st, CAST(l_quantity AS DOUBLE) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    reps AS (
+      SELECT l_returnflag, st, v, b, {u} AS u
+      FROM base CROSS JOIN (SELECT UNNEST(RANGE({n_boot})) AS b) r
+    ),
+    wts AS (SELECT l_returnflag, st, v, b, {w} AS w FROM reps),
+    rm AS (
+      SELECT l_returnflag, b,
+             SUM(CASE WHEN st = 'F' THEN w * v END) AS swx_a,
+             SUM(CASE WHEN st = 'F' THEN w END) AS sw_a,
+             SUM(CASE WHEN st = 'O' THEN w * v END) AS swx_b,
+             SUM(CASE WHEN st = 'O' THEN w END) AS sw_b
+      FROM wts GROUP BY l_returnflag, b
+    ),
+    diffs AS (
+      SELECT l_returnflag,
+             CASE WHEN sw_a > 0 AND sw_b > 0
+                  THEN ROUND((swx_a / sw_a) - (swx_b / sw_b), 6) END AS diff
+      FROM rm
+    ),
+    md AS (
+      SELECT l_returnflag,
+             ROUND(AVG(CASE WHEN st = 'F' THEN v END)
+                   - AVG(CASE WHEN st = 'O' THEN v END), 6) AS mean_diff
+      FROM base GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           CAST(md.mean_diff AS DOUBLE) AS mean_diff,
+           CAST(ROUND(quantile_cont(d.diff, 0.025), 6) AS DOUBLE) AS ci_low,
+           CAST(ROUND(quantile_cont(d.diff, 0.975), 6) AS DOUBLE) AS ci_high,
+           CAST(COUNT(d.diff) AS BIGINT) AS n_valid_boot
+    FROM diffs d JOIN md ON d.l_returnflag = md.l_returnflag
+    GROUP BY d.l_returnflag, md.mean_diff
+    """
+
+
+@register("q_bootstrap_meandiff", _bootstrap_meandiff_sql(), family="stats")
+def q_bootstrap_meandiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation statistics over lineitem — per-returnflag mean
+    quantity difference F-vs-O with a 95% bootstrap percentile CI
+    (calculate_dabest / run_dabest, analytics.py:1348-1510: dabest
+    mean_diff's 'pct' interval). The Spark side is the one-pass
+    deterministic Poisson bootstrap (ops/stats.py::bootstrap_meandiff —
+    no B× data replication; the shuffle carries features × 4B partial
+    sums); the oracle materializes the naive row × replicate cross join.
+    Both derive weights from the same lowbias32 mix, so all 100
+    replicate means — and hence the percentile CI — are hash-verified
+    end-to-end."""
+    from ..ops.stats import bootstrap_meandiff
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return bootstrap_meandiff(
+        li,
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "rid",
+        "F",
+        "O",
+        n_boot=100,
+        alpha=0.05,
+    )
+
+
+@register(
+    "q_measurements_ready",
+    f"""
+    WITH {_FIRST_EVENT_CELL_SQL},
+    g AS (SELECT (user_id % 3) AS grp, user_id AS s, event_type AS f,
+                 CASE WHEN v < 30.0 THEN NULL ELSE v END AS v
+          FROM cell),
+    mstat AS (
+      SELECT grp, f, AVG(CASE WHEN v IS NULL THEN 1.0 ELSE 0.0 END) AS mf
+      FROM g GROUP BY grp, f
+    ),
+    keep AS (SELECT f FROM mstat GROUP BY f HAVING MIN(mf) <= 0.35),
+    gk AS (SELECT g.grp, g.s, g.f, g.v, (g.v IS NULL) AS miss
+           FROM g JOIN keep USING (f)),
+    elig AS (
+      SELECT grp, f FROM gk GROUP BY grp, f
+      HAVING AVG(CASE WHEN miss THEN 0.0 ELSE 1.0 END) >= 0.6
+    ),
+    ge AS (SELECT gk.grp, gk.s, gk.f, gk.v, gk.miss
+           FROM gk JOIN elig ON gk.grp = elig.grp AND gk.f = elig.f),
+    obs AS (SELECT grp, s, f, v FROM ge WHERE NOT miss),
+    mis AS (SELECT grp, s, f FROM ge WHERE miss),
+    dtot AS (SELECT grp, CAST(COUNT(DISTINCT f) AS DOUBLE) AS d FROM ge GROUP BY grp),
+    pairs AS (
+      SELECT a.grp, a.s AS s1, b.s AS s2,
+             SUM((a.v - b.v) * (a.v - b.v)) AS ssd,
+             CAST(COUNT(*) AS BIGINT) AS nsh
+      FROM obs a JOIN obs b ON a.grp = b.grp AND a.f = b.f AND a.s <> b.s
+      GROUP BY a.grp, a.s, b.s
+    ),
+    dist AS (SELECT p.grp, p.s1, p.s2, SQRT(d.d * p.ssd / p.nsh) AS dist
+             FROM pairs p JOIN dtot d ON p.grp = d.grp),
+    cand AS (
+      SELECT mis.grp, mis.s, mis.f, dist.s2, obs.v AS nv, dist.dist
+      FROM mis JOIN dist ON mis.grp = dist.grp AND mis.s = dist.s1
+               JOIN obs ON obs.grp = mis.grp AND obs.s = dist.s2 AND obs.f = mis.f
+    ),
+    knn AS (
+      SELECT grp, s, f, AVG(nv) AS knn_v
+      FROM (SELECT grp, s, f, nv,
+                   ROW_NUMBER() OVER (PARTITION BY grp, s, f
+                                      ORDER BY dist ASC, s2 ASC) AS rn
+            FROM cand)
+      WHERE rn <= 3 GROUP BY grp, s, f
+    ),
+    gfmean AS (SELECT grp, f, AVG(v) AS f_mean FROM obs GROUP BY grp, f),
+    knn_fill AS (
+      SELECT mis.grp, mis.s, mis.f,
+             ROUND(COALESCE(knn.knn_v, gfmean.f_mean), 6) AS iv
+      FROM mis LEFT JOIN knn ON mis.grp = knn.grp AND mis.s = knn.s AND mis.f = knn.f
+               LEFT JOIN gfmean ON mis.grp = gfmean.grp AND mis.f = gfmean.f
+    ),
+    post AS (
+      SELECT f, v FROM gk WHERE NOT miss
+      UNION ALL SELECT f, iv AS v FROM knn_fill
+    ),
+    fstat AS (SELECT f, (AVG(v) - 1.8 * STDDEV_SAMP(v)) AS fill FROM post GROUP BY f),
+    down AS (
+      SELECT gk.grp, gk.s, gk.f FROM gk
+      WHERE gk.miss
+        AND NOT EXISTS (SELECT 1 FROM elig e WHERE e.grp = gk.grp AND e.f = gk.f)
+    )
+    SELECT grp, s AS user_id, f AS event_type,
+           CAST(value_ready AS DOUBLE) AS value_ready, method
+    FROM (
+      SELECT grp, s, f, v AS value_ready, 'observed' AS method
+      FROM gk WHERE NOT miss
+      UNION ALL
+      SELECT grp, s, f, iv, 'knn' FROM knn_fill
+      UNION ALL
+      SELECT d.grp, d.s, d.f, ROUND(fs.fill, 6), 'downshift'
+      FROM down d JOIN fstat fs ON d.f = fs.f
+    )
+    """,
+    family="stats",
+)
+def q_measurements_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical preprocessing entrypoint end-to-end —
+    get_proteomics_measurements_ready (analytics.py:545-607): per-group
+    missingness filter (extract_percentage_missing :214-237,
+    any-group <= 0.35 keeps the feature) then mixed KNN + downshift
+    imputation (imputation_mixed_norm_KNN :268-291) — over the
+    (user × event_type) first-reading matrix, readings < 30 left-
+    censored. Emits every surviving cell with its provenance
+    ('observed' / 'knn' / 'downshift'); the whole composition —
+    filter, eligibility split, nan-euclidean KNN, post-KNN downshift —
+    is hash-verified. ckg_spark/prep.py::measurements_ready is the
+    generic spelling."""
+    from ..prep import measurements_ready
+
+    cell = _first_event_cell(spark, sf_dir).withColumn("grp", F.col("user_id") % 3)
+    return measurements_ready(
+        cell,
+        "user_id",
+        "event_type",
+        "v",
+        "grp",
+        is_missing=F.col("v") < 30.0,
+        missing_method="percentage",
+        missing_max=0.35,
+        imputation="mixed",
+        shift=1.8,
+        knn_cutoff=0.6,
+        k=3,
+    )

@@ -671,3 +671,93 @@ def test_dispatch_normality(spark, lineitem):
     cat = CATALOG["q_normality_check"].spark_fn(spark, SF_DIR)
     got = nm.withColumn("passes", F.col("passes").cast("int"))
     assert _sorted_pdf(got).equals(_sorted_pdf(cat))
+
+
+def test_bootstrap_meandiff_matches_catalog(spark, lineitem):
+    li = lineitem.withColumn(
+        "rid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    generic = run_analysis(
+        li,
+        "dabest",
+        {
+            "feature_col": "l_returnflag",
+            "group_col": "l_linestatus",
+            "value_col": "l_quantity",
+            "id_col": "rid",
+            "group_a": "F",
+            "group_b": "O",
+        },
+    )
+    catalog = CATALOG["q_bootstrap_meandiff"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
+
+
+def _lowbias_u(x: int) -> float:
+    """From-scratch lowbias32 uniform — independent of ops/curation."""
+    m = 2**32
+    h = x % m
+    for _ in range(2):
+        h = (((h >> 16) ^ h) * 0x45D9F3B) % m
+    return ((h >> 16) ^ h) / m
+
+
+def test_bootstrap_meandiff_matches_independent_reference(spark):
+    """Pure-python Poisson-bootstrap mirror: same (id, replicate) →
+    Poisson(1) weight construction, naive per-replicate loops, numpy
+    percentile. Values are exact binary quarters so replicate means are
+    bitwise comparable."""
+    import numpy as np
+
+    from ckg_spark.ops.stats import bootstrap_meandiff
+
+    n_boot = 100
+    rows = []
+    for i in range(30):
+        feat = "feat1" if i < 20 else "feat2"
+        grp = "A" if i % 2 == 0 else "B"
+        v = float((i * 7) % 13 + 0.25 * (i % 4))
+        rows.append((i, feat, grp, v))
+    df = spark.createDataFrame(rows, ["sid", "feature", "grp", "val"])
+    got = {
+        r["feature"]: r
+        for r in bootstrap_meandiff(
+            df, "feature", "grp", "val", "sid", "A", "B", n_boot=n_boot
+        ).collect()
+    }
+
+    cdf, acc = [], 0.0
+    for j in range(8):
+        acc += 1.0 / math.factorial(j)
+        cdf.append(acc * math.exp(-1.0))
+
+    def weight(i: int, b: int) -> int:
+        u = _lowbias_u((i % 2**32) * n_boot + b)
+        return sum(1 for c in cdf if u >= c)
+
+    for feat in ("feat1", "feat2"):
+        sub = [(i, g, v) for (i, f, g, v) in rows if f == feat]
+        m_a = np.mean([v for _, g, v in sub if g == "A"])
+        m_b = np.mean([v for _, g, v in sub if g == "B"])
+        diffs = []
+        for b in range(n_boot):
+            wa = [(weight(i, b), v) for i, g, v in sub if g == "A"]
+            wb = [(weight(i, b), v) for i, g, v in sub if g == "B"]
+            sa, sb = sum(w for w, _ in wa), sum(w for w, _ in wb)
+            if sa > 0 and sb > 0:
+                diffs.append(
+                    round(
+                        sum(w * v for w, v in wa) / sa
+                        - sum(w * v for w, v in wb) / sb,
+                        6,
+                    )
+                )
+        r = got[feat]
+        assert r["mean_diff"] == pytest.approx(round(float(m_a - m_b), 6), abs=1e-9)
+        assert r["n_valid_boot"] == len(diffs)
+        assert r["ci_low"] == pytest.approx(
+            round(float(np.percentile(diffs, 2.5)), 6), abs=1e-6
+        )
+        assert r["ci_high"] == pytest.approx(
+            round(float(np.percentile(diffs, 97.5)), 6), abs=1e-6
+        )
