@@ -291,6 +291,25 @@ def _pagerank(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _thsd(df: DataFrame, a: dict) -> DataFrame:
+    # calculate_THSD (analytics.py:1278-1298): k is structural — the
+    # range-CDF power — so resolve it with one dimension-sized action
+    # when the caller does not pass it
+    from .ops import stats
+
+    group_col = a.get("group_col", "group")
+    k = a.get("k") or df.select(group_col).distinct().count()
+    return stats.tukey_hsd(
+        df,
+        a.get("feature_col", "identifier"),
+        group_col,
+        a.get("value_col", "value"),
+        k=k,
+        alpha=a.get("alpha", 0.05),
+        is_logged=a.get("is_logged", True),
+    )
+
+
 def _dabest(df: DataFrame, a: dict) -> DataFrame:
     # run_dabest / calculate_dabest (analytics.py:1348-1510): mean
     # difference + bootstrap percentile CI, as the deterministic
@@ -335,6 +354,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "effect_size": _effect_size,
     "anova": _anova,
     "dabest": _dabest,
+    "thsd": _thsd,
     "survival": _survival,
     "logrank": _logrank,
     "clustering": _clustering,

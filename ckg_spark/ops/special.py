@@ -625,3 +625,191 @@ def normaltest_k2_spark(n: Column, g1: Column, b2: Column) -> Column:
 def normaltest_k2_sql(n: str, g1: str, b2: str) -> str:
     """K^2 as DuckDB SQL text (identical arithmetic graph)."""
     return _normal_k2_de(DE(None, f"({n})"), DE(None, f"({g1})"), DE(None, f"({b2})")).s
+
+
+# ----------------------------------------------------------------------
+# Studentized-range upper tail (Tukey HSD posthoc p-values)
+# ----------------------------------------------------------------------
+#
+# P(Q <= q | k, nu) = INT_0^inf f_nu(u) * k * INT phi(z)
+#                       [Phi(z) - Phi(z - q*u)]^(k-1) dz du
+# where f_nu is the density of sqrt(chi2_nu / nu) (the scale factor of
+# the studentized range) and the inner integral is the CDF of the range
+# of k iid standard normals — both classical results (e.g. Hartley 1942;
+# the same double integral R's ptukey evaluates). Both integrals are
+# fixed-node Gauss-Legendre sums — a DATA-INDEPENDENT expression both
+# engines fold identically, exactly like the Lentz continued fractions
+# above: BOTH axes are engine-level folds (F.aggregate / list_reduce)
+# over node-carrying struct arrays, so the plan is O(1) in the node
+# count (inlining node constants into an unrolled sum put the full erfc
+# tree at every node — ~700 KB of expression text).
+#
+# Phi reuses the A&S 7.1.26 erfc above — including for the COMPILE-TIME
+# constants Phi(z_j) (via the Python mirror below), so the bracket is
+# exactly zero at q = 0 instead of carrying the polynomial's 1.5e-7
+# bias. Absolute accuracy is ~1e-5 (erfc bias dominates); cross-engine
+# agreement is to the ulp, which is what the ROUND(9) hash gate needs.
+# Anchored against published 5% critical-value tables and the exact
+# k=2 identity P(Q >= q) = P(|T_nu| >= q/sqrt(2)) in tests/test_special.py.
+
+_LN_2 = 0.6931471805599453
+
+
+def _leggauss(n: int):
+    import numpy as np
+
+    x, w = np.polynomial.legendre.leggauss(n)
+    return [float(v) for v in x], [float(v) for v in w]
+
+
+# 24 outer x 32 inner nodes with nu-adapted outer interval 1 +- 5.5/sqrt(nu)
+# and inner interval [-6.5, 6.5]: max |dev| vs a 64x64 reference quadrature
+# is 2.7e-6 over q in [0.5, 6], k in [2, 6], nu in [3, 10000] (measured) —
+# inside the ROUND(6) gate with margin, at a third of the fold steps of
+# the naive 48x48 / +-8 layout.
+_TUKEY_W_OUTER = 5.5
+_TUKEY_W_INNER = 6.5
+_GL_X, _GL_W = _leggauss(24)
+
+
+def _norm_sf_py(z: float) -> float:
+    """Python mirror of _norm_sf_de (same A&S constants, same _SQRT_2
+    literal) — used only to precompute the Phi(z_j) node constants so
+    runtime and compile-time Phi cancel exactly."""
+    import math
+
+    y = abs(z) / _SQRT_2
+    t = 1.0 / (1.0 + 0.3275911 * y)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    half = 0.5 * poly * math.exp(-(y * y))
+    return 1.0 - half if z < 0.0 else half
+
+
+def _tukey_inner_consts():
+    """(z_j, c_j, sf_j): inner node, weight*phi(z_j) folded to one
+    literal, and the A&S upper tail at z_j."""
+    import math
+
+    out = []
+    for x, w in zip(*_leggauss(32)):
+        z = _TUKEY_W_INNER * x
+        c = _TUKEY_W_INNER * w * math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+        out.append((z, c, _norm_sf_py(z)))
+    return out
+
+
+_TUKEY_INNER = _tukey_inner_consts()
+
+
+def greatest(a: DE, b: DE) -> DE:
+    a, b = _lift(a), _lift(b)
+    return DE(F.greatest(_c(a), _c(b)) if _has(a, b) else None,
+              f"greatest({a.s}, {b.s})" if a.s is not None and b.s is not None else None)
+
+
+def _tukey_term(r: DE, z: DE, c: DE, s: DE, k: int) -> DE:
+    """One inner-node term c_j * [Phi(z_j) - Phi(z_j - r)]^(k-1), with
+    the bracket as sf(z - r) - sf(z) (both the runtime tail and the
+    precomputed node constant use the same A&S polynomial, so the
+    bracket is exactly zero at r = 0) and the power as repeated
+    multiplication (reproducible across engines, unlike libm pow)."""
+    br = greatest(lit(0.0), _norm_sf_de(z - r) - s)
+    p = br
+    for _ in range(k - 2):
+        p = p * br
+    return c * p
+
+
+def _tukey_outer_pieces(q: DE, dof: DE, x: DE, w: DE):
+    """(r, wgt_times_density) for one outer node: u = mid + half*x on the
+    nu-adapted interval, f_nu the density of sqrt(chi2_nu/nu)."""
+    rtnu = sqrt(dof)
+    lo = greatest(lit(1e-9), lit(1.0) - lit(_TUKEY_W_OUTER) / rtnu)
+    hi = lit(1.0) + lit(_TUKEY_W_OUTER) / rtnu
+    half = (hi - lo) * lit(0.5)
+    u = ((hi + lo) * lit(0.5)) + (half * x)
+    nh = dof * lit(0.5)
+    ld = (
+        lit(_LN_2) + (nh * ln(nh)) - lgamma(nh)
+        + ((dof - lit(1.0)) * ln(u)) - (nh * (u * u))
+    )
+    return q * u, (w * half) * exp(ld)
+
+
+def _tukey_sf_finish(total: DE, k: int) -> DE:
+    return least(lit(1.0), greatest(lit(0.0), lit(1.0) - (lit(float(k)) * total)))
+
+
+def tukey_sf_spark(q: Column, k: int, dof: Column) -> Column:
+    """P(Q >= q) for the studentized range of k groups with dof error df
+    — pure-JVM Column (the p-value behind pingouin.pairwise_tukey's
+    psturng call, q = |t| * sqrt(2)). Both quadrature axes are
+    engine-level folds over node-carrying struct arrays, so the plan is
+    O(1) in the node count (inlining the node constants into an unrolled
+    sum put the full erfc tree at every node — ~700 KB of expression)."""
+    Q, NU = DE(q, None), DE(dof, None)
+    nodes = F.array(*[
+        F.struct(F.lit(x).alias("x"), F.lit(w).alias("w"))
+        for x, w in zip(_GL_X, _GL_W)
+    ])
+    inner_nodes = F.array(*[
+        F.struct(F.lit(z).alias("z"), F.lit(c).alias("c"), F.lit(s).alias("s"))
+        for z, c, s in _TUKEY_INNER
+    ])
+
+    def outer(acc, el):
+        r, wd = _tukey_outer_pieces(Q, NU, DE(el["x"], None), DE(el["w"], None))
+        rc = r.c
+
+        def inner(acc2, e2):
+            return acc2 + _tukey_term(
+                DE(rc, None), DE(e2["z"], None), DE(e2["c"], None),
+                DE(e2["s"], None), k,
+            ).c
+
+        s_inner = F.aggregate(inner_nodes, F.lit(0.0), inner)
+        return acc + (wd * DE(s_inner, None)).c
+
+    total = F.aggregate(nodes, F.lit(0.0), outer)
+    return _tukey_sf_finish(DE(total, None), k).c
+
+
+def tukey_sf_sql(q: str, k: int, dof: str) -> str:
+    """The identical double quadrature as DuckDB SQL text: nested
+    list_reduce folds (the inner lambda closes over the outer element —
+    supported and covered by tests), node constants carried as struct
+    list literals. Same accumulator-type/prepend-init trick and
+    sequential-field-order discipline as _betacf_sql."""
+    Q, NU = DE(None, f"({q})"), DE(None, f"({dof})")
+    zero = "CAST(0.0 AS DOUBLE)"
+    outer_lits = ", ".join(
+        f"{{'a': {zero}, 'x': {x!r}, 'w': {w!r}}}"
+        for x, w in zip(_GL_X, _GL_W)
+    )
+    inner_lits = ", ".join(
+        f"{{'b': {zero}, 'z': {z!r}, 'c': {c!r}, 's': {s!r}}}"
+        for z, c, s in _TUKEY_INNER
+    )
+    r, wd = _tukey_outer_pieces(
+        Q, NU, DE(None, "el.x"), DE(None, "el.w")
+    )
+    term = _tukey_term(
+        DE(None, r.s), DE(None, "e2.z"), DE(None, "e2.c"), DE(None, "e2.s"), k
+    )
+    inner_fold = (
+        f"struct_extract(list_reduce("
+        f"list_prepend({{'b': {zero}, 'z': {zero}, 'c': {zero}, 's': {zero}}}, [{inner_lits}]), "
+        f"(a2, e2) -> {{'b': (a2.b + {term.s}), 'z': {zero}, 'c': {zero}, 's': {zero}}}"
+        f"), 'b')"
+    )
+    fold = (
+        f"list_reduce("
+        f"list_prepend({{'a': {zero}, 'x': {zero}, 'w': {zero}}}, [{outer_lits}]), "
+        f"(acc, el) -> {{'a': (acc.a + ({wd.s} * {inner_fold})), 'x': {zero}, 'w': {zero}}}"
+        f")"
+    )
+    total = f"struct_extract({fold}, 'a')"
+    return _tukey_sf_finish(DE(None, total), k).s

@@ -703,3 +703,99 @@ def normality_test(
         F.round(p, 9).alias("p_value"),
         (p > alpha).alias("passes"),
     )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    k: int,
+    alpha: float = 0.05,
+    is_logged: bool = True,
+) -> DataFrame:
+    """Pairwise Tukey-HSD posthoc (calculate_THSD, analytics.py:1278-1298
+    → pingouin.pairwise_tukey): per feature, every group pair gets the
+    Tukey-Kramer t = (m1-m2)/sqrt(MSW/2·(1/n1+1/n2)) and a p-value from
+    the studentized range upper tail at q = |t|·sqrt(2) with k groups and
+    N-k error dof — the tail is the dual-backend double quadrature in
+    ops/special.py (no scipy, hash-verifiable). ``k`` is the number of
+    groups, a STRUCTURAL constant of the expression (the range-CDF power
+    and multiplier), exactly like bootstrap's n_boot; pass
+    df.select(group_col).distinct().count() when unknown. Effect size is
+    pingouin's hedges (pooled ddof=1 d times the J = 1-3/(4n-9) small-
+    sample factor — note the REFERENCE's own hedges_g uses a different
+    concatenated-std estimator, covered by :func:`effect_sizes`);
+    complement_posthoc's FC column is 2^log2FC when is_logged
+    (analytics.py:1327-1345), spelled exp(x·ln2) so both engines run the
+    same libm graph. Group stats flow from exact power sums (one
+    aggregation pass, map-side combined); the pair fan-out and the
+    quadrature run on the dimension-sized (feature × group) frame."""
+    v = F.col(value_col).cast("double")
+    gs = df.groupBy(feature_col, group_col).agg(
+        F.count(v).cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    feat = gs.groupBy(feature_col).agg(
+        F.sum("n").alias("N"),
+        F.sum(F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")).alias("ssw"),
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+    )
+    a, b = gs.alias("a"), gs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{feature_col}") == F.col(f"b.{feature_col}"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .select(
+            F.col(f"a.{feature_col}").alias(feature_col),
+            F.col(f"a.{group_col}").alias("group1"),
+            F.col(f"b.{group_col}").alias("group2"),
+            F.col("a.n").alias("n1"),
+            (F.col("a.s1") / F.col("a.n")).alias("m1"),
+            (
+                (F.col("a.s2") - (F.col("a.s1") * F.col("a.s1")) / F.col("a.n"))
+                / (F.col("a.n") - 1)
+            ).alias("v1"),
+            F.col("b.n").alias("n2"),
+            (F.col("b.s1") / F.col("b.n")).alias("m2"),
+            (
+                (F.col("b.s2") - (F.col("b.s1") * F.col("b.s1")) / F.col("b.n"))
+                / (F.col("b.n") - 1)
+            ).alias("v2"),
+        )
+        .join(F.broadcast(feat), feature_col)
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    dof = F.col("N") - F.lit(float(k))
+    msw = F.col("ssw") / dof
+    diff = F.col("m1") - F.col("m2")
+    se = F.sqrt(msw * 0.5 * (1.0 / n1 + 1.0 / n2))
+    t = diff / se
+    q = F.abs(t) * F.lit(special._SQRT_2)
+    p = special.tukey_sf_spark(q, k, dof)
+    d_pool = diff / F.sqrt(((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2))
+    hedges = d_pool * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+    fc = (
+        F.exp(diff * F.lit(special._LN_2))
+        if is_logged
+        else F.col("m1") / F.col("m2")
+    )
+    return pairs.select(
+        feature_col,
+        "group1",
+        "group2",
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round("m1", 6).alias("mean1"),
+        F.round("m2", 6).alias("mean2"),
+        F.round(diff, 6).alias("log2fc"),
+        F.round(fc, 6).alias("fc"),
+        F.round(se, 6).alias("std_error"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(p, 9).alias("p_tukey"),
+        F.round(hedges, 6).alias("hedges"),
+        F.when(p < F.lit(alpha), 1).otherwise(0).cast("int").alias("rejected"),
+    )

@@ -3608,3 +3608,72 @@ def q_measurements_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_cutoff=0.6,
         k=3,
     )
+
+
+def _tukey_hsd_sql() -> str:
+    p_raw = special.tukey_sf_sql(f"(abs(t) * {special._SQRT_2!r})", 3, "dof")
+    return f"""
+    WITH gs AS (
+      SELECT l_linestatus, l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(l_quantity AS DOUBLE)) AS s1,
+             SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s2
+      FROM lineitem GROUP BY l_linestatus, l_returnflag
+    ),
+    feat AS (
+      SELECT l_linestatus, SUM(n) AS nn, SUM(s2 - ((s1 * s1) / n)) AS ssw
+      FROM gs GROUP BY l_linestatus
+    ),
+    pairs AS (
+      SELECT a.l_linestatus, a.l_returnflag AS group1, b.l_returnflag AS group2,
+             a.n AS n1, (a.s1 / a.n) AS m1,
+             ((a.s2 - ((a.s1 * a.s1) / a.n)) / (a.n - 1)) AS v1,
+             b.n AS n2, (b.s1 / b.n) AS m2,
+             ((b.s2 - ((b.s1 * b.s1) / b.n)) / (b.n - 1)) AS v2
+      FROM gs a JOIN gs b
+        ON a.l_linestatus = b.l_linestatus AND a.l_returnflag < b.l_returnflag
+    ),
+    c AS (
+      SELECT p.*, (f.nn - 3.0) AS dof, (f.ssw / (f.nn - 3.0)) AS msw,
+             (p.m1 - p.m2) AS diff
+      FROM pairs p JOIN feat f ON p.l_linestatus = f.l_linestatus
+    ),
+    d AS (
+      SELECT *, SQRT((msw * 0.5) * ((1.0 / n1) + (1.0 / n2))) AS se FROM c
+    ),
+    e AS (SELECT *, (diff / se) AS t FROM d),
+    pv AS (SELECT *, {p_raw} AS p_raw FROM e)
+    SELECT l_linestatus, group1, group2,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(ROUND(m1, 6) AS DOUBLE) AS mean1,
+           CAST(ROUND(m2, 6) AS DOUBLE) AS mean2,
+           CAST(ROUND(diff, 6) AS DOUBLE) AS log2fc,
+           CAST(ROUND(exp(diff * 0.6931471805599453), 6) AS DOUBLE) AS fc,
+           CAST(ROUND(se, 6) AS DOUBLE) AS std_error,
+           CAST(ROUND(t, 6) AS DOUBLE) AS t_stat,
+           CAST(ROUND(p_raw, 9) AS DOUBLE) AS p_tukey,
+           CAST(ROUND((diff / SQRT((((n1 - 1.0) * v1) + ((n2 - 1.0) * v2))
+                                   / ((n1 + n2) - 2.0)))
+                      * (1.0 - (3.0 / ((4.0 * (n1 + n2)) - 9.0))), 6) AS DOUBLE) AS hedges,
+           CAST(CASE WHEN p_raw < 0.05 THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM pv
+    """
+
+
+@register("q_tukey_hsd", _tukey_hsd_sql(), family="stats")
+def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Tukey-HSD posthoc across the three return flags per
+    linestatus — calculate_THSD (analytics.py:1278-1298, pingouin
+    pairwise_tukey) with the posthoc p-value from the REAL studentized-
+    range upper tail: the dual-backend 24x32 Gauss-Legendre double
+    quadrature in ops/special.py (anchored against published 5%%
+    critical-value tables and the exact k=2 |T|*sqrt(2) identity in
+    tests). Tukey-Kramer unequal-n standard error; hedges effect size
+    and complement_posthoc's FC column (analytics.py:1327-1345). All
+    columns including the p-value are hash-verified — the reference
+    needs scipy's psturng for this number. ops/stats.py::tukey_hsd is
+    the generic spelling."""
+    from ..ops.stats import tukey_hsd
+
+    li = _t(spark, sf_dir, "lineitem")
+    return tukey_hsd(li, "l_linestatus", "l_returnflag", "l_quantity", k=3)

@@ -761,3 +761,17 @@ def test_bootstrap_meandiff_matches_independent_reference(spark):
         assert r["ci_high"] == pytest.approx(
             round(float(np.percentile(diffs, 97.5)), 6), abs=1e-6
         )
+
+
+def test_tukey_hsd_matches_catalog(spark, lineitem):
+    generic = run_analysis(
+        lineitem,
+        "thsd",
+        {
+            "feature_col": "l_linestatus",
+            "group_col": "l_returnflag",
+            "value_col": "l_quantity",
+        },
+    )
+    catalog = CATALOG["q_tukey_hsd"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))

@@ -375,3 +375,71 @@ def test_norm_sf_both_backends_match_erfc(spark):
     # symmetry: sf(z) + sf(-z) == 1 under the reflection branch
     p = {r["z"]: r["p"] for r in rows}
     assert p[1.0] + p[-1.0] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_tukey_sf_anchors_published_tables():
+    """sf at published 5% studentized-range critical values must be
+    ~0.05 (Pearson & Hartley tables, public domain). The quadrature's
+    self-measured accuracy is 2.7e-6; table values are rounded to 2-3
+    decimals, so 2e-3 covers the anchor rounding."""
+    con = duckdb.connect()
+    for q, k, nu in [(3.877, 3, 10), (3.58, 3, 20), (3.96, 4, 20), (4.23, 5, 20)]:
+        v = con.execute(
+            "SELECT " + special.tukey_sf_sql(repr(q), k, repr(float(nu)))
+        ).fetchone()[0]
+        assert v == pytest.approx(0.05, abs=2e-3), (q, k, nu, v)
+    # infinite-df anchor: q(0.05; k=3, inf) = 3.31
+    v = con.execute(
+        "SELECT " + special.tukey_sf_sql("3.31", 3, "10000.0")
+    ).fetchone()[0]
+    assert v == pytest.approx(0.05, abs=2e-3)
+
+
+def test_tukey_sf_k2_identity():
+    """EXACT distributional identity: the studentized range of k=2
+    groups is |T_nu| * sqrt(2), so sf(q; 2, nu) == P(|T| >= q/sqrt(2)).
+    The two sides go through completely different numerics (double
+    quadrature vs incomplete-beta continued fraction) — agreement to
+    1e-6 is an independent correctness proof of both."""
+    con = duckdb.connect()
+    for q, nu in [(0.5, 5.0), (2.0, 8.0), (3.0, 15.0), (4.5, 40.0), (6.0, 200.0)]:
+        a = con.execute(
+            "SELECT " + special.tukey_sf_sql(repr(q), 2, repr(nu))
+        ).fetchone()[0]
+        b = con.execute(
+            "SELECT " + special.t_sf2_sql(repr(q / math.sqrt(2.0)), repr(nu))
+        ).fetchone()[0]
+        assert a == pytest.approx(b, abs=1e-6), (q, nu, a, b)
+
+
+def test_tukey_sf_spark_matches_sql(spark):
+    import pyspark.sql.functions as F
+
+    con = duckdb.connect()
+    rows = [(3.877, 10.0), (2.0, 8.0), (0.5, 5.0), (6.5, 100.0)]
+    df = spark.createDataFrame(rows, ["q", "nu"])
+    for k in (2, 3, 5):
+        got = {
+            r["q"]: r["p"]
+            for r in df.select(
+                "q", special.tukey_sf_spark(F.col("q"), k, F.col("nu")).alias("p")
+            ).collect()
+        }
+        for q, nu in rows:
+            want = con.execute(
+                "SELECT " + special.tukey_sf_sql(repr(q), k, repr(nu))
+            ).fetchone()[0]
+            assert abs(got[q] - want) < 1e-12, (k, q, nu)
+
+
+def test_tukey_sf_monotone_edges():
+    con = duckdb.connect()
+    vals = [
+        con.execute(
+            "SELECT " + special.tukey_sf_sql(repr(q), 3, "12.0")
+        ).fetchone()[0]
+        for q in (0.0, 0.5, 1.5, 3.0, 5.0, 8.0)
+    ]
+    assert vals[0] == pytest.approx(1.0, abs=1e-9)
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+    assert vals[-1] < 1e-3
