@@ -137,8 +137,19 @@ def _maybe_correct(r: DataFrame, a: dict) -> DataFrame:
         return stats.bh_twostage(
             r, "p_value", [a.get("feature_col", "identifier")], alpha=a.get("alpha", 0.05)
         )
+    if correction in ("bonferroni", "sidak", "holm"):
+        # apply_pvalue_correction one-step / step-down family
+        # (analytics.py:859-886)
+        return stats.pvalue_correction(
+            r,
+            "p_value",
+            [a.get("feature_col", "identifier")],
+            alpha=a.get("alpha", 0.05),
+            method=correction,
+        )
     raise ValueError(
-        f"unknown correction {correction!r} (supported: 'fdr_bh', 'fdr_tsbh', 'none')"
+        f"unknown correction {correction!r} (supported: 'fdr_bh', 'fdr_tsbh', "
+        "'bonferroni', 'sidak', 'holm', 'none')"
     )
 
 
@@ -168,6 +179,27 @@ def _mannwhitney(df: DataFrame, a: dict) -> DataFrame:
         a["group_b"],
     )
     return _maybe_correct(r, a)
+
+
+def _correlation(df: DataFrame, a: dict) -> DataFrame:
+    # calculate_correlations / run_correlation (analytics.py:839-858,
+    # 1005-1043): per-group Pearson or Spearman of two measures, BH (or
+    # any supported) correction over the per-group p-values
+    from .ops import stats
+
+    r = stats.correlation(
+        df,
+        a["x_col"],
+        a["y_col"],
+        a.get("group_cols", ["group"]),
+        method=a.get("method", "pearson"),
+    )
+    if a.get("correction", "none") in (None, "none"):
+        return r
+    keys = a.get("group_cols", ["group"])
+    c = dict(a)
+    c["feature_col"] = keys[0] if keys else "n"
+    return _maybe_correct(r, c)
 
 
 def _levene(df: DataFrame, a: dict) -> DataFrame:
@@ -347,6 +379,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "imputation": _imputation,
     "pca": _pca,
     "ttest": _ttest,
+    "correlation": _correlation,
     "mannwhitney": _mannwhitney,
     "wilcoxon": _wilcoxon,
     "normality": _normality,

@@ -229,3 +229,133 @@ def cosine_self_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ----------------------------------------------------------------------
+# SRP-LSH: signed-random-projection (random-hyperplane) cosine LSH
+# ----------------------------------------------------------------------
+
+def _lowbias32(x: int) -> int:
+    """Public-domain lowbias32 integer mix (same constants as
+    ops/curation.py::split_u) — engine- and version-independent
+    determinism for the hyperplane signs."""
+    x &= 0xFFFFFFFF
+    x = (((x >> 16) ^ x) * 0x45D9F3B) & 0xFFFFFFFF
+    x = (((x >> 16) ^ x) * 0x45D9F3B) & 0xFFFFFFFF
+    return (x >> 16) ^ x
+
+
+def _srp_signs(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplanes, one per plane: sign of
+    hash(seed, plane, dim). Dimension-sized (n_planes x dim floats) —
+    embedded as literal arrays, never shuffled."""
+    return [
+        [
+            1.0 if _lowbias32(seed * 0x9E3779B1 + j * dim + d) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def srp_bands(
+    embeddings: DataFrame,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH banding: (id, band_id, band_val), one row per band.
+
+    bit_j = sign(v . h_j) for ``n_planes`` deterministic Rademacher
+    hyperplanes (P[bit match] = 1 - angle/pi, Charikar 2002); bits pack
+    into ``bands`` integer band values (r = n_planes/bands bits each).
+    Near-dup candidates = band-value collisions, exactly like the
+    MinHash banding in ops/dedup.py — never all-pairs. All projections
+    are JVM ``zip_with``/``aggregate`` folds over literal sign arrays
+    (whole-stage codegen, no Python, no shuffle); the only shuffle in a
+    downstream pair-join is on the (band_id, band_val) key, and the
+    band rows carry IDS ONLY — vector payloads never enter the shuffle."""
+    assert n_planes % bands == 0, "n_planes must divide evenly into bands"
+    r = n_planes // bands
+    dim = len(embeddings.select(vec_col).first()[0])
+    signs = _srp_signs(n_planes, dim, seed)
+    v = F.col("__v__")
+    projected = embeddings.select(F.col(id_col), F.col(vec_col).alias("__v__"))
+    bits = []
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(s) for s in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << (j % r))).otherwise(F.lit(0)))
+    band_structs = []
+    for b in range(bands):
+        band_val = bits[b * r]
+        for j in range(b * r + 1, (b + 1) * r):
+            band_val = band_val + bits[j]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), band_val.alias("band_val"))
+        )
+    return projected.select(
+        id_col, F.explode(F.array(*band_structs)).alias("__b__")
+    ).select(
+        id_col,
+        F.col("__b__.band_id").alias("band_id"),
+        F.col("__b__.band_val").alias("band_val"),
+    )
+
+
+def srp_self_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 29,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs via SRP-LSH candidates + exact cosine
+    verification: (id_a, id_b, cosine) with cosine >= threshold.
+
+    Complements :func:`cosine_self_pairs` (IVF-cell blocking): random-
+    hyperplane bands are data-independent — no centroid seeding pass, no
+    cell-boundary misses for collinear vectors; at threshold 0.99 the
+    default 4x8-bit bands catch a pair with P >= 0.997. Candidates are
+    deduped on (id_a, id_b) BEFORE the vectors attach, so the exact-
+    verify join ships each candidate's two vectors once."""
+    b = srp_bands(
+        embeddings, n_planes=n_planes, bands=bands, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    left = b.select("band_id", "band_val", F.col(id_col).alias("id_a"))
+    right = b.select("band_id", "band_val", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

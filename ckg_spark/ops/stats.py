@@ -799,3 +799,94 @@ def tukey_hsd(
         F.round(hedges, 6).alias("hedges"),
         F.when(p < F.lit(alpha), 1).otherwise(0).cast("int").alias("rejected"),
     )
+
+
+def correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    method: str = "pearson",
+) -> DataFrame:
+    """Per-group correlation of two measures with a two-sided t-tail
+    p-value — calculate_correlations (analytics.py:839-858:
+    scipy pearsonr/spearmanr) / run_correlation (:1005-1043).
+
+    method='pearson' is one ``corr`` aggregate; method='spearman' is
+    Pearson over AVERAGE ranks with scipy's tie handling (average rank =
+    min-rank + (tie_count - 1)/2), both ranks computed with window
+    functions partitioned by the group keys, so the rank pass and the
+    final aggregation share ONE shuffle on the group hash. With empty
+    ``group_cols`` the spearman rank window is a single partition —
+    use groups (or pre-bucketed keys) for corpus-scale frames.
+    p = two-sided tail of t = r*sqrt((n-2)/(1-r^2)) at dof n-2."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    if method == "spearman":
+
+        def avgrank(c):
+            mr = F.rank().over(Window.partitionBy(*group_cols).orderBy(c))
+            ties = F.count(F.lit(1)).over(Window.partitionBy(*group_cols, c))
+            return mr + (ties - F.lit(1)) / F.lit(2.0)
+
+        df = df.select(
+            *group_cols, avgrank(x).alias("__x__"), avgrank(y).alias("__y__")
+        )
+        x, y = F.col("__x__"), F.col("__y__")
+    elif method != "pearson":
+        raise ValueError(f"unknown correlation method {method!r}")
+    s = df.groupBy(*group_cols).agg(
+        F.corr(x, y).alias("r"), F.count(F.lit(1)).alias("n")
+    )
+    dof_raw = F.col("n").cast("double") - F.lit(2.0)
+    t_raw = F.col("r") * F.sqrt(dof_raw / (F.lit(1.0) - F.col("r") * F.col("r")))
+    return s.filter(F.col("n") > 2).select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round("r", 6).alias("coefficient"),
+        F.round(special.t_sf2_spark(t_raw, dof_raw), 9).alias("p_value"),
+    )
+
+
+def pvalue_correction(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    alpha: float = 0.05,
+    method: str = "bonferroni",
+) -> DataFrame:
+    """One-step / step-down familywise p-value corrections —
+    apply_pvalue_correction (analytics.py:859-886 → statsmodels
+    multipletests): 'bonferroni' (min(1, p*m)), 'sidak'
+    (1-(1-p)^m), 'holm' (step-down: running max of (m-rank+1)*p in
+    ascending-p order, clamped to 1). Adds ``p_adj`` + ``rejected``
+    (statsmodels' ``p_adj <= alpha``, equivalent to each method's
+    sequential rule). Post-aggregation frames only: the unpartitioned
+    windows are dimension-sized, exactly like :func:`bh_adjust`."""
+    p = F.col(p_col)
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    if method == "bonferroni":
+        p_adj = F.least(F.lit(1.0), p * m)
+        out = df.withColumn("p_adj", F.round(p_adj, 9))
+    elif method == "sidak":
+        p_adj = F.lit(1.0) - F.pow(F.lit(1.0) - p, m)
+        out = df.withColumn("p_adj", F.round(p_adj, 9))
+    elif method == "holm":
+        order = [p.asc()] + [F.col(k).asc() for k in key_cols]
+        r = df.select(
+            "*",
+            F.row_number().over(Window.orderBy(*order)).alias("__rn__"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("__m__"),
+        )
+        head = Window.orderBy("__rn__").rowsBetween(Window.unboundedPreceding, 0)
+        p_adj = F.least(
+            F.lit(1.0),
+            F.max((F.col("__m__") - F.col("__rn__") + 1) * p).over(head),
+        )
+        out = r.withColumn("p_adj", F.round(p_adj, 9)).drop("__rn__", "__m__")
+    else:
+        raise ValueError(f"unknown correction method {method!r}")
+    return out.withColumn(
+        "rejected",
+        F.when(F.col("p_adj") <= F.lit(alpha), 1).otherwise(0).cast("int"),
+    )

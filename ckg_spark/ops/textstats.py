@@ -121,3 +121,115 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def _longest_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the max frequency of any element — a map-side fold, so top-
+    token frequency never needs an explode + corpus-wide groupBy shuffle.
+    Works on any array<string> column (pass a projected column, not a
+    computed expression — HOF lambdas re-evaluate their inputs)."""
+    init = F.struct(
+        F.lit(0).alias("best"),
+        F.lit(0).alias("run"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        new_run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            F.greatest(acc["best"], new_run).alias("best"),
+            new_run.alias("run"),
+            t.alias("prev"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (token-level
+    variants of the Rae et al. 2021 repetition filters): top-token
+    fraction, top-bigram fraction, duplicate-bigram and duplicate-trigram
+    fractions, plus a composite ``repetitive`` flag.
+
+    Everything is per-row array math inside whole-stage codegen — n-grams
+    are built with index lambdas over PROJECTED token columns (one-param
+    lambdas only: a two-param array lambda is called as (element, index),
+    the round-1 MinHash trap), max-frequency comes from the sorted-run
+    fold (no explode, no shuffle), so the operator is a single narrow
+    projection at any corpus size."""
+    t = F.col(text_col)
+    toks = docs.select(F.col(id_col), tokens_col(t).alias("__toks__"))
+    n = F.size(F.col("__toks__"))
+    with_grams = toks.select(
+        id_col,
+        "__toks__",
+        n.alias("__n__"),
+        F.array_sort("__toks__").alias("__st__"),
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks__"), i),
+                    F.element_at(F.col("__toks__"), i + 1),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bg__"),
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks__"), i),
+                    F.element_at(F.col("__toks__"), i + 1),
+                    F.element_at(F.col("__toks__"), i + 2),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__tg__"),
+    )
+    base = with_grams.select(
+        id_col,
+        "__n__",
+        "__st__",
+        F.array_sort("__bg__").alias("__sbg__"),
+        F.size("__bg__").alias("__nbg__"),
+        F.size(F.array_distinct("__bg__")).alias("__dbg__"),
+        F.size("__tg__").alias("__ntg__"),
+        F.size(F.array_distinct("__tg__")).alias("__dtg__"),
+    )
+    nd = F.col("__n__").cast("double")
+    top_word = _longest_run(F.col("__st__")) / F.greatest(nd, F.lit(1.0))
+    top_bigram = _longest_run(F.col("__sbg__")) / F.greatest(
+        F.col("__nbg__").cast("double"), F.lit(1.0)
+    )
+    dup_bigram = F.lit(1.0) - F.col("__dbg__") / F.greatest(
+        F.col("__nbg__").cast("double"), F.lit(1.0)
+    )
+    dup_trigram = F.lit(1.0) - F.col("__dtg__") / F.greatest(
+        F.col("__ntg__").cast("double"), F.lit(1.0)
+    )
+    out = base.select(
+        id_col,
+        F.col("__n__").cast("bigint").alias("n_tokens"),
+        F.round(top_word, 6).alias("top_word_frac"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"),
+        F.round(dup_bigram, 6).alias("dup_bigram_frac"),
+        F.round(dup_trigram, 6).alias("dup_trigram_frac"),
+    )
+    repetitive = (
+        (F.col("top_word_frac") > 0.20)
+        | (F.col("top_bigram_frac") > 0.18)
+        | (F.col("dup_trigram_frac") > 0.30)
+    )
+    return out.withColumn(
+        "repetitive", F.when(repetitive, 1).otherwise(0).cast("int")
+    )

@@ -3677,3 +3677,397 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return tukey_hsd(li, "l_linestatus", "l_returnflag", "l_quantity", k=3)
+
+
+@register(
+    "q_spearman_corr",
+    f"""
+    WITH rk AS (
+      SELECT l_returnflag,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_discount) - 1) / 2.0 AS rx,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS ry
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, corr(rx, ry) AS r, COUNT(*) AS n
+      FROM rk GROUP BY l_returnflag
+    ),
+    t AS (
+      SELECT l_returnflag, n, r,
+             (CAST(n AS DOUBLE) - 2.0) AS dof_raw,
+             (r * sqrt((CAST(n AS DOUBLE) - 2.0) / (1.0 - r * r))) AS t_raw
+      FROM s WHERE n > 2
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(r, 6) AS DOUBLE) AS coefficient,
+           CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+    FROM t
+    """,
+    family="stats",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group with a t-tail p-value —
+    calculate_correlations(method='spearman') (analytics.py:839-858,
+    scipy.stats.spearmanr) as distributed window + aggregate math:
+    AVERAGE ranks with scipy's tie handling (min-rank + (ties-1)/2, a
+    rank window plus a tie-count window per variable, all sharing ONE
+    shuffle on the group key), then Pearson over the ranks and the
+    dual-backend t tail at dof n-2. l_discount (11 distinct values →
+    ~2k-row tie blocks) exercises the tie handling hard; hash-verified
+    end-to-end. ops/stats.py::correlation is the generic spelling."""
+    from ..ops.stats import correlation
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation(
+        li, "l_discount", "l_quantity", ["l_returnflag"], method="spearman"
+    )
+
+
+@register(
+    "q_pvalue_corrections",
+    _WELCH_BASE_SQL
+    + f"""
+    , pv AS (
+      SELECT l_returnflag,
+             CAST(ROUND({special.t_sf2_sql('t_raw', 'dof_raw')}, 9) AS DOUBLE) AS p_value
+      FROM w2
+    ),
+    r AS (
+      SELECT l_returnflag, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, l_returnflag) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    )
+    SELECT l_returnflag, p_value,
+           CAST(ROUND(LEAST(1.0, p_value * m), 9) AS DOUBLE) AS p_adj_bonferroni,
+           CAST(ROUND(1.0 - POWER(1.0 - p_value, m), 9) AS DOUBLE) AS p_adj_sidak,
+           CAST(ROUND(LEAST(1.0, MAX((m - rn + 1) * p_value) OVER
+             (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj_holm,
+           CAST(CASE WHEN LEAST(1.0, p_value * m) <= 0.05 THEN 1 ELSE 0 END AS INT)
+             AS rejected_bonferroni
+    FROM r
+    """,
+    family="stats",
+)
+def q_pvalue_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step and step-down familywise corrections over the Welch
+    p-values — apply_pvalue_correction (analytics.py:859-886,
+    statsmodels multipletests methods 'bonferroni', 'sidak', 'holm')
+    side by side as pure window math on the dimension-sized p-value
+    frame: Bonferroni min(1, p*m), Sidak 1-(1-p)^m, Holm's step-down
+    running max of (m-rank+1)*p. Hash-verified end-to-end;
+    ops/stats.py::pvalue_correction is the generic spelling (tests
+    assert each method reproduces its column here bit-for-bit)."""
+    base = _welch_base_spark(spark, sf_dir)
+    pv = base.select(
+        "l_returnflag",
+        F.round(special.t_sf2_spark(F.col("t_raw"), F.col("dof_raw")), 9).alias(
+            "p_value"
+        ),
+    )
+    r = pv.select(
+        "l_returnflag",
+        "p_value",
+        F.row_number().over(Window.orderBy("p_value", "l_returnflag")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    head = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    bonf = F.least(F.lit(1.0), F.col("p_value") * F.col("m"))
+    sidak = F.lit(1.0) - F.pow(F.lit(1.0) - F.col("p_value"), F.col("m"))
+    holm = F.least(
+        F.lit(1.0),
+        F.max((F.col("m") - F.col("rn") + 1) * F.col("p_value")).over(head),
+    )
+    return r.select(
+        "l_returnflag",
+        "p_value",
+        F.round(bonf, 9).alias("p_adj_bonferroni"),
+        F.round(sidak, 9).alias("p_adj_sidak"),
+        F.round(holm, 9).alias("p_adj_holm"),
+        F.when(bonf <= 0.05, 1).otherwise(0).cast("int").alias("rejected_bonferroni"),
+    )
+
+
+@register(
+    "q_ranking_markers",
+    """
+    WITH long AS (
+      SELECT substr(p_brand, 7, 1) AS grp, p_brand AS raw_name,
+             CAST(ROUND(AVG(p_retailprice), 6) AS DOUBLE) AS y
+      FROM part GROUP BY substr(p_brand, 7, 1), p_brand
+    )
+    SELECT grp,
+           CASE WHEN raw_name = 'Brand#11' THEN raw_name || ' marker in corrosion'
+                ELSE raw_name END AS name,
+           y,
+           CAST(CASE WHEN raw_name IN ('Brand#11', 'Brand#23') THEN 17 ELSE 0 END AS INT)
+             AS symbol,
+           CAST(CASE WHEN raw_name IN ('Brand#11', 'Brand#23') THEN 25 ELSE 7 END AS INT)
+             AS size,
+           CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y DESC, raw_name) AS INT)
+             AS rank_in_group
+    FROM long
+    """,
+    family="stats",
+)
+def q_ranking_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format per-group feature ranking with biomarker annotation —
+    get_ranking_with_markers (analytics.py:160-187): melt to
+    (group, name, y), flag known markers with the reference's literal
+    plotly codes (symbol 17/0, size 25/7), rewrite annotated names to
+    '<name> marker in <disease>', and add the within-group rank the
+    downstream viz orders by (W2). One aggregation + one dimension-sized
+    window; marker membership is a broadcast-size IN list exactly like
+    the reference's in-memory marker set."""
+    part = _t(spark, sf_dir, "part")
+    long = part.groupBy(
+        # manufacturer = the brand's first digit (TPC-H 'Brand#MN' shape)
+        F.substring("p_brand", 7, 1).alias("grp"),
+        F.col("p_brand").alias("raw_name"),
+    ).agg(F.round(F.avg("p_retailprice"), 6).alias("y"))
+    markers = ["Brand#11", "Brand#23"]
+    is_marker = F.col("raw_name").isin(markers)
+    name = F.when(
+        F.col("raw_name") == "Brand#11",
+        F.concat(F.col("raw_name"), F.lit(" marker in corrosion")),
+    ).otherwise(F.col("raw_name"))
+    rank = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.desc("y"), F.col("raw_name"))
+    )
+    return long.select(
+        "grp",
+        name.alias("name"),
+        "y",
+        F.when(is_marker, 17).otherwise(0).cast("int").alias("symbol"),
+        F.when(is_marker, 25).otherwise(7).cast("int").alias("size"),
+        rank.cast("int").alias("rank_in_group"),
+    )
+
+
+@register(
+    "q_qc_markers",
+    """
+    WITH long AS (
+      SELECT 'p_retailprice' AS identifier, p_partkey AS sample,
+             substr(p_brand, 7, 1) AS grp,
+             CAST(p_retailprice AS DOUBLE) AS v
+      FROM part
+      UNION ALL
+      SELECT 'p_size' AS identifier, p_partkey AS sample,
+             substr(p_brand, 7, 1) AS grp,
+             CAST(p_size AS DOUBLE) AS v
+      FROM part
+    ),
+    m AS (
+      SELECT identifier, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+      FROM long GROUP BY identifier
+    ),
+    qc AS (
+      SELECT * FROM (VALUES ('p_retailprice', 'price_panel'),
+                            ('p_size', 'size_panel')) AS t(identifier, class)
+    )
+    SELECT long.identifier, long.sample, long.grp AS grp,
+           CAST(ROUND((long.v - m.mu) / m.sd, 6) AS DOUBLE) AS z_score,
+           qc.class
+    FROM long JOIN m USING (identifier) JOIN qc USING (identifier)
+    """,
+    family="stats",
+)
+def q_qc_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QC-marker z-score panel — run_qc_markers_analysis
+    (analytics.py:2471-2498): z-score each feature column across all
+    samples, melt to long, and annotate each row with its QC class from
+    the marker dimension. The reference pivots the whole matrix in
+    pandas; here the per-feature moments come from ONE aggregation and
+    attach via broadcast join (no window over a single feature
+    partition — the per-feature sort would serialize at corpus scale),
+    and the QC-marker table is a broadcast dimension."""
+    part = _t(spark, sf_dir, "part")
+    long = part.selectExpr(
+        "stack(2, 'p_retailprice', CAST(p_retailprice AS DOUBLE),"
+        "         'p_size',        CAST(p_size AS DOUBLE))"
+        " AS (identifier, v)",
+        "p_partkey AS sample",
+        "substr(p_brand, 7, 1) AS grp",
+    )
+    m = long.groupBy("identifier").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    qc = long.sparkSession.createDataFrame(
+        [("p_retailprice", "price_panel"), ("p_size", "size_panel")],
+        "identifier string, class string",
+    )
+    return (
+        long.join(F.broadcast(m), "identifier")
+        .join(F.broadcast(qc), "identifier")
+        .select(
+            "identifier",
+            "sample",
+            "grp",
+            F.round((F.col("v") - F.col("mu")) / F.col("sd"), 6).alias("z_score"),
+            "class",
+        )
+    )
+
+
+@register(
+    "q_polar_profile",
+    """
+    WITH long AS (
+      SELECT l_returnflag AS grp, 'l_quantity' AS identifier,
+             CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    ),
+    m AS (
+      SELECT identifier, AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+      FROM long GROUP BY identifier
+    ),
+    z AS (
+      SELECT long.grp, long.identifier, (long.v - m.mu) / m.sd AS z
+      FROM long JOIN m USING (identifier)
+    ),
+    per_feature AS (
+      SELECT grp, identifier, AVG(z) AS fv FROM z GROUP BY grp, identifier
+    ),
+    reg AS (
+      SELECT * FROM (VALUES ('l_quantity', 'volume'),
+                            ('l_discount', 'pricing'),
+                            ('l_extendedprice', 'pricing')) AS t(identifier, theta)
+    )
+    SELECT grp, theta, CAST(ROUND(AVG(fv), 6) AS DOUBLE) AS value
+    FROM per_feature JOIN reg USING (identifier)
+    GROUP BY grp, theta
+    """,
+    family="stats",
+)
+def q_polar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar-plot profile aggregation — merge_for_polar
+    (analytics.py:2430-2470): z-score-normalize each feature column,
+    take the per-(group, feature) mean, map features onto their polar
+    axis through the regulators dimension, then average the FEATURE
+    MEANS per (group, theta) — the reference's two-stage unweighted
+    mean-of-means, mirrored exactly. Feature moments from one
+    aggregation + broadcast join (no single-feature window partitions);
+    the regulators table is a broadcast dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag AS grp",
+        "stack(3, 'l_quantity',      CAST(l_quantity AS DOUBLE),"
+        "         'l_discount',      CAST(l_discount AS DOUBLE),"
+        "         'l_extendedprice', CAST(l_extendedprice AS DOUBLE))"
+        " AS (identifier, v)",
+    )
+    m = long.groupBy("identifier").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    z = long.join(F.broadcast(m), "identifier").select(
+        "grp", "identifier", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    per_feature = z.groupBy("grp", "identifier").agg(F.avg("z").alias("fv"))
+    reg = li.sparkSession.createDataFrame(
+        [
+            ("l_quantity", "volume"),
+            ("l_discount", "pricing"),
+            ("l_extendedprice", "pricing"),
+        ],
+        "identifier string, theta string",
+    )
+    return (
+        per_feature.join(F.broadcast(reg), "identifier")
+        .groupBy("grp", "theta")
+        .agg(F.round(F.avg("fv"), 6).alias("value"))
+    )
+
+
+_RUN_FOLD_SQL = (
+    # longest equal-run in a sorted VARCHAR list == max element frequency.
+    # FIELD ORDER: 'best' (reads old best/run/prev) before 'run' (reads old
+    # run/prev) before 'prev' — correct under BOTH DuckDB struct-fold
+    # semantics (sequential field evaluation, see ops/special.py).
+    "struct_extract(list_reduce(list_prepend("
+    "{{'best': 0, 'run': 0, 'prev': CAST(NULL AS VARCHAR)}}, "
+    "list_transform({lst}, t -> {{'best': 0, 'run': 0, 'prev': t}})), "
+    "(acc, el) -> {{"
+    "'best': GREATEST(acc.best, CASE WHEN el.prev = acc.prev THEN acc.run + 1 ELSE 1 END), "
+    "'run': CASE WHEN el.prev = acc.prev THEN acc.run + 1 ELSE 1 END, "
+    "'prev': el.prev}}), 'best')"
+)
+
+
+@register(
+    "q_repetition_quality",
+    f"""
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, len(toks) AS n,
+             list_sort(toks) AS st,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+      FROM tk
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, n,
+             {_RUN_FOLD_SQL.format(lst='st')} AS best_word,
+             {_RUN_FOLD_SQL.format(lst='list_sort(bg)')} AS best_bigram,
+             len(bg) AS nbg, len(list_distinct(bg)) AS dbg,
+             len(tg) AS ntg, len(list_distinct(tg)) AS dtg
+      FROM g
+    ),
+    f AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             ROUND(best_word / GREATEST(CAST(n AS DOUBLE), 1.0), 6) AS top_word_frac,
+             ROUND(best_bigram / GREATEST(CAST(nbg AS DOUBLE), 1.0), 6) AS top_bigram_frac,
+             ROUND(1.0 - dbg / GREATEST(CAST(nbg AS DOUBLE), 1.0), 6) AS dup_bigram_frac,
+             ROUND(1.0 - dtg / GREATEST(CAST(ntg AS DOUBLE), 1.0), 6) AS dup_trigram_frac
+      FROM b
+    )
+    SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
+           dup_bigram_frac, dup_trigram_frac,
+           CAST(CASE WHEN top_word_frac > 0.20 OR top_bigram_frac > 0.18
+                       OR dup_trigram_frac > 0.30
+                     THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM f
+    """,
+    family="textstats",
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, token-level
+    variants) per document: top-token fraction, top-bigram fraction,
+    duplicate bigram/trigram fractions, composite ``repetitive`` flag —
+    the repetition leg of a webtext curation pipeline, beyond the
+    reference's operator set. All per-row array math: n-grams via index
+    lambdas over projected token columns, max token frequency via the
+    sorted-run fold (ops/textstats.py::repetition_stats) — ONE narrow
+    projection, zero shuffles at any corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_stats(docs)
+
+
+@register(
+    "q_srp_neardup_pairs",
+    None,  # LSH banding is not SQL-expressible; recall gates live in tests/test_ops.py
+    family="simsearch",
+)
+def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via signed-random-projection LSH
+    (Charikar 2002 random-hyperplane signatures) + exact cosine verify —
+    the data-independent alternative to the IVF-cell blocking of
+    q_embedding_neardup_pairs: no centroid seeding pass, no cell-boundary
+    misses for collinear vectors. Candidates come from 4x8-bit band
+    collisions (ids only in the shuffle; vectors attach per candidate),
+    so the operator never goes all-pairs at any scale. Planted-near-dup
+    recall and repartition determinism are unit-gated
+    (tests/test_ops.py::test_srp_*)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return simsearch.srp_self_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")

@@ -775,3 +775,126 @@ def test_tukey_hsd_matches_catalog(spark, lineitem):
     )
     catalog = CATALOG["q_tukey_hsd"].spark_fn(spark, SF_DIR)
     assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
+
+
+def _py_avg_ranks(vals):
+    """Independent average-rank implementation (scipy rankdata 'average')."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_spearman_matches_independent_reference(spark):
+    import numpy as np
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0, 9.0, 4.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 7.0, 7.0, 9.0, 8.0, 3.0]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "grp string, x double, y double"
+    )
+    got = run_analysis(
+        df,
+        "correlation",
+        {"x_col": "x", "y_col": "y", "group_cols": ["grp"], "method": "spearman"},
+    ).collect()[0]
+    rho_ref = float(np.corrcoef(_py_avg_ranks(xs), _py_avg_ranks(ys))[0, 1])
+    assert got["n"] == 10
+    assert abs(got["coefficient"] - round(rho_ref, 6)) < 1e-9
+    assert 0.0 < got["p_value"] < 0.05  # strong monotone association
+
+
+def test_generic_spearman_matches_catalog(spark, lineitem):
+    generic = run_analysis(
+        lineitem,
+        "correlation",
+        {
+            "x_col": "l_discount",
+            "y_col": "l_quantity",
+            "group_cols": ["l_returnflag"],
+            "method": "spearman",
+        },
+    )
+    catalog = CATALOG["q_spearman_corr"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
+
+
+def _py_corrections(pvals, method, alpha=0.05):
+    """Independent statsmodels-multipletests mirror for the one-step /
+    step-down family (analytics.py:859-886)."""
+    m = len(pvals)
+    if method == "bonferroni":
+        adj = [min(1.0, p * m) for p in pvals]
+    elif method == "sidak":
+        adj = [1.0 - (1.0 - p) ** m for p in pvals]
+    elif method == "holm":
+        order = sorted(range(m), key=lambda i: pvals[i])
+        adj = [0.0] * m
+        running = 0.0
+        for rank, i in enumerate(order):
+            running = max(running, (m - rank) * pvals[i])
+            adj[i] = min(1.0, running)
+    return adj, [a <= alpha for a in adj]
+
+
+@pytest.mark.parametrize("method", ["bonferroni", "sidak", "holm"])
+def test_pvalue_correction_matches_independent_reference(spark, method):
+    from ckg_spark.ops.stats import pvalue_correction
+
+    pvals = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216]
+    df = spark.createDataFrame(
+        [(f"f{i:02d}", p) for i, p in enumerate(pvals)], "feat string, p_value double"
+    )
+    got = (
+        pvalue_correction(df, "p_value", ["feat"], alpha=0.05, method=method)
+        .orderBy("feat")
+        .collect()
+    )
+    adj_ref, rej_ref = _py_corrections(pvals, method)
+    for row, a, rj in zip(got, adj_ref, rej_ref):
+        # 2e-9 absorbs a last-ulp Java-vs-CPython pow() disagreement
+        # landing on a ROUND(9) boundary
+        assert abs(row["p_adj"] - round(a, 9)) < 2e-9, (method, row["feat"])
+        assert row["rejected"] == int(rj)
+
+
+def test_dispatch_ttest_with_onestep_corrections(spark, lineitem):
+    from ckg_spark.ops.stats import pvalue_correction  # noqa: F401 (API presence)
+
+    base = run_analysis(
+        lineitem,
+        "ttest",
+        {
+            "feature_col": "l_returnflag",
+            "group_col": "l_linestatus",
+            "value_col": "l_quantity",
+            "group_a": "F",
+            "group_b": "O",
+            "correction": "none",
+        },
+    ).collect()
+    m = len(base)
+    corrected = run_analysis(
+        lineitem,
+        "ttest",
+        {
+            "feature_col": "l_returnflag",
+            "group_col": "l_linestatus",
+            "value_col": "l_quantity",
+            "group_a": "F",
+            "group_b": "O",
+            "correction": "bonferroni",
+        },
+    ).collect()
+    by_flag = {r["l_returnflag"]: r for r in corrected}
+    for r in base:
+        exp = round(min(1.0, r["p_value"] * m), 9)
+        assert abs(by_flag[r["l_returnflag"]]["p_adj"] - exp) < 1e-9

@@ -713,3 +713,59 @@ def test_split_u_negative_ids_stay_in_unit_interval(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_srp_neardup_recall_on_planted_pairs(spark, emb):
+    """Every planted near-identical pair (cosine >= 0.999) must be found:
+    at that angle a 4x8-bit SRP band matches with P >= 0.997 per band."""
+    rows = emb.limit(40).collect()
+    planted = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        nv = v * 1.0001  # same direction -> cosine 1.0
+        planted.append((int(r["vec_id"]) + 100000, [float(x) for x in nv]))
+    base = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+    df = spark.createDataFrame(base + planted, "vec_id long, embedding array<float>")
+    got = simsearch.srp_self_pairs(df, threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    for vid, _ in base:
+        assert (vid, vid + 100000) in pairs, f"planted pair for {vid} missed"
+    # exact verify step: every emitted pair really is above threshold
+    assert all(r["cosine"] >= 0.999 for r in got.collect())
+
+
+def test_srp_pairs_deterministic_under_repartition(spark, emb):
+    a = sorted(
+        map(tuple, simsearch.srp_self_pairs(emb, threshold=0.5).collect())
+    )
+    b = sorted(
+        map(tuple, simsearch.srp_self_pairs(emb.repartition(13), threshold=0.5).collect())
+    )
+    assert a == b
+
+
+def test_srp_measured_recall_vs_exact(spark, emb):
+    """Measured recall gate at a mid threshold against a TRUE all-pairs
+    numpy oracle (not the IVF-blocked path, which has its own misses):
+    SRP candidates + exact verify must recover >= 70% of cosine>=0.85
+    pairs at the default 4x8-bit operating point."""
+    rows = emb.collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    exact = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sims[i, j], 6) >= 0.85
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.srp_self_pairs(emb, threshold=0.85).collect()
+    }
+    # precision is structural (every candidate is exact-verified)
+    assert got <= exact
+    if exact:
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.7, f"SRP recall {recall:.2f} < 0.7 ({len(exact)} true pairs)"
