@@ -161,3 +161,128 @@ def kmeans_oracle_sql(
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
       FROM d2_fin) WHERE rn = 1
     """
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dist: str = "dist",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest of the undirected graph by distributed
+    Boruvka — the corpus-scale half of single-linkage hierarchical
+    clustering (the reference's dendrograms: FF.create_dendrogram over
+    the wide matrix in get_complex_heatmapplot, viz/viz.py:823-827, and
+    wgcnaAnalysis.get_dendrogram — scipy linkage, driver-side; SLINK's
+    dendrogram is exactly the MST's edges replayed in weight order).
+
+    Boruvka parallelizes as join + min_by per round: every component
+    picks its lightest outgoing edge, all picks join the forest at once,
+    components merge, repeat — O(log n) rounds regardless of graph
+    shape. Ties are broken by the (dist, src, dst) struct order, which
+    totally orders edges, so the classic tie-cycle hazard cannot occur
+    (Boruvka is cycle-free iff edge weights are distinct; the struct IS
+    the distinct weight). Per round: two broadcast-ish label joins on
+    the candidate edges, one min_by aggregation, one min-label CC pass
+    over the (forest-sized) edge set; lineage cut via localCheckpoint.
+
+    ``edges`` need not be symmetrized. Returns the forest edges
+    (src, dst, dist) — at most n-1 rows."""
+    from ..canon.cc import connected_components
+
+    e = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.col(dist).cast("double").alias("w")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    forest = e.filter(F.lit(False)).localCheckpoint(eager=True)  # empty, same schema
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_rounds):
+        la = labels.select(F.col("node").alias("a"), F.col("label").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"), F.col("label").alias("cb"))
+        crossing = (
+            e.join(la, "a").join(lb, "b").filter(F.col("ca") != F.col("cb"))
+        )
+        # each component's lightest outgoing edge, both directions so a
+        # component sees edges where it is either endpoint
+        cand = crossing.select(
+            F.col("ca").alias("comp"), F.struct("w", "a", "b").alias("pick")
+        ).unionByName(
+            crossing.select(F.col("cb").alias("comp"), F.struct("w", "a", "b").alias("pick"))
+        )
+        picked = (
+            cand.groupBy("comp")
+            .agg(F.min("pick").alias("pick"))
+            .select(F.col("pick.a").alias("a"), F.col("pick.b").alias("b"), F.col("pick.w").alias("w"))
+            .dropDuplicates(["a", "b"])
+        )
+        if picked.isEmpty():
+            break
+        forest = forest.unionByName(picked).localCheckpoint(eager=True)
+        labels = connected_components(forest, src="a", dst="b").select(
+            "node", F.col("component").alias("label")
+        )
+        # isolated nodes keep their self-label
+        labels = (
+            nodes.join(labels, "node", "left")
+            .select("node", F.coalesce(F.col("label"), F.col("node")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return forest.select(
+        F.col("a").alias(src), F.col("b").alias(dst), F.col("w").alias(dist)
+    )
+
+
+def linkage_matrix(mst_rows: list, all_nodes: list) -> list:
+    """Driver-side scipy-format linkage Z from a COLLECTED spanning
+    forest (Kruskal replay: sort MST edges by weight, union-find, each
+    merge emits [left_cluster, right_cluster, height, size]) — the exact
+    single-linkage dendrogram, because single linkage's merge sequence
+    is the MST's edges in weight order (Gower & Ross 1969). Inputs are
+    dimension-sized by contract (a dendrogram is unreadable beyond ~10^3
+    leaves; the reference only ever draws feature/sample dendrograms) —
+    corpus-scale callers want :func:`boruvka_mst` + a threshold cut via
+    connected components instead.
+
+    ``mst_rows``: (src, dst, dist) triples; ``all_nodes``: leaf ids in
+    the label order the caller wants (index = scipy leaf id). Forests
+    with k>1 components yield n-k merges (scipy requires a connected
+    input; callers padding to a full dendrogram should add inf edges)."""
+    idx = {v: i for i, v in enumerate(all_nodes)}
+    n = len(all_nodes)
+    parent = list(range(2 * n))  # union-find over leaf+internal ids
+    size = [1] * n + [0] * n
+    cluster_of = list(range(2 * n))  # current scipy cluster id per root
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    z = []
+    nxt = n
+    for a, b, w in sorted(mst_rows, key=lambda r: (float(r[2]), str(r[0]), str(r[1]))):
+        ra, rb = find(idx[a]), find(idx[b])
+        if ra == rb:
+            continue
+        ca, cb = cluster_of[ra], cluster_of[rb]
+        merged = size[ra] + size[rb]
+        z.append([min(ca, cb), max(ca, cb), float(w), merged])
+        parent[ra] = nxt
+        parent[rb] = nxt
+        size[nxt] = merged
+        cluster_of[nxt] = nxt
+        nxt += 1
+    return z

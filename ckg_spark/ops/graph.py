@@ -18,8 +18,14 @@ next shuffle.
 
 from __future__ import annotations
 
+import heapq
+from collections import deque
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
 
 def transitive_closure(
@@ -220,6 +226,188 @@ def eigenvector_centrality(
     nrm = x.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("__n__"))
     return x.crossJoin(F.broadcast(nrm)).select(
         "id", (F.col("val") / F.col("__n__")).alias("val")
+    )
+
+
+def _brandes_source(adj, s, weighted: bool):
+    """One source's Brandes pass (Brandes 2001, Alg. 1): forward BFS /
+    Dijkstra building the shortest-path DAG (sigma counts + predecessor
+    lists), then dependency back-accumulation. Yields (node, delta)
+    contributions for every node w != s on some shortest path from s."""
+    stack: list = []
+    preds: dict = {}
+    sigma = {s: 1.0}
+    if not weighted:
+        dist = {s: 0}
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            dv = dist[v]
+            for w, _wt in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dv + 1
+                    sigma[w] = sigma[v]
+                    preds[w] = [v]
+                    queue.append(w)
+                elif dist[w] == dv + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+    else:
+        dist: dict = {s: 0.0}
+        done: set = set()
+        heap = [(0.0, s)]
+        while heap:
+            dv, v = heapq.heappop(heap)
+            if v in done:
+                continue
+            done.add(v)
+            stack.append(v)
+            for w, wt in adj.get(v, ()):
+                if w in done:
+                    continue
+                nd = dv + wt
+                if w not in dist or nd < dist[w]:
+                    dist[w] = nd
+                    sigma[w] = sigma[v]
+                    preds[w] = [v]
+                    heapq.heappush(heap, (nd, w))
+                elif nd == dist[w]:
+                    # exact float equality, same rule as the reference's
+                    # networkx Dijkstra sigma accounting
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+    delta = dict.fromkeys(stack, 0.0)
+    while stack:
+        w = stack.pop()
+        coeff = (1.0 + delta[w]) / sigma[w]
+        for v in preds.get(w, ()):
+            delta[v] += sigma[v] * coeff
+        if w != s and delta[w] != 0.0:
+            yield w, delta[w]
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    normalized: bool = True,
+    sample_sources: int | None = None,
+    seed: int = 13,
+    max_broadcast_edges: int = 2_000_000,
+) -> DataFrame:
+    """Betweenness centrality of the UNDIRECTED graph given by ``edges``
+    — the third node-sizing metric of the reference's network builder
+    (viz/viz.py:1127-1131 computes nx.betweenness_centrality alongside
+    degree and eigenvector centrality; analytics.py:2273 most_central_edge
+    uses the edge variant for Girvan-Newman).
+
+    Scale shape — betweenness is O(V*E) of CPU over a topology that is
+    dimension-sized after the reference's own score cutoff (get_network
+    filters the edge list before building the graph, and only computes
+    betweenness under 150 edges at all): the edge list collects to the
+    driver behind an explicit ``max_broadcast_edges`` gate and broadcasts
+    once, the per-SOURCE Brandes passes — the actual O(V*E) work — fan
+    out across executors via ``mapInPandas`` over a round-robin-
+    repartitioned source frame, and the only shuffle is the node-sized
+    (node, partial-dependency) aggregation. For graphs where exact
+    all-sources betweenness is not affordable, ``sample_sources=m`` runs
+    the Brandes-Pich estimator over the m lexicographically-first-by-hash
+    sources (deterministic — no RNG) and rescales by n/m.
+
+    Weighted mode (``weight`` column = DISTANCE, nx semantics) requires
+    strictly positive weights and uses exact float equality for
+    shortest-path ties, matching networkx. ``normalized`` divides by the
+    pair count (n-1)(n-2)/2 exactly like nx.betweenness_centrality.
+
+    Returns (node, betweenness), zero rows included. Verified against an
+    independent all-shortest-paths-enumeration oracle plus closed-form
+    star/path anchors in tests/test_ops.py."""
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(dst).cast("string").alias("d"),
+            w_col.alias("w"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+    )
+    rows = e.limit(max_broadcast_edges + 1).collect()
+    if len(rows) > max_broadcast_edges:
+        raise ValueError(
+            f"betweenness_centrality: edge list exceeds max_broadcast_edges="
+            f"{max_broadcast_edges}; apply a score cutoff first (the reference "
+            "does — viz.py:1099-1104) or raise the gate"
+        )
+    weighted = weight is not None
+    adj: dict = {}
+    for r in rows:
+        if weighted and not r["w"] > 0.0:
+            raise ValueError("betweenness_centrality: weights must be > 0")
+        adj.setdefault(r["s"], {})[r["d"]] = min(
+            r["w"], adj.get(r["s"], {}).get(r["d"], float("inf"))
+        )
+        adj.setdefault(r["d"], {})[r["s"]] = min(
+            r["w"], adj.get(r["d"], {}).get(r["s"], float("inf"))
+        )
+    # sorted neighbor lists: deterministic traversal order
+    adj = {v: sorted(nbrs.items()) for v, nbrs in adj.items()}
+    n = len(adj)
+    spark = edges.sparkSession
+    nodes_df = spark.createDataFrame(
+        [(v,) for v in sorted(adj)], StructType([StructField("node", StringType(), False)])
+    )
+    m = n
+    if sample_sources is not None and sample_sources < n:
+        m = sample_sources
+        nodes_df = (
+            nodes_df.withColumn(
+                "__h__", F.xxhash64(F.col("node"), F.lit(seed))
+            )
+            .orderBy("__h__", "node")
+            .limit(m)
+            .drop("__h__")
+        )
+    parallelism = spark.sparkContext.defaultParallelism
+    sources = nodes_df.repartition(min(max(m, 1), parallelism * 4))
+    bc_adj = spark.sparkContext.broadcast(adj)
+
+    def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_adj = bc_adj.value
+        acc: dict = {}
+        for pdf in batches:
+            for s in pdf["node"]:
+                for node, dep in _brandes_source(local_adj, s, weighted):
+                    acc[node] = acc.get(node, 0.0) + dep
+        yield pd.DataFrame(
+            {"node": list(acc.keys()), "dep": list(acc.values())}
+            if acc
+            else {"node": pd.Series([], dtype=object), "dep": pd.Series([], dtype=float)}
+        )
+
+    partials = sources.mapInPandas(
+        run_sources,
+        StructType(
+            [
+                StructField("node", StringType(), False),
+                StructField("dep", DoubleType(), False),
+            ]
+        ),
+    )
+    # undirected: each pair's dependency is accumulated from both ends -> /2;
+    # sampled sources estimate the full sum scaled by n/m (Brandes-Pich)
+    scale = 0.5 * (float(n) / float(m) if m else 1.0)
+    if normalized:
+        scale *= 2.0 / ((n - 1.0) * (n - 2.0)) if n > 2 else 1.0
+    deps = partials.groupBy("node").agg((F.sum("dep") * F.lit(scale)).alias("betweenness"))
+    all_nodes = spark.createDataFrame(
+        [(v,) for v in sorted(adj)], StructType([StructField("node", StringType(), False)])
+    )
+    return all_nodes.join(deps, "node", "left").select(
+        "node", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness")
     )
 
 

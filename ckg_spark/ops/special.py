@@ -292,9 +292,15 @@ def _betainc_de(a: DE, b: DE, x: DE, cf) -> DE:
     swapped = lit(1.0) - one_sided(b, a, lit(1.0) - x)
     thresh = (a + lit(1.0)) / (a + b + lit(2.0))
     core = when_lt(x, thresh, direct, swapped)
-    # exact-edge guards: x<=0 => 0, x>=1 => 1 (lazy CASE keeps ln() safe)
+    # exact-edge guards: x<=0 => 0, x>=1 => 1 (lazy CASE keeps ln() safe).
+    # The upper threshold must be a double STRICTLY below 1.0: an earlier
+    # 1.0-1e-300 rounded to exactly 1.0, so x == 1.0 (e.g. the t-tail at
+    # t = 0) fell through to ln(1-x) = ln(0) and returned NULL — on BOTH
+    # backends, so the hash gate couldn't see it (the shared-defect trap).
+    # 1-1e-15 is representable; clamping x in (1-1e-15, 1) to p=1 errs by
+    # O(sqrt(1e-15)) at a tail value of ~1 — far inside ROUND(9).
     return when_lt(x, lit(1e-300), lit(0.0),
-                   when_lt(lit(1.0) - lit(1e-300), x, lit(1.0), core))
+                   when_lt(lit(1.0) - lit(1e-15), x, lit(1.0), core))
 
 
 def betainc_spark(a: Column, b: Column, x: Column, depth: int = CF_DEPTH) -> Column:

@@ -93,6 +93,18 @@ def welch_ttest(
     )
 
 
+def _split_valid_p(df: DataFrame, p_col: str) -> tuple[DataFrame, DataFrame]:
+    """(valid, invalid) rows by p-value: NULL/NaN p must not enter a
+    correction's ranking — ascending Spark sort puts NULL FIRST, so one
+    untestable feature (e.g. zero variance in both groups) would seed the
+    reverse running-min and reject everything below it. The reference's
+    statsmodels path never sees them (scipy returns nan, pandas drops);
+    here they come back with p_adj NULL / rejected 0."""
+    p = F.col(p_col)
+    valid = p.isNotNull() & ~F.isnan(p)
+    return df.filter(valid), df.filter(~(p.isNotNull() & ~F.isnan(p)))
+
+
 def bh_adjust(
     df: DataFrame, p_col: str, key_cols: list[str], alpha: float = 0.05
 ) -> DataFrame:
@@ -100,7 +112,10 @@ def bh_adjust(
     analytics.py:1663-1736): adds ``p_adj`` and ``rejected`` columns.
     Rank ascending by p (keys as tiebreak), reverse running-min of
     p*m/rank, clamp to 1. The frame is post-aggregation (one row per
-    feature) so the unpartitioned windows are dimension-sized."""
+    feature) so the unpartitioned windows are dimension-sized.
+    NULL/NaN p-values are excluded from m and ranking (p_adj NULL,
+    rejected 0 — see :func:`_split_valid_p`)."""
+    df, invalid = _split_valid_p(df, p_col)
     order = [F.col(p_col).asc()] + [F.col(k).asc() for k in key_cols]
     r = df.select(
         "*",
@@ -111,12 +126,17 @@ def bh_adjust(
     p_adj = F.least(
         F.lit(1.0), F.min((F.col(p_col) * F.col("__m__")) / F.col("__rn__")).over(tail)
     )
-    return (
+    out = (
         r.withColumn("p_adj", F.round(p_adj, 9))
         .withColumn(
             "rejected", F.when(p_adj < F.lit(alpha), 1).otherwise(0).cast("int")
         )
         .drop("__rn__", "__m__")
+    )
+    return out.unionByName(
+        invalid.withColumn("p_adj", F.lit(None).cast("double")).withColumn(
+            "rejected", F.lit(0).cast("int")
+        )
     )
 
 
@@ -130,7 +150,9 @@ def bh_twostage(
     if 0 < r1 < m, stage 2 re-runs the step-up at alpha* = alpha*m/m0 and
     scales the adjusted p-values by m0/m. Adds ``p_adj``, ``m0`` and
     ``rejected``. Same dimension-sized-frame window math as
-    :func:`bh_adjust` (statsmodels' <= rejection mirrored exactly)."""
+    :func:`bh_adjust` (statsmodels' <= rejection mirrored exactly);
+    NULL/NaN p-values excluded the same way."""
+    df, invalid = _split_valid_p(df, p_col)
     order = [F.col(p_col).asc()] + [F.col(k).asc() for k in key_cols]
     r = df.select(
         "*",
@@ -158,11 +180,16 @@ def bh_twostage(
     rejected = F.when(
         active, F.col("__bh__") <= (F.lit(alpha) * m) / (m - r1)
     ).otherwise(F.col("__bh__") <= F.lit(alpha))
-    return (
+    out = (
         st.withColumn("p_adj", F.round(p_adj, 9))
         .withColumn("m0", F.when(active, m - r1).otherwise(m).cast("bigint"))
         .withColumn("rejected", F.when(rejected, 1).otherwise(0).cast("int"))
         .drop("__rn__", "__m__", "__bh__", "__r1__")
+    )
+    return out.unionByName(
+        invalid.withColumn("p_adj", F.lit(None).cast("double"))
+        .withColumn("m0", F.lit(None).cast("bigint"))
+        .withColumn("rejected", F.lit(0).cast("int"))
     )
 
 
@@ -862,7 +889,10 @@ def pvalue_correction(
     ascending-p order, clamped to 1). Adds ``p_adj`` + ``rejected``
     (statsmodels' ``p_adj <= alpha``, equivalent to each method's
     sequential rule). Post-aggregation frames only: the unpartitioned
-    windows are dimension-sized, exactly like :func:`bh_adjust`."""
+    windows are dimension-sized, exactly like :func:`bh_adjust`;
+    NULL/NaN p-values excluded the same way (m counts valid rows only —
+    bonferroni/sidak otherwise over-correct by the untestable count)."""
+    df, invalid = _split_valid_p(df, p_col)
     p = F.col(p_col)
     m = F.count(F.lit(1)).over(Window.partitionBy())
     if method == "bonferroni":
@@ -889,4 +919,8 @@ def pvalue_correction(
     return out.withColumn(
         "rejected",
         F.when(F.col("p_adj") <= F.lit(alpha), 1).otherwise(0).cast("int"),
+    ).unionByName(
+        invalid.withColumn("p_adj", F.lit(None).cast("double")).withColumn(
+            "rejected", F.lit(0).cast("int")
+        )
     )

@@ -4071,3 +4071,410 @@ def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_ops.py::test_srp_*)."""
     emb = _t(spark, sf_dir, "embeddings")
     return simsearch.srp_self_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
+
+
+# ======================================================================
+# report/viz data-prep parity: the data-processing halves of the
+# reference's plotting layer (analytics_core/viz/viz.py) — volcano input
+# prep (run_volcano :666-775), correlation-network edge lists
+# (convertToEdgeList analytics.py:2350-2360 + get_network cutoff/degree
+# :1099-1131), and wordcloud token frequencies (get_wordcloud :1886-1993)
+# ======================================================================
+
+_VOLCANO_BASE_SQL = """
+    WITH s AS (
+      SELECT p.p_brand,
+             AVG(CASE WHEN l.l_linestatus = 'F' THEN l.l_quantity END) AS m1,
+             AVG(CASE WHEN l.l_linestatus = 'O' THEN l.l_quantity END) AS m2,
+             VAR_SAMP(CASE WHEN l.l_linestatus = 'F' THEN l.l_quantity END) AS v1,
+             VAR_SAMP(CASE WHEN l.l_linestatus = 'O' THEN l.l_quantity END) AS v2,
+             COUNT(CASE WHEN l.l_linestatus = 'F' THEN 1 END) AS n1,
+             COUNT(CASE WHEN l.l_linestatus = 'O' THEN 1 END) AS n2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    w AS (
+      SELECT p_brand, n1, n2, m1, m2, (v1 / n1) AS se1, (v2 / n2) AS se2
+      FROM s WHERE n1 > 1 AND n2 > 1 AND m1 > 0 AND m2 > 0
+    ),
+    w2 AS (
+      SELECT p_brand, n1, n2, (LOG2(m2) - LOG2(m1)) AS log2fc,
+             ((m1 - m2) / sqrt(se1 + se2)) AS t_raw,
+             (((se1 + se2) * (se1 + se2))
+              / (((se1 * se1) / (n1 - 1)) + ((se2 * se2) / (n2 - 1)))) AS dof_raw
+      FROM w
+    )
+"""
+
+
+@register(
+    "q_volcano",
+    _VOLCANO_BASE_SQL
+    + f"""
+    , pv AS (
+      SELECT p_brand, log2fc,
+             {special.t_sf2_sql('t_raw', 'dof_raw')} AS p_value
+      FROM w2
+    ),
+    rk AS (
+      SELECT p_brand, log2fc, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, p_brand) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    adj AS (
+      SELECT p_brand, log2fc, p_value,
+             LEAST(1.0, MIN((p_value * m) / rn) OVER
+               (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS padj
+      FROM rk
+    )
+    SELECT p_brand AS identifier,
+           CAST(ROUND(log2fc, 6) AS DOUBLE) AS log2fc,
+           CAST(ROUND(p_value, 9) AS DOUBLE) AS p_value,
+           CAST(ROUND(padj, 9) AS DOUBLE) AS padj,
+           CAST(ROUND(-LOG10(GREATEST(padj, 1e-300)), 6) AS DOUBLE) AS neg_log10_padj,
+           CASE WHEN padj < 0.05 AND log2fc >= 1.0 THEN 'up'
+                WHEN padj < 0.05 AND log2fc <= -1.0 THEN 'down'
+                ELSE 'ns' END AS regulation
+    FROM adj
+    """,
+    family="stats",
+)
+def q_volcano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volcano-plot input prep — run_volcano (viz/viz.py:666-775) consumes
+    per-feature (log2FC, padj) t-test results and derives -log10(padj)
+    plus the up/down/ns regulation grouping (alpha=0.05, fc=2 defaults).
+    Here the whole chain is distributed AND hash-verified end-to-end:
+    per-brand Welch test (fact×dim join, map-side-combined moments), BH
+    sweep over the brand dimension, then the volcano projection. The only
+    corpus-scale work is the one join+aggregate; everything after runs on
+    the brand-sized frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    f_q = F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))
+    o_q = F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))
+    s = j.groupBy("p_brand").agg(
+        F.avg(f_q).alias("m1"),
+        F.avg(o_q).alias("m2"),
+        F.var_samp(f_q).alias("v1"),
+        F.var_samp(o_q).alias("v2"),
+        F.count(f_q).alias("n1"),
+        F.count(o_q).alias("n2"),
+    )
+    w = s.filter(
+        (F.col("n1") > 1) & (F.col("n2") > 1) & (F.col("m1") > 0) & (F.col("m2") > 0)
+    ).select(
+        "p_brand",
+        "m1",
+        "m2",
+        (F.col("v1") / F.col("n1")).alias("se1"),
+        (F.col("v2") / F.col("n2")).alias("se2"),
+        "n1",
+        "n2",
+    )
+    se = F.col("se1") + F.col("se2")
+    w2 = w.select(
+        "p_brand",
+        (F.log2("m2") - F.log2("m1")).alias("log2fc"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se)).alias("t_raw"),
+        (
+            (se * se)
+            / (
+                (F.col("se1") * F.col("se1")) / (F.col("n1") - 1)
+                + (F.col("se2") * F.col("se2")) / (F.col("n2") - 1)
+            )
+        ).alias("dof_raw"),
+    )
+    pv = w2.select(
+        "p_brand",
+        "log2fc",
+        special.t_sf2_spark(F.col("t_raw"), F.col("dof_raw")).alias("p_value"),
+    )
+    rk = pv.select(
+        "p_brand",
+        "log2fc",
+        "p_value",
+        F.row_number().over(Window.orderBy("p_value", "p_brand")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    padj = F.least(
+        F.lit(1.0), F.min((F.col("p_value") * F.col("m")) / F.col("rn")).over(tail)
+    )
+    adj = rk.select("p_brand", "log2fc", "p_value", padj.alias("padj"))
+    return adj.select(
+        F.col("p_brand").alias("identifier"),
+        F.round("log2fc", 6).alias("log2fc"),
+        F.round("p_value", 9).alias("p_value"),
+        F.round("padj", 9).alias("padj"),
+        F.round(-F.log10(F.greatest(F.col("padj"), F.lit(1e-300))), 6).alias(
+            "neg_log10_padj"
+        ),
+        F.when((F.col("padj") < 0.05) & (F.col("log2fc") >= 1.0), "up")
+        .when((F.col("padj") < 0.05) & (F.col("log2fc") <= -1.0), "down")
+        .otherwise("ns")
+        .alias("regulation"),
+    )
+
+
+_CORRNET_CUTOFF = 0.95
+
+# per-document text measures for the correlation network: all derived
+# JVM-side in one narrow projection; the synthetic lineitem columns are
+# mutually independent by construction (|r| ~ 0.003), so the network is
+# built where real correlation structure exists — document-length family
+# measures (the reference's correlation networks likewise run on its
+# measurement matrix, not on unrelated columns)
+_CORRNET_FEATURES_SQL = """
+      SELECT CAST(n_chars AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(LOWER(text), '[a-z][a-z'']+')) AS DOUBLE) AS n_words,
+             CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS n_e
+      FROM documents
+"""
+_CORRNET_VARS = ["n_chars", "n_tokens", "n_words", "n_e"]
+_CORRNET_PAIRS = [
+    (a, b) for i, a in enumerate(_CORRNET_VARS) for b in _CORRNET_VARS[i + 1 :]
+]
+_CORRNET_UNION_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT '{a}' AS var_a, '{b}' AS var_b, corr({a}, {b}) AS r FROM feats"
+    for a, b in _CORRNET_PAIRS
+)
+
+
+@register(
+    "q_correlation_network",
+    f"""
+    WITH feats AS (
+{_CORRNET_FEATURES_SQL}
+    ),
+    c AS (
+{_CORRNET_UNION_SQL}
+    ),
+    edges AS (
+      SELECT var_a AS source, var_b AS target, r
+      FROM c WHERE ABS(r) >= {_CORRNET_CUTOFF}
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT source AS node FROM edges
+        UNION ALL
+        SELECT target AS node FROM edges
+      ) GROUP BY node
+    )
+    SELECT e.source, e.target,
+           CAST(ROUND(e.r, 6) AS DOUBLE) AS width,
+           CAST(ROUND(ABS(e.r), 6) AS DOUBLE) AS edgewidth,
+           ds.degree AS source_degree,
+           dt.degree AS target_degree
+    FROM edges e
+    JOIN deg ds ON e.source = ds.node
+    JOIN deg dt ON e.target = dt.node
+    """,
+    family="stats",
+)
+def q_correlation_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-network edge-list prep — convertToEdgeList
+    (analytics.py:2350-2360) turns the pairwise correlation matrix into
+    (source, target, weight) rows and get_network (viz/viz.py:1099-1131)
+    applies the |value| >= cutoff filter, keeps width/edgewidth edge
+    attributes, and annotates node degree. The corpus-scale work is ONE
+    narrow feature projection + ONE moments pass computing every
+    pairwise r (same plan family as q_corr_matrix_fdr); the cutoff and
+    degree graph prep run on the dimension-sized edge list."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z][a-z']+"), 0)
+        ).cast("double").alias("n_words"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("e")))
+        ).cast("double").alias("n_e"),
+    )
+    wide = feats.agg(
+        *[F.corr(a, b).alias(f"r_{i}") for i, (a, b) in enumerate(_CORRNET_PAIRS)],
+    )
+    pairs_arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("source"),
+                F.lit(b).alias("target"),
+                F.col(f"r_{i}").alias("r"),
+            )
+            for i, (a, b) in enumerate(_CORRNET_PAIRS)
+        ]
+    )
+    edges = (
+        wide.select(F.explode(pairs_arr).alias("p"))
+        .select("p.source", "p.target", "p.r")
+        .filter(F.abs(F.col("r")) >= _CORRNET_CUTOFF)
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("source").alias("node"))
+        .unionByName(edges.select(F.col("target").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ds = deg.select(F.col("node").alias("source"), F.col("degree").alias("source_degree"))
+    dt = deg.select(F.col("node").alias("target"), F.col("degree").alias("target_degree"))
+    return (
+        edges.join(ds, "source")
+        .join(dt, "target")
+        .select(
+            "source",
+            "target",
+            F.round("r", 6).alias("width"),
+            F.round(F.abs("r"), 6).alias("edgewidth"),
+            "source_degree",
+            "target_degree",
+        )
+    )
+
+
+_WORDCLOUD_STOPWORDS = (
+    "the and for that with this from are was were has have had not but all can "
+    "its his her she he you your they their them our out who which what when "
+    "where how why will would could should there here than then been being over "
+    "under more most some such only also into onto about after before between "
+    "during each few other same very too any both does did doing a an is it in "
+    "on of to as at by or we us if do so no up down off again once"
+).split()
+
+
+@register(
+    "q_wordcloud_counts",
+    f"""
+    WITH toks AS (
+      SELECT UNNEST(regexp_extract_all(LOWER(text), '[a-z][a-z'']+')) AS word
+      FROM documents
+    )
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks
+    WHERE word NOT IN ({", ".join("'" + w + "'" for w in _WORDCLOUD_STOPWORDS)})
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 50
+    """,
+    family="textstats",
+)
+def q_wordcloud_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordcloud token frequencies — get_wordcloud (viz/viz.py:1886-1993)
+    tokenizes the corpus with the WordCloud ``\\w[\\w']+`` regex, drops
+    stopwords, and keeps the top max_words by count. Distributed twin:
+    JVM-side regexp_extract_all + explode + ONE map-side-combined count
+    aggregation, top-50 via TakeOrdered (count desc, word asc — explicit
+    total order). The stopword list is a broadcast literal; no Python in
+    the token path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z][a-z']+"), 0)
+        ).alias("word")
+    )
+    return (
+        toks.filter(~F.col("word").isin(_WORDCLOUD_STOPWORDS))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@register("q_kg_betweenness", None, family="graph")
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality over the co-mention graph — the third
+    node-sizing metric of the reference's network builder (get_network,
+    viz/viz.py:1127-1131: nx.betweenness_centrality(weight='width')
+    alongside degree and eigenvector centrality; the reference computes
+    it after the score cutoff on graphs it deems small enough). The
+    n_docs co-mention count plays the 'width' weight role (integer-valued
+    — float-exact tie arithmetic). Non-SQL (per-source shortest-path
+    DAGs); verified against an independent all-shortest-paths-enumeration
+    oracle plus closed-form star/path anchors in tests/test_ops.py."""
+    from ..ops.graph import betweenness_centrality
+
+    pairs = q_kg_comention(spark, sf_dir)
+    return (
+        betweenness_centrality(pairs, src="subj", dst="obj", weight="n_docs")
+        .select(F.col("node").alias("term_id"), F.round("betweenness", 6).alias("betweenness"))
+        .orderBy("term_id")
+    )
+
+
+@register(
+    "q_neardup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE a.label < 2
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.3
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM pairs
+              UNION SELECT DISTINCT d FROM pairs),
+    sym AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY node
+    """,
+    family="simsearch",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: single-linkage flat clustering of the
+    embedding near-dup graph at the similarity threshold — the grouping
+    step a dedup pipeline runs after pair generation (single linkage at
+    cut height h == connected components of the <=h edges, which is how
+    the reference's dendrogram cutoff_line consumers use
+    FF.create_dendrogram, viz/viz.py:823-827 + Dendrogram.py cutoff).
+    Pairs come from the same label-blocked predicate as
+    q_embedding_neardup_pairs at threshold 0.3 (the synthetic corpus'
+    off-dup cosine tops out near 0.49, so the 0.5 cut would make the
+    cluster query vacuously empty); components via the
+    min-label-propagation CC operator (canon/cc.py — pointer jumping,
+    O(log diameter) rounds). Hash-verified against a recursive-CTE
+    min-reachable-id oracle."""
+    from ..canon.cc import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") < 2)
+    pairs = simsearch.cosine_self_pairs(emb, threshold=0.3, block_col="label")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("cluster_size"),
+    )
+
+
+@register("q_single_linkage_tree", None, family="simsearch")
+def q_single_linkage_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage merge tree (dendrogram edges) of the embedding
+    near-dup graph: distributed Boruvka minimum spanning forest over
+    cosine DISTANCE (1 - similarity) — SLINK's merge sequence is exactly
+    the MST replayed in weight order (Gower & Ross 1969), so these rows
+    ARE the dendrogram the reference draws via scipy linkage
+    (FF.create_dendrogram viz/viz.py:823-827; wgcnaAnalysis
+    get_dendrogram). Non-SQL (iterative component merging); verified
+    against an independent Prim-with-priority-queue oracle and a naive
+    O(n^3) agglomerative reference in tests/test_ops.py."""
+    from ..ops.cluster import boruvka_mst
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") < 2)
+    pairs = simsearch.cosine_self_pairs(emb, threshold=0.3, block_col="label")
+    dists = pairs.select(
+        "id_a", "id_b", (F.lit(1.0) - F.col("cosine")).alias("dist")
+    )
+    mst = boruvka_mst(dists, src="id_a", dst="id_b", dist="dist")
+    return mst.select(
+        "id_a", "id_b", F.round("dist", 6).alias("dist")
+    ).orderBy("dist", "id_a", "id_b")

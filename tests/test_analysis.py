@@ -898,3 +898,33 @@ def test_dispatch_ttest_with_onestep_corrections(spark, lineitem):
     for r in base:
         exp = round(min(1.0, r["p_value"] * m), 9)
         assert abs(by_flag[r["l_returnflag"]]["p_adj"] - exp) < 1e-9
+
+
+def test_corrections_exclude_null_and_nan_pvalues(spark):
+    """NULL/NaN p-values (untestable features — e.g. zero variance in
+    both groups) must not enter any correction's ranking: ascending sort
+    puts NULL first, so one such row would seed BH's reverse running-min
+    and reject every feature. They come back p_adj NULL / rejected 0."""
+    import math
+
+    from ckg_spark.ops import stats
+
+    pdf = [("f1", 0.001), ("f2", 0.04), ("f3", None), ("f4", float("nan")), ("f5", 0.9)]
+    df = spark.createDataFrame(pdf, ["identifier", "p_value"])
+    clean = spark.createDataFrame(
+        [r for r in pdf if r[1] is not None and not math.isnan(r[1])],
+        ["identifier", "p_value"],
+    )
+    for fn in (
+        lambda d: stats.bh_adjust(d, "p_value", ["identifier"]),
+        lambda d: stats.bh_twostage(d, "p_value", ["identifier"]),
+        lambda d: stats.pvalue_correction(d, "p_value", ["identifier"], method="holm"),
+        lambda d: stats.pvalue_correction(d, "p_value", ["identifier"], method="bonferroni"),
+    ):
+        got = {r["identifier"]: (r["p_adj"], r["rejected"]) for r in fn(df).collect()}
+        exp = {r["identifier"]: (r["p_adj"], r["rejected"]) for r in fn(clean).collect()}
+        # valid rows: identical to running on the pre-cleaned frame
+        for k, v in exp.items():
+            assert got[k] == v, (k, got[k], v)
+        # invalid rows present, never rejected, p_adj NULL
+        assert got["f3"] == (None, 0) and got["f4"] == (None, 0)

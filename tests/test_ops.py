@@ -769,3 +769,240 @@ def test_srp_measured_recall_vs_exact(spark, emb):
     if exact:
         recall = len(exact & got) / len(exact)
         assert recall >= 0.7, f"SRP recall {recall:.2f} < 0.7 ({len(exact)} true pairs)"
+
+
+# -- betweenness centrality ------------------------------------------------
+def _betweenness_path_enumeration_oracle(edges, weighted=False):
+    """Independent reference: enumerate ALL shortest paths per pair
+    explicitly (layered-DAG DFS — no Brandes accumulation anywhere) and
+    count interior-node occurrences / path count. Exponential, fine for
+    fixtures."""
+    import itertools
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, {})[d] = min(w, adj.get(s, {}).get(d, float("inf")))
+        adj.setdefault(d, {})[s] = min(w, adj.get(d, {}).get(s, float("inf")))
+    nodes = sorted(adj)
+
+    def sp_dists(s):
+        import heapq
+
+        dist = {s: 0.0}
+        heap = [(0.0, s)]
+        done = set()
+        while heap:
+            dv, v = heapq.heappop(heap)
+            if v in done:
+                continue
+            done.add(v)
+            for w, wt in adj[v].items():
+                nd = dv + (wt if weighted else 1.0)
+                if w not in dist or nd < dist[w]:
+                    dist[w] = nd
+                    heapq.heappush(heap, (nd, w))
+        return dist
+
+    dists = {s: sp_dists(s) for s in nodes}
+
+    def all_shortest_paths(s, t):
+        # walk backwards from t through tight edges
+        paths = []
+
+        def back(v, acc):
+            if v == s:
+                paths.append(list(reversed(acc + [s])))
+                return
+            for u, wt in adj[v].items():
+                w = wt if weighted else 1.0
+                if u in dists[s] and abs(dists[s][u] + w - dists[s][v]) < 1e-12:
+                    back(u, acc + [v])
+
+        if t in dists[s]:
+            back(t, [])
+        return paths
+
+    bc = dict.fromkeys(nodes, 0.0)
+    for s, t in itertools.combinations(nodes, 2):
+        paths = all_shortest_paths(s, t)
+        if not paths:
+            continue
+        for p in paths:
+            for interior in p[1:-1]:
+                bc[interior] += 1.0 / len(paths)
+    n = len(nodes)
+    norm = 2.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+    return {v: bc[v] * norm for v in nodes}
+
+
+def test_betweenness_matches_path_enumeration_oracle(spark):
+    from ckg_spark.ops.graph import betweenness_centrality
+
+    # two triangles joined by a bridge + a pendant: multiple equal-length
+    # paths, a cut vertex, and a leaf — every interesting case at once
+    edges = [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0),
+        ("c", "d", 1.0),
+        ("d", "e", 1.0), ("e", "f", 1.0), ("d", "f", 1.0),
+        ("f", "g", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    exp = _betweenness_path_enumeration_oracle(edges)
+    got = {r["node"]: r["betweenness"] for r in betweenness_centrality(df).collect()}
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12, (v, got[v], exp[v])
+
+
+def test_betweenness_weighted_matches_oracle(spark):
+    from ckg_spark.ops.graph import betweenness_centrality
+
+    # integer weights -> float arithmetic exact; reroutes around the
+    # heavy edge, and the 2+2 vs 4 tie splits path counts
+    edges = [
+        ("a", "b", 4.0), ("a", "x", 2.0), ("x", "b", 2.0),
+        ("b", "c", 1.0), ("c", "d", 3.0), ("b", "d", 5.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    exp = _betweenness_path_enumeration_oracle(edges, weighted=True)
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(df, weight="w").collect()
+    }
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12, (v, got[v], exp[v])
+
+
+def test_betweenness_sampled_deterministic_and_exact_when_full(spark):
+    from ckg_spark.ops.graph import betweenness_centrality
+
+    edges = [(f"n{i}", f"n{i + 1}", 1.0) for i in range(9)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    # sample_sources >= n degenerates to the exact computation
+    exact = sorted(map(tuple, betweenness_centrality(df).collect()))
+    full = sorted(map(tuple, betweenness_centrality(df, sample_sources=100).collect()))
+    assert exact == full
+    a = sorted(map(tuple, betweenness_centrality(df, sample_sources=4).collect()))
+    b = sorted(
+        map(tuple, betweenness_centrality(df.repartition(5), sample_sources=4).collect())
+    )
+    assert a == b
+
+
+# -- single-linkage / MST ----------------------------------------------------
+def _prim_mst_oracle(edges):
+    """Independent MST reference: Prim with a priority queue (no Boruvka
+    anywhere). Same (w, a, b) total-order tiebreak. Handles forests by
+    restarting from every unvisited node. Returns {(a, b): w} with
+    endpoints in input orientation."""
+    import heapq
+
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((w, a, b))
+        adj.setdefault(b, []).append((w, a, b))
+    seen = set()
+    mst = {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        seen.add(start)
+        heap = sorted(adj[start])
+        heapq.heapify(heap)
+        while heap:
+            w, a, b = heapq.heappop(heap)
+            nxt = b if a in seen else a
+            if nxt in seen:
+                continue
+            seen.add(nxt)
+            mst[(a, b)] = w
+            for item in adj[nxt]:
+                heapq.heappush(heap, item)
+    return mst
+
+
+def _naive_single_linkage(nodes, edges):
+    """Independent dendrogram reference: textbook O(n^3) agglomerative
+    single-linkage on the sparse distance graph (missing pairs = inf)."""
+    import math
+
+    dist = {}
+    for a, b, w in edges:
+        dist[frozenset((a, b))] = min(w, dist.get(frozenset((a, b)), math.inf))
+    clusters = {i: {v} for i, v in enumerate(nodes)}
+    sizes = {i: 1 for i in clusters}
+    nxt = len(nodes)
+    merges = []
+    while len(clusters) > 1:
+        best = None
+        for i in sorted(clusters):
+            for j in sorted(clusters):
+                if j <= i:
+                    continue
+                d = min(
+                    (
+                        dist.get(frozenset((x, y)), math.inf)
+                        for x in clusters[i]
+                        for y in clusters[j]
+                    ),
+                    default=math.inf,
+                )
+                if best is None or d < best[0]:
+                    best = (d, i, j)
+        d, i, j = best
+        if math.isinf(d):
+            break  # forest: remaining clusters are disconnected
+        merges.append([i, j, d, sizes[i] + sizes[j]])
+        clusters[nxt] = clusters.pop(i) | clusters.pop(j)
+        sizes[nxt] = merges[-1][3]
+        nxt += 1
+    return merges
+
+
+_MST_EDGES = [
+    ("a", "b", 1.0), ("b", "c", 7.0), ("a", "c", 3.0), ("c", "d", 2.0),
+    ("d", "e", 9.0), ("b", "e", 4.0), ("a", "e", 8.0), ("e", "f", 5.0),
+    ("f", "g", 6.0), ("c", "g", 11.0),
+    # second component (forest case)
+    ("x", "y", 1.5), ("y", "z", 2.5), ("x", "z", 10.0),
+]
+
+
+def test_boruvka_mst_matches_prim(spark):
+    from ckg_spark.ops.cluster import boruvka_mst
+
+    df = spark.createDataFrame(_MST_EDGES, ["src", "dst", "dist"])
+    got = {(r["src"], r["dst"]): r["dist"] for r in boruvka_mst(df).collect()}
+    exp = _prim_mst_oracle(_MST_EDGES)
+    assert got == exp
+    # forest: n - k edges (12 nodes? count) — two components
+    n = len({x for e in _MST_EDGES for x in e[:2]})
+    assert len(got) == n - 2
+
+
+def test_boruvka_deterministic_under_repartition(spark):
+    from ckg_spark.ops.cluster import boruvka_mst
+
+    df1 = spark.createDataFrame(_MST_EDGES, ["src", "dst", "dist"]).repartition(1)
+    df9 = spark.createDataFrame(_MST_EDGES, ["src", "dst", "dist"]).repartition(9)
+    r1 = sorted(map(tuple, boruvka_mst(df1).collect()))
+    r9 = sorted(map(tuple, boruvka_mst(df9).collect()))
+    assert r1 == r9
+
+
+def test_linkage_matrix_matches_naive_agglomerative(spark):
+    """MST -> Kruskal-replay linkage == textbook agglomerative single
+    linkage (merge heights and sizes; cluster ids canonicalized by
+    height since id numbering is representation-dependent)."""
+    from ckg_spark.ops.cluster import boruvka_mst, linkage_matrix
+
+    edges = [e for e in _MST_EDGES if e[0] not in "xyz"]  # connected part
+    nodes = sorted({x for e in edges for x in e[:2]})
+    df = spark.createDataFrame(edges, ["src", "dst", "dist"])
+    mst = [(r["src"], r["dst"], r["dist"]) for r in boruvka_mst(df).collect()]
+    z = linkage_matrix(mst, nodes)
+    naive = _naive_single_linkage(nodes, edges)
+    assert [(m[2], m[3]) for m in z] == [(m[2], m[3]) for m in naive]
+    # monotone heights, n-1 merges, final size n
+    assert all(z[i][2] <= z[i + 1][2] for i in range(len(z) - 1))
+    assert len(z) == len(nodes) - 1 and z[-1][3] == len(nodes)

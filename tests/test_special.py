@@ -443,3 +443,21 @@ def test_tukey_sf_monotone_edges():
     assert vals[0] == pytest.approx(1.0, abs=1e-9)
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
     assert vals[-1] < 1e-3
+
+
+def test_t_tail_at_zero_is_one_both_backends(spark):
+    """Regression: t = 0 puts betainc at x == 1.0 exactly; the edge guard
+    must return p = 1.0 (an earlier 1.0-1e-300 threshold rounded to 1.0,
+    so both backends fell into ln(0) and returned NULL — which then
+    poisoned BH ranking downstream)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"t": [0.0, 0.0], "dof": [1.0, 60.0]}))
+    rows = df.select(special.t_sf2_spark(F.col("t"), F.col("dof")).alias("p")).collect()
+    assert [r["p"] for r in rows] == [1.0, 1.0]
+    got = duckdb.sql("SELECT " + special.t_sf2_sql("0.0", "17.0")).fetchone()[0]
+    assert got == 1.0
+    # F tail at f = 0 hits the same x == 1 edge
+    f0 = df.select(special.f_sf_spark(F.lit(0.0), F.lit(3.0), F.col("dof")).alias("p")).collect()
+    assert [r["p"] for r in f0] == [1.0, 1.0]
