@@ -61,6 +61,10 @@ HEADLINE = [
     "q_impute_knn",
     "q_token_packing",
     "q_contamination_screen",
+    "q_volcano",
+    "q_wordcloud_counts",
+    "q_neardup_clusters",
+    "q_kg_betweenness",
 ]
 
 

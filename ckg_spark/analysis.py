@@ -373,6 +373,63 @@ def _eigenvector(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _correlation_matrix(df: DataFrame, a: dict) -> DataFrame:
+    # run_correlation / run_efficient_correlation (analytics.py:1005-1043,
+    # 1147-1176): ALL-PAIRS feature correlations from the long table,
+    # t-tail p per pair, then the configured correction — output columns
+    # (node1, node2, weight, p_value, p_adj, rejected) feed
+    # convertToEdgeList/get_network exactly like the reference's
+    from .ops import stats
+
+    r = stats.feature_correlation_matrix(
+        df,
+        a.get("sample_col", "sample"),
+        a.get("feature_col", "identifier"),
+        a.get("value_col", "value"),
+        method=a.get("method", "pearson"),
+        min_n=a.get("min_n", 3),
+    )
+    if a.get("correction", "fdr_bh") in (None, "none"):
+        return r
+    c = dict(a)
+    c.setdefault("correction", "fdr_bh")
+    c["feature_col"] = "node1"
+    out = _maybe_correct(r.withColumnRenamed("node2", "__n2__"), c)
+    return out.withColumnRenamed("__n2__", "node2")
+
+
+def multi_correlation(frames: dict[str, DataFrame], args: dict | None = None) -> DataFrame:
+    """run_multi_correlation (analytics.py:1044-1073): inner-merge the
+    datasets on the sample key, then the all-pairs correlation matrix.
+    Long-format spelling: features are tagged '<dtype>~<feature>' (the
+    reference's merged wide frame keeps per-dataset column names), and
+    the inner merge becomes 'keep samples present in EVERY frame' —
+    broadcast semi-joins against each frame's dimension-sized sample
+    set, then one union feeding :func:`_correlation_matrix`."""
+    a = dict(args or {})
+    sample_col = a.get("sample_col", "sample")
+    feature_col = a.get("feature_col", "identifier")
+    value_col = a.get("value_col", "value")
+    if not frames:
+        raise ValueError("multi_correlation: no frames")
+    tagged = None
+    common = None
+    for dtype in frames:  # config/dict order, like the reference's loop
+        f = frames[dtype].select(
+            F.col(sample_col).alias("sample"),
+            F.concat(F.lit(f"{dtype}~"), F.col(feature_col).cast("string")).alias(
+                "identifier"
+            ),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        tagged = f if tagged is None else tagged.unionByName(f)
+        s = frames[dtype].select(F.col(sample_col).alias("sample")).distinct()
+        common = s if common is None else common.join(F.broadcast(s), "sample", "left_semi")
+    merged = tagged.join(F.broadcast(common), "sample", "left_semi")
+    a.update({"sample_col": "sample", "feature_col": "identifier", "value_col": "value"})
+    return _correlation_matrix(merged, a)
+
+
 SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "summary": _summary,
     "normalization": _normalization,
@@ -380,6 +437,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "pca": _pca,
     "ttest": _ttest,
     "correlation": _correlation,
+    "correlation_matrix": _correlation_matrix,
     "mannwhitney": _mannwhitney,
     "wilcoxon": _wilcoxon,
     "normality": _normality,

@@ -867,11 +867,15 @@ def correlation(
     )
     dof_raw = F.col("n").cast("double") - F.lit(2.0)
     t_raw = F.col("r") * F.sqrt(dof_raw / (F.lit(1.0) - F.col("r") * F.col("r")))
+    # lazy CASE guards the ANSI divide-by-zero at |r| == 1 (tail limit 0)
+    p_val = F.when(F.abs(F.col("r")) >= F.lit(1.0), F.lit(0.0)).otherwise(
+        F.round(special.t_sf2_spark(t_raw, dof_raw), 9)
+    )
     return s.filter(F.col("n") > 2).select(
         *group_cols,
         F.col("n").cast("bigint").alias("n"),
         F.round("r", 6).alias("coefficient"),
-        F.round(special.t_sf2_spark(t_raw, dof_raw), 9).alias("p_value"),
+        p_val.alias("p_value"),
     )
 
 
@@ -923,4 +927,69 @@ def pvalue_correction(
         invalid.withColumn("p_adj", F.lit(None).cast("double")).withColumn(
             "rejected", F.lit(0).cast("int")
         )
+    )
+
+
+def feature_correlation_matrix(
+    df: DataFrame,
+    sample_col: str,
+    feature_col: str,
+    value_col: str,
+    method: str = "pearson",
+    min_n: int = 3,
+) -> DataFrame:
+    """ALL-PAIRS feature correlation from a LONG measurement table —
+    run_correlation (analytics.py:1005-1043) / run_efficient_correlation
+    (:1147-1176): the reference's np.corrcoef over the wide matrix with
+    the t-transform p-value, re-expressed without ever building the wide
+    matrix. One self-join on the sample key (the per-sample fan-out is
+    d^2/2 where d = feature count — dimension-sized by the same contract
+    as the reference's column set), one pair aggregation computing r via
+    ``corr``; missing cells pair-wise deleted exactly like pandas.
+    ``method='spearman'`` ranks within feature first (average ranks,
+    scipy tie handling — same spelling as :func:`correlation`).
+    Returns (node1, node2, n, weight, p_value) with node1 < node2 —
+    the reference's network-ready edge-list naming (node1/node2/weight
+    feed convertToEdgeList/get_network directly). Apply
+    :func:`bh_adjust` (keys node1, node2) for the padj/rejected columns
+    the reference's output carries."""
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(sample_col).alias("__s__"),
+        F.col(feature_col).alias("__f__"),
+        v.alias("__v__"),
+    )
+    if method == "spearman":
+        mr = F.rank().over(Window.partitionBy("__f__").orderBy("__v__"))
+        ties = F.count(F.lit(1)).over(Window.partitionBy("__f__", "__v__"))
+        base = base.select(
+            "__s__", "__f__", (mr + (ties - F.lit(1)) / F.lit(2.0)).alias("__v__")
+        )
+    elif method != "pearson":
+        raise ValueError(f"unknown correlation method {method!r}")
+    a, b = base.alias("a"), base.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.__s__") == F.col("b.__s__")) & (F.col("a.__f__") < F.col("b.__f__")),
+    )
+    s = j.groupBy(
+        F.col("a.__f__").alias("node1"), F.col("b.__f__").alias("node2")
+    ).agg(
+        F.corr(F.col("a.__v__"), F.col("b.__v__")).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dof_raw = F.col("n").cast("double") - F.lit(2.0)
+    t_raw = F.col("r") * F.sqrt(dof_raw / (F.lit(1.0) - F.col("r") * F.col("r")))
+    # |r| == 1 (perfectly correlated features DO happen — derived columns,
+    # duplicated assays) puts 1-r^2 at exactly 0: the CASE guards the ANSI
+    # divide-by-zero lazily and the true tail limit is p = 0
+    p_val = F.when(F.abs(F.col("r")) >= F.lit(1.0), F.lit(0.0)).otherwise(
+        F.round(special.t_sf2_spark(t_raw, dof_raw), 9)
+    )
+    return s.filter(F.col("n") >= F.lit(min_n)).select(
+        "node1",
+        "node2",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("r", 6).alias("weight"),
+        p_val.alias("p_value"),
     )

@@ -928,3 +928,90 @@ def test_corrections_exclude_null_and_nan_pvalues(spark):
             assert got[k] == v, (k, got[k], v)
         # invalid rows present, never rejected, p_adj NULL
         assert got["f3"] == (None, 0) and got["f4"] == (None, 0)
+
+
+def test_feature_correlation_matrix_matches_numpy(spark):
+    """All-pairs long-format correlation == np.corrcoef over the wide
+    matrix (the reference's run_efficient_correlation), p == t-tail."""
+    import numpy as np
+
+    rng_rows = []
+    # deterministic 6 samples x 4 features with real structure
+    vals = {
+        "f1": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "f2": [2.1, 3.9, 6.2, 8.1, 9.9, 12.2],   # ~2*f1
+        "f3": [5.0, 3.0, 6.0, 1.0, 2.0, 4.0],    # shuffled
+        "f4": [0.5, 0.4, 0.3, 0.2, 0.1, 0.0],    # -f1
+    }
+    for f, vs in vals.items():
+        for i, v in enumerate(vs):
+            rng_rows.append((f"s{i}", f, v))
+    df = spark.createDataFrame(rng_rows, ["sample", "identifier", "value"])
+
+    from ckg_spark.ops.stats import feature_correlation_matrix
+
+    got = {
+        (r["node1"], r["node2"]): (r["weight"], r["p_value"], r["n"])
+        for r in feature_correlation_matrix(df, "sample", "identifier", "value").collect()
+    }
+    keys = sorted(vals)
+    mat = np.array([vals[k] for k in keys])
+    c = np.corrcoef(mat)
+    assert len(got) == 6
+    for i, a in enumerate(keys):
+        for j in range(i + 1, len(keys)):
+            b = keys[j]
+            w, p, n = got[(a, b)]
+            assert n == 6
+            assert abs(w - round(c[i, j], 6)) < 1e-9, (a, b, w, c[i, j])
+            assert 0.0 <= p <= 1.0
+    assert got[("f1", "f4")][0] == -1.0 and got[("f1", "f4")][1] < 1e-6
+
+
+def test_feature_correlation_matrix_spearman_rank_semantics(spark):
+    """Spearman == Pearson of average ranks (scipy tie handling):
+    a monotone nonlinear pair must hit rho == 1 exactly."""
+    rows = []
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    for i, x in enumerate(xs):
+        rows.append((f"s{i}", "lin", x))
+        rows.append((f"s{i}", "exp", float(2 ** x)))
+    df = spark.createDataFrame(rows, ["sample", "identifier", "value"])
+    from ckg_spark.ops.stats import feature_correlation_matrix
+
+    r = feature_correlation_matrix(df, "sample", "identifier", "value", method="spearman").collect()
+    assert len(r) == 1 and r[0]["weight"] == 1.0
+
+
+def test_multi_correlation_inner_merge_semantics(spark):
+    """run_multi_correlation parity: only samples present in EVERY frame
+    count, features are dataset-tagged, correction columns present."""
+    from ckg_spark.analysis import multi_correlation
+
+    prot = spark.createDataFrame(
+        [("s1", "p1", 1.0), ("s2", "p1", 2.0), ("s3", "p1", 3.0), ("s4", "p1", 4.0)],
+        ["sample", "identifier", "value"],
+    )
+    clin = spark.createDataFrame(
+        [("s1", "age", 10.0), ("s2", "age", 20.0), ("s3", "age", 30.0)],
+        ["sample", "identifier", "value"],
+    )  # s4 missing here -> excluded everywhere
+    out = multi_correlation({"proteomics": prot, "clinical": clin}, {})
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r["node1"], r["node2"]} == {"proteomics~p1", "clinical~age"}
+    assert r["n"] == 3 and r["weight"] == 1.0
+    assert "p_adj" in out.columns and "rejected" in out.columns
+
+
+def test_correlation_matrix_dispatch(spark):
+    from ckg_spark.analysis import run_analysis
+
+    df = spark.createDataFrame(
+        [("s1", "a", 1.0), ("s2", "a", 2.0), ("s3", "a", 3.0),
+         ("s1", "b", 3.0), ("s2", "b", 2.0), ("s3", "b", 1.0)],
+        ["sample", "identifier", "value"],
+    )
+    r = run_analysis(df, "correlation_matrix", {}).collect()
+    assert len(r) == 1 and r[0]["weight"] == -1.0

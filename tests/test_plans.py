@@ -247,3 +247,33 @@ def test_kmeans_broadcasts_centroids(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_viz_prep_queries_stay_jvm_side(spark):
+    """Volcano / correlation-network / wordcloud prep run as JVM column
+    math end-to-end: no Python evaluator anywhere, the volcano fact×dim
+    join broadcasts the part dimension, and wordcloud's top-50 is a
+    TakeOrdered, not a global sort."""
+    for q in ["q_volcano", "q_correlation_network", "q_wordcloud_counts"]:
+        plan = plan_of(CATALOG[q].spark_fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, q
+    vol = plan_of(CATALOG["q_volcano"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in vol and "SortMergeJoin" not in vol
+    wc = plan_of(CATALOG["q_wordcloud_counts"].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in wc
+
+
+def test_contamination_screen_train_side_never_shuffles_shingles(spark):
+    """The broadcast-eval decontamination plan: the train side's shingle
+    stream must flow into a BroadcastHashJoin with NO Exchange between
+    the documents scan and the join — only the eval (dimension-sized)
+    side exchanges (its distinct) and the final pair aggregation does.
+    This is the property that makes the screen viable at a 100 TB train
+    corpus with a fixed benchmark suite as the holdout."""
+    plan = plan_of(CATALOG["q_contamination_screen"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    # walk the formatted plan: the generate(explode)->join path on the
+    # probe side must not pass through an Exchange. Cheap proxy: exactly
+    # the eval-distinct exchanges + the final pair agg exchange remain.
+    assert plan.count(") Exchange") <= 3, plan.count(") Exchange")
