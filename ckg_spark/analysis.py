@@ -323,6 +323,28 @@ def _pagerank(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _wgcna(df: DataFrame, a: dict) -> DataFrame:
+    """'wgcna' analysis type (analytics_factory.py:414-…): module
+    detection over a LONG (sample, feature, value) frame — the
+    distributed stand-in for the reference's rpy2 WGCNA::blockwiseModules
+    walk. Returns (feature, module, module_size); eigengenes/trait
+    correlation are separate calls on ops.wgcna (they need the modules
+    frame plus trait data, like the reference's multi-step factory
+    branch)."""
+    from .ops import wgcna
+
+    return wgcna.wgcna_modules(
+        df,
+        sample_col=a.get("sample_col", "sample"),
+        feature_col=a.get("feature_col", "identifier"),
+        value_col=a.get("value_col", "value"),
+        power=a.get("power", 6),
+        tom_cutoff=a.get("tom_cutoff", 0.1),
+        min_module_size=a.get("min_module_size", 2),
+        min_n=a.get("min_n", 3),
+    )
+
+
 def _thsd(df: DataFrame, a: dict) -> DataFrame:
     # calculate_THSD (analytics.py:1278-1298): k is structural — the
     # range-CDF power — so resolve it with one dimension-sized action
@@ -452,6 +474,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "communities": _communities,
     "pagerank": _pagerank,
     "eigenvector": _eigenvector,
+    "wgcna": _wgcna,
 }
 
 

@@ -4478,3 +4478,222 @@ def q_single_linkage_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mst.select(
         "id_a", "id_b", F.round("dist", 6).alias("dist")
     ).orderBy("dist", "id_a", "id_b")
+
+
+# ======================================================================
+# WGCNA co-expression network family (wgcnaAnalysis.py — reference runs
+# the R WGCNA package via rpy2; here distributed, ops/wgcna.py)
+# ======================================================================
+
+_WGCNA_CELL_SQL = """
+    cell AS (
+      SELECT l_suppkey AS s, p_brand AS f, AVG(l_extendedprice) AS v
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+"""
+
+_WGCNA_CORR_SQL = """
+    cr AS (
+      SELECT a.f AS f1, b.f AS f2, ROUND(corr(a.v, b.v), 6) AS r
+      FROM cell a JOIN cell b ON a.s = b.s AND a.f < b.f
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+"""
+
+_WGCNA_POWER = 2
+_WGCNA_TOM_CUTOFF = 0.05
+
+
+def _wgcna_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier x brand mean-price matrix in LONG form — the catalog's
+    stand-in for the reference's sample x feature expression frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("p_brand").alias("f"))
+        .agg(F.avg("l_extendedprice").alias("v"))
+    )
+
+
+@register(
+    "q_wgcna_modules",
+    f"""
+    WITH RECURSIVE {_WGCNA_CELL_SQL},
+{_WGCNA_CORR_SQL},
+    adj AS (SELECT f1, f2, (ABS(r)) * (ABS(r)) AS a FROM cr),
+    sym AS (SELECT f1 AS i, f2 AS j, a FROM adj
+            UNION ALL SELECT f2, f1, a FROM adj),
+    kk AS (SELECT i, SUM(a) AS k FROM sym GROUP BY i),
+    ll AS (
+      SELECT e1.i AS f1, e2.i AS f2, SUM(e1.a * e2.a) AS l
+      FROM sym e1 JOIN sym e2 ON e1.j = e2.j AND e1.i < e2.i
+      GROUP BY 1, 2
+    ),
+    tomt AS (
+      SELECT adj.f1, adj.f2,
+             (COALESCE(ll.l, 0) + adj.a) / (LEAST(ki.k, kj.k) + 1 - adj.a) AS tom
+      FROM adj
+      LEFT JOIN ll ON adj.f1 = ll.f1 AND adj.f2 = ll.f2
+      JOIN kk ki ON ki.i = adj.f1
+      JOIN kk kj ON kj.i = adj.f2
+    ),
+    se AS (
+      SELECT f1 AS u, f2 AS v FROM tomt WHERE tom >= {_WGCNA_TOM_CUTOFF}
+      UNION
+      SELECT f2, f1 FROM tomt WHERE tom >= {_WGCNA_TOM_CUTOFF}
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM se
+      UNION
+      SELECT r.u, se.v FROM reach r JOIN se ON r.v = se.u
+    ),
+    nodes AS (SELECT DISTINCT f FROM cell),
+    comp AS (
+      SELECT n.f AS feature, LEAST(n.f, COALESCE(MIN(r.v), n.f)) AS component
+      FROM nodes n LEFT JOIN reach r ON r.u = n.f
+      GROUP BY n.f
+    ),
+    sized AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
+    lab AS (
+      SELECT c.feature,
+             CASE WHEN s.csize >= 2 THEN c.component ELSE 'grey' END AS module
+      FROM comp c JOIN sized s ON c.component = s.component
+    )
+    SELECT feature, module,
+           CAST(COUNT(*) OVER (PARTITION BY module) AS BIGINT) AS module_size
+    FROM lab
+    """,
+    family="wgcna",
+)
+def q_wgcna_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WGCNA module detection (build_network + cutreeDynamic,
+    wgcnaAnalysis.py:238-273,210-236): |cor|^beta adjacency, topological
+    overlap, single-linkage flat cut of the TOM graph as connected
+    components. The oracle replays the identical pipeline in SQL with a
+    recursive-CTE closure for the components; no floats in the output,
+    so the hash is summation-order-proof."""
+    from ..ops import wgcna
+
+    cell = _wgcna_cell(spark, sf_dir)
+    return wgcna.wgcna_modules(
+        cell, "s", "f", "v",
+        power=_WGCNA_POWER, tom_cutoff=_WGCNA_TOM_CUTOFF, min_module_size=2,
+    )
+
+
+_WGCNA_POWERS = (1, 2, 3, 4, 5, 6)
+_WGCNA_K_SQL = ",\n        ".join(
+    f"ROUND(SUM({' * '.join(['abs_r'] * p)}), 6) AS k_{p}" for p in _WGCNA_POWERS
+)
+_WGCNA_LONGK_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT {p} AS power, k_{p} AS k FROM kk" for p in _WGCNA_POWERS
+)
+
+
+@register(
+    "q_wgcna_soft_threshold",
+    f"""
+    WITH {_WGCNA_CELL_SQL},
+{_WGCNA_CORR_SQL},
+    sym AS (SELECT f1 AS i, ABS(r) AS abs_r FROM cr
+            UNION ALL SELECT f2, ABS(r) FROM cr),
+    kk AS (
+      SELECT i,
+        {_WGCNA_K_SQL}
+      FROM sym GROUP BY i
+    ),
+    longk AS (
+{_WGCNA_LONGK_SQL}
+    ),
+    ext AS (
+      SELECT power, MIN(k) AS kmin, MAX(k) AS kmax, COUNT(*) AS total,
+             ROUND(AVG(k), 6) AS k_mean,
+             ROUND(quantile_cont(k, 0.5), 6) AS k_median
+      FROM longk GROUP BY power
+    ),
+    b AS (
+      SELECT l.power, l.k, e.total,
+             CASE WHEN e.kmax <= e.kmin THEN 0
+                  ELSE LEAST(9, CAST(FLOOR((l.k - e.kmin) / (e.kmax - e.kmin) * 10)
+                                     AS BIGINT))
+             END AS bucket
+      FROM longk l JOIN ext e USING (power)
+    ),
+    binned AS (
+      SELECT power, bucket, AVG(k) AS dk,
+             COUNT(*) * 1.0 / ANY_VALUE(total) AS pk
+      FROM b GROUP BY power, bucket HAVING AVG(k) > 0
+    ),
+    fit AS (SELECT power, corr(LOG10(pk), LOG10(dk)) AS c FROM binned GROUP BY power)
+    SELECT CAST(e.power AS INT) AS power,
+           CAST(ROUND(CASE WHEN f.c IS NULL THEN NULL
+                           ELSE -SIGN(f.c) * f.c * f.c END, 6) AS DOUBLE) AS fit_signed_r2,
+           CAST(e.k_mean AS DOUBLE) AS k_mean,
+           CAST(e.k_median AS DOUBLE) AS k_median,
+           CAST(ROUND(e.kmax, 6) AS DOUBLE) AS k_max
+    FROM fit f JOIN ext e USING (power)
+    """,
+    family="wgcna",
+)
+def q_wgcna_soft_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-threshold power scan (pick_softThreshold,
+    wgcnaAnalysis.py:275-288 / WGCNA scaleFreeFitIndex): connectivity
+    k = sum |r|^beta per feature for beta = 1..6 from ONE correlation
+    pass, equal-width binning of k, signed scale-free fit
+    -sign(slope) * R^2 of log10 p(k) on log10 k. Hash-verified INCLUDING
+    the fit statistic (k rounded before binning — see ops/wgcna.py
+    cross-engine notes)."""
+    from ..ops import wgcna
+
+    cell = _wgcna_cell(spark, sf_dir)
+    return wgcna.soft_threshold(cell, "s", "f", "v", powers=_WGCNA_POWERS)
+
+
+@register("q_wgcna_eigengenes", None, family="wgcna")
+def q_wgcna_eigengenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module eigengenes (WGCNA.moduleEigengenes, wgcnaAnalysis.py:
+    307-333): per-module first principal component of the standardized
+    measurements — unit-norm per module, sign-aligned with average
+    module expression. Non-SQL (dominant-eigenvector weights); verified
+    against a numpy SVD oracle + driver/distributed path agreement in
+    tests/test_wgcna.py."""
+    from ..ops import wgcna
+
+    cell = _wgcna_cell(spark, sf_dir)
+    mods = wgcna.wgcna_modules(
+        cell, "s", "f", "v",
+        power=_WGCNA_POWER, tom_cutoff=_WGCNA_TOM_CUTOFF, min_module_size=2,
+    )
+    eg = wgcna.module_eigengenes(cell, mods, "s", "f", "v")
+    return eg.select("sample", "module", F.round("eigengene", 6).alias("eigengene"))
+
+
+@register("q_wgcna_module_trait", None, family="wgcna")
+def q_wgcna_module_trait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module-trait correlation (calculate_ModuleTrait_correlation,
+    wgcnaAnalysis.py:357-394): eigengene vs supplier traits (account
+    balance, nation) with WGCNA's corPvalueStudent p. Non-SQL upstream
+    (eigengenes); the r/p math itself is the hash-verified
+    feature-correlation spelling; unit-tested with planted traits in
+    tests/test_wgcna.py."""
+    from ..ops import wgcna
+
+    cell = _wgcna_cell(spark, sf_dir)
+    mods = wgcna.wgcna_modules(
+        cell, "s", "f", "v",
+        power=_WGCNA_POWER, tom_cutoff=_WGCNA_TOM_CUTOFF, min_module_size=2,
+    )
+    eg = wgcna.module_eigengenes(cell, mods, "s", "f", "v")
+    sup = _t(spark, sf_dir, "supplier")
+    traits = sup.select(
+        F.col("s_suppkey").cast("string").alias("sample"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("acctbal").alias("trait"), F.col("s_acctbal").cast("double").alias("value")),
+                F.struct(F.lit("nation").alias("trait"), F.col("s_nationkey").cast("double").alias("value")),
+            )
+        ).alias("t"),
+    ).select("sample", "t.trait", "t.value")
+    return wgcna.module_trait_correlation(eg, traits)
