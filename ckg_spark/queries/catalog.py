@@ -4697,3 +4697,71 @@ def q_wgcna_module_trait(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     ).select("sample", "t.trait", "t.value")
     return wgcna.module_trait_correlation(eg, traits)
+
+
+# ======================================================================
+# n-gram LM perplexity quality filter (CCNet-style; ops/lm.py — beyond
+# the reference: a training-data curation stage its text layer lacks)
+# ======================================================================
+
+
+@register(
+    "q_lm_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9'']+') AS tk
+      FROM documents
+    ),
+    nz AS (SELECT doc, tk FROM toks WHERE len(tk) >= 1),
+    pairs AS (
+      SELECT doc, u[1] AS prev, u[2] AS tok
+      FROM nz, UNNEST(list_zip(list_prepend('<s>', tk[:-2]), tk)) AS t(u)
+    ),
+    uni AS (SELECT tok, COUNT(*) AS uc FROM pairs GROUP BY tok),
+    ctx AS (SELECT prev, COUNT(*) AS cc FROM pairs GROUP BY prev),
+    bi AS (
+      SELECT pb.prev, pb.tok, pb.bc, c.cc
+      FROM (SELECT prev, tok, COUNT(*) AS bc FROM pairs GROUP BY prev, tok) pb
+      JOIN ctx c ON pb.prev = c.prev
+    ),
+    tot AS (SELECT SUM(uc) AS total FROM uni),
+    sc AS (
+      SELECT p.doc,
+             CASE WHEN b.bc IS NOT NULL THEN ln(CAST(b.bc AS DOUBLE) / b.cc)
+                  ELSE ln(0.4 * COALESCE(CAST(u.uc AS DOUBLE), 0.5) / t.total)
+             END AS lp
+      FROM pairs p
+      LEFT JOIN bi b ON p.prev = b.prev AND p.tok = b.tok
+      LEFT JOIN uni u ON p.tok = u.tok
+      CROSS JOIN tot t
+    ),
+    agg AS (SELECT doc, COUNT(*) AS n, AVG(lp) AS alp FROM sc GROUP BY doc),
+    pp AS (SELECT doc, n, alp, ROUND(EXP(-alp), 4) AS ppl FROM agg),
+    cuts AS (
+      SELECT quantile_cont(ppl, 0.3333333333333333) AS c1,
+             quantile_cont(ppl, 0.6666666666666666) AS c2
+      FROM pp
+    )
+    SELECT doc, CAST(n AS BIGINT) AS n_tokens,
+           CAST(ROUND(alp, 6) AS DOUBLE) AS avg_logprob,
+           CAST(ppl AS DOUBLE) AS ppl,
+           CASE WHEN ppl <= c1 THEN 'head'
+                WHEN ppl <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM pp, cuts
+    """,
+    family="curation",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2019; stupid backoff
+    per Brants et al. 2007): per-document bigram perplexity under a
+    self-trained count model, bucketed into head/middle/tail perplexity
+    terciles. Model tables broadcast; the corpus side is one in-partition
+    explode + map-side-combined per-doc aggregation — the text itself
+    never shuffles. Hash-verified INCLUDING the perplexity values and
+    bucket labels."""
+    from ..ops import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm.lm_perplexity(docs, "text", "doc_id")
+    return lm.perplexity_buckets(scored)

@@ -1,0 +1,108 @@
+"""Stupid-backoff LM perplexity: independent pure-python reference
+(dict counting, no DataFrame machinery) + semantic property tests."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from ckg_spark.ops import lm
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "the cat and the dog"),
+    (4, "a completely different sentence entirely"),
+    (5, "the cat sat on the mat"),  # exact dup of 1 -> identical ppl
+    (6, "zzz qqq xxx zzz qqq xxx zzz"),  # repetitive junk
+]
+
+
+def _ref_scores(docs, model_docs=None, alpha=0.4, min_count=1):
+    tok = lambda t: re.findall(r"[a-z0-9']+", t.lower())
+    model_docs = model_docs or docs
+    uni, bi, ctx = Counter(), Counter(), Counter()
+    for _i, t in model_docs:
+        tks = tok(t)
+        if not tks:
+            continue
+        for prev, w in zip(["<s>"] + tks[:-1], tks):
+            uni[w] += 1
+            ctx[prev] += 1
+            bi[(prev, w)] += 1
+    total = sum(uni.values())
+    out = {}
+    for i, t in docs:
+        tks = tok(t)
+        if not tks:
+            continue
+        lps = []
+        for prev, w in zip(["<s>"] + tks[:-1], tks):
+            if bi.get((prev, w), 0) >= min_count:
+                p = bi[(prev, w)] / ctx[prev]
+            else:
+                p = alpha * (uni[w] if w in uni else 0.5) / total
+            lps.append(math.log(p))
+        alp = sum(lps) / len(lps)
+        out[i] = (len(lps), alp, math.exp(-alp))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_perplexity_matches_reference(spark, docs_df):
+    got = {r["doc"]: r for r in lm.lm_perplexity(docs_df, "text", "doc_id").collect()}
+    ref = _ref_scores(DOCS)
+    assert set(got) == set(ref)
+    for i, (n, alp, ppl) in ref.items():
+        assert got[i]["n_tokens"] == n
+        assert got[i]["avg_logprob"] == pytest.approx(alp, abs=1e-6)
+        assert got[i]["ppl"] == pytest.approx(ppl, abs=1e-3)
+    # exact duplicate docs score identically
+    assert got[1]["ppl"] == got[5]["ppl"]
+
+
+def test_separate_model_corpus_and_unseen_floor(spark, docs_df):
+    model = docs_df.filter("doc_id <= 3")  # doc 4's words unseen by the model
+    got = {
+        r["doc"]: r
+        for r in lm.lm_perplexity(docs_df, "text", "doc_id", model_docs=model).collect()
+    }
+    ref = _ref_scores(DOCS, model_docs=DOCS[:3])
+    for i, (n, alp, ppl) in ref.items():
+        assert got[i]["avg_logprob"] == pytest.approx(alp, abs=1e-6), i
+    # unseen-vocabulary doc is the worst-scored one
+    worst = max(got.values(), key=lambda r: r["ppl"])
+    assert worst["doc"] == 4
+
+
+def test_buckets_are_exact_terciles(spark, docs_df):
+    scored = lm.lm_perplexity(docs_df, "text", "doc_id")
+    rows = lm.perplexity_buckets(scored).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    assert len(rows) == len([d for d in DOCS if d[1].strip()])
+
+
+def test_min_count_prunes_bigrams(spark, docs_df):
+    # with a high min_count every bigram falls back to unigrams: ppl must
+    # change for docs whose bigrams repeat across the corpus
+    full = {r["doc"]: r["ppl"] for r in lm.lm_perplexity(docs_df, "text", "doc_id").collect()}
+    pruned = {
+        r["doc"]: r["ppl"]
+        for r in lm.lm_perplexity(docs_df, "text", "doc_id", min_count=100).collect()
+    }
+    ref = _ref_scores(DOCS, min_count=100)
+    for i in pruned:
+        assert pruned[i] == pytest.approx(ref[i][2], abs=1e-3)
+    assert full != pruned
