@@ -277,3 +277,29 @@ def test_contamination_screen_train_side_never_shuffles_shingles(spark):
     # probe side must not pass through an Exchange. Cheap proxy: exactly
     # the eval-distinct exchanges + the final pair agg exchange remain.
     assert plan.count(") Exchange") <= 3, plan.count(") Exchange")
+
+
+def test_wgcna_plans_stay_jvm_and_broadcast(spark):
+    """WGCNA: the feature-pair pipeline (corr self-join, TOM
+    shared-neighbour join, degree attach) is pure JVM column math with
+    dimension frames broadcast; no Python evaluator, no cartesian
+    product anywhere."""
+    for q in ["q_wgcna_soft_threshold", "q_wgcna_modules"]:
+        plan = plan_of(CATALOG[q].spark_fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(CATALOG["q_wgcna_modules"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_scoring_broadcasts_model_and_stays_jvm(spark):
+    """LM perplexity: the model tables join into the scored token stream
+    as BROADCASTs (the corpus text must never shuffle for scoring), the
+    tokenizer/ln math is JVM-side, and the only SortMergeJoin-free plan
+    holds — scoring-side shuffles are the model-count aggregations plus
+    the per-doc combine."""
+    plan = plan_of(CATALOG["q_lm_perplexity"].spark_fn(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
