@@ -4765,3 +4765,71 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = lm.lm_perplexity(docs, "text", "doc_id")
     return lm.perplexity_buckets(scored)
+
+
+@register(
+    "q_dsir_select",
+    """
+    WITH rawd AS (
+      SELECT doc_id AS doc, lang,
+             regexp_extract_all(lower(text), '[a-z0-9'']+') AS tk
+      FROM documents
+    ),
+    nz AS (SELECT doc, lang, tk FROM rawd WHERE len(tk) >= 1),
+    rf AS (
+      SELECT doc, u AS feat
+      FROM nz, UNNEST(list_concat(tk,
+        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS t(u)
+    ),
+    tf AS (
+      SELECT doc, u AS feat
+      FROM nz, UNNEST(list_concat(tk,
+        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS t(u)
+      WHERE lang = 'en'
+    ),
+    rc AS (SELECT feat, COUNT(*) AS cr FROM rf GROUP BY feat),
+    tc AS (SELECT feat, COUNT(*) AS ct FROM tf GROUP BY feat),
+    joint AS (
+      SELECT COALESCE(rc.feat, tc.feat) AS feat,
+             COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+      FROM rc FULL OUTER JOIN tc ON rc.feat = tc.feat
+    ),
+    tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt,
+                    CAST(COUNT(*) AS DOUBLE) AS vsz FROM joint),
+    lr AS (
+      SELECT feat,
+             ln((ct + 1.0) / (tt + 1.0 * vsz)) - ln((cr + 1.0) / (tr + 1.0 * vsz)) AS lr
+      FROM joint, tots
+    ),
+    w AS (
+      SELECT doc, COUNT(*) AS n_feats, SUM(lr.lr) AS log_w
+      FROM rf JOIN lr ON rf.feat = lr.feat GROUP BY doc
+    )
+    SELECT doc, CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(ROUND(log_w, 6) AS DOUBLE) AS log_w,
+           CAST(ROUND(log_w - ln(-ln({U} + 0.5 / 4294967296)), 6) AS DOUBLE) AS key
+    FROM w
+    ORDER BY (log_w - ln(-ln({U} + 0.5 / 4294967296))) DESC, doc
+    LIMIT 50
+    """.replace("{U}", __import__("ckg_spark.ops.curation", fromlist=["split_u_sql"]).split_u_sql("doc")),
+    family="curation",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance-resample 50 raw
+    documents toward the English-language target slice — Laplace-smoothed
+    unigram+bigram importance ratios, Gumbel top-k (deterministic noise
+    from the doc id's lowbias32 mix). The ratio table broadcasts; the
+    corpus text never shuffles; selection is TakeOrdered. Hash-verified
+    including log weights and the noisy selection keys."""
+    from ..ops import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weighted = dsir.importance_weights(docs, target, "text", "doc_id")
+    sel = dsir.dsir_select(weighted, k=50)
+    return sel.select(
+        "doc",
+        "n_feats",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("key", 6).alias("key"),
+    )
