@@ -228,7 +228,9 @@ def build_canonical_map(
             comp_schema,
         )
     else:
-        comp = connected_components(pairs, "src", "dst")  # only merged nodes appear
+        # this branch already decided the pairs are too big for the driver —
+        # disable cc's own limit-probe gate (it would be a wasted job here)
+        comp = connected_components(pairs, "src", "dst", driver_max_edges=0)
     return (
         terms.select(F.col("id").alias("term_id"))
         .join(F.broadcast(comp), F.col("term_id") == F.col("node"), "left")

@@ -43,27 +43,39 @@ def test_connected_components_basic(spark):
 
 
 def test_connected_components_chain(spark):
-    """Long chain (worst-case diameter) still converges."""
+    """Long chain (worst-case diameter) still converges — forced through
+    the DISTRIBUTED pointer-jumping loop (driver_max_edges=0), which the
+    default union-find short-circuit would otherwise bypass."""
     n = 30
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
     )
-    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
     assert set(comp.values()) == {"n000"}
 
 
 def test_distributed_cc_equals_driver_union_find(spark, vocab):
-    """The >threshold distributed path and the driver fast path agree."""
+    """Three-way agreement: the distributed pointer-jumping loop, cc's own
+    union-find short-circuit (default gate), and canonicalize's independent
+    _driver_components implementation all produce the same labeling."""
     from ckg_spark.canon.canonicalize import _driver_components
 
     terms, _, _ = vocab_dataframes(spark, vocab)
     pairs = merge_pairs(terms, mode="exact")
     pair_list = [(r["src"], r["dst"]) for r in pairs.collect()]
     exp = _driver_components(pair_list)
-    got = {
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    fast = {
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
-    assert got == exp
+    assert dist == exp
+    assert fast == exp
 
 
 def test_canonical_map_all_paths_agree(spark, vocab):
