@@ -65,6 +65,10 @@ HEADLINE = [
     "q_wordcloud_counts",
     "q_neardup_clusters",
     "q_kg_betweenness",
+    "q_wgcna_modules",
+    "q_wgcna_soft_threshold",
+    "q_lm_perplexity",
+    "q_dsir_select",
 ]
 
 

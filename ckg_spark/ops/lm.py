@@ -62,14 +62,18 @@ def ngram_model(
     broadcast-size knob); unigrams are kept in full (vocabulary is
     dimension-sized by construction of the tokenizer)."""
     pairs = _pairs(_tokens(docs, text_col), id_col)
-    uni = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
-    ctx = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
-    bi = (
+    # ONE corpus pass: the full bigram table determines everything else —
+    # every token occurrence appears exactly once as `tok` in the pair
+    # stream, so uc/cc/total are sums over the (model-sized) bigram counts.
+    # localCheckpoint pins it so those derivations never rescan the corpus.
+    bi_full = (
         pairs.groupBy("prev", "tok")
         .agg(F.count(F.lit(1)).alias("bc"))
-        .filter(F.col("bc") >= F.lit(int(min_count)))
-        .join(ctx, "prev")
+        .localCheckpoint(eager=True)
     )
+    uni = bi_full.groupBy("tok").agg(F.sum("bc").alias("uc"))
+    ctx = bi_full.groupBy("prev").agg(F.sum("bc").alias("cc"))
+    bi = bi_full.filter(F.col("bc") >= F.lit(int(min_count))).join(ctx, "prev")
     tot = uni.agg(F.sum("uc").alias("total"))
     return uni, bi, tot
 

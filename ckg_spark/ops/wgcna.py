@@ -96,7 +96,10 @@ def tom_similarity(adj: DataFrame) -> DataFrame:
 
     One self-join on the shared neighbour u (the edge list never holds
     self-loops, so u != i, j for free) + one degree aggregation — all
-    dimension-sized (features^2)."""
+    dimension-sized (features^2). The incoming adjacency is pinned first:
+    it is consumed by three branches (sym, l's probe, the final join) and
+    each would otherwise replay the corpus-scale correlation self-join."""
+    adj = adj.localCheckpoint(eager=True)
     sym = _symmetrize(adj).localCheckpoint(eager=True)
     k = sym.groupBy("i").agg(F.sum("a").alias("k"))
     e1, e2 = sym.alias("e1"), sym.alias("e2")
@@ -180,9 +183,13 @@ def soft_threshold(
     k is rounded to 6 dp BEFORE binning so bin assignment is bitwise
     identical in the SQL oracle (bin edges from min/max are order-free;
     the sums feeding k are not)."""
-    corr = feature_correlation_matrix(
-        df, sample_col, feature_col, value_col, method="pearson", min_n=min_n
-    ).select("node1", "node2", F.abs(F.col("weight")).alias("abs_r"))
+    corr = (
+        feature_correlation_matrix(
+            df, sample_col, feature_col, value_col, method="pearson", min_n=min_n
+        )
+        .select("node1", "node2", F.abs(F.col("weight")).alias("abs_r"))
+        .localCheckpoint(eager=True)  # dimension-sized; feeds every power
+    )
     sym = corr.select(F.col("node1").alias("i"), "abs_r").unionByName(
         corr.select(F.col("node2").alias("i"), "abs_r")
     )
@@ -382,10 +389,16 @@ def module_eigengenes(
         .filter(F.col("module") == F.col("module2"))
         .select("module", "node1", "node2", F.col("weight").alias("r"))
     )
+    rows = None
     if weights_path == "auto":
-        weights_path = "driver" if medges.count() <= driver_max_edges else "distributed"
+        probe = medges.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            weights_path, rows = "driver", probe  # probe WAS the evaluation
+        else:
+            weights_path = "distributed"
     if weights_path == "driver":
-        rows = medges.collect()
+        if rows is None:
+            rows = medges.collect()
         members = mods.collect()
         by_mod: dict[str, list] = {}
         feats_by_mod: dict[str, list] = {}
