@@ -4833,3 +4833,95 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log_w", 6).alias("log_w"),
         F.round("key", 6).alias("key"),
     )
+
+
+def _logreg_oracle_sql(iters: int = 20, lr: float = 1.0) -> str:
+    """Unrolled MATERIALIZED-CTE twin of ops/classifier.py's driver GD —
+    one (margin, weight-update, bias-update) CTE triple per iteration;
+    materialization keeps the expression tree LINEAR (w_{i-1} is
+    referenced twice per step — the classic DuckDB inlining blowup
+    otherwise, see CLAUDE.md)."""
+    from ..ops.curation import split_u_sql
+
+    head = """
+    WITH tk AS MATERIALIZED (
+      SELECT doc_id AS doc, u AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS tks
+            FROM documents),
+           UNNEST(tks) AS t(u)
+    ),
+    cnt AS MATERIALIZED (
+      SELECT doc, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY doc, tok
+    ),
+    nrm AS MATERIALIZED (SELECT doc, SQRT(SUM(c * c)) AS nrm FROM cnt GROUP BY doc),
+    x AS MATERIALIZED (
+      SELECT cnt.doc, cnt.tok, cnt.c / nrm.nrm AS x FROM cnt JOIN nrm USING (doc)
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id AS doc, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    xl AS MATERIALIZED (SELECT x.doc, x.tok, x.x FROM x JOIN lab USING (doc)),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT doc) AS DOUBLE) AS n FROM xl),
+    w0 AS MATERIALIZED (SELECT DISTINCT tok, 0.0 AS w FROM xl),
+    b0 AS MATERIALIZED (SELECT 0.0 AS b)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        steps.append(f""",
+    m{i} AS MATERIALIZED (
+      SELECT g.doc,
+             1.0 / (1.0 + EXP(-GREATEST(-500.0, LEAST(500.0,
+               g.z + (SELECT b FROM b{p}))))) - l.y AS e
+      FROM (SELECT xl.doc, SUM(COALESCE(w.w, 0.0) * xl.x) AS z
+            FROM xl LEFT JOIN w{p} w USING (tok) GROUP BY xl.doc) g
+      JOIN lab l USING (doc)
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT w.tok, w.w - {lr} / (SELECT n FROM nn) * COALESCE(gr.g, 0.0) AS w
+      FROM w{p} w LEFT JOIN (
+        SELECT xl.tok, SUM(m.e * xl.x) AS g
+        FROM xl JOIN m{i} m USING (doc) GROUP BY xl.tok
+      ) gr USING (tok)
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT (SELECT b FROM b{p}) - {lr} / (SELECT n FROM nn)
+             * (SELECT SUM(e) FROM m{i}) AS b
+    )""")
+    sig = (
+        f"1.0 / (1.0 + EXP(-GREATEST(-500.0, LEAST(500.0, "
+        f"zf.z + (SELECT b FROM b{iters})))))"
+    )
+    tail = f""",
+    zf AS MATERIALIZED (
+      SELECT x.doc, SUM(COALESCE(w.w, 0.0) * x.x) AS z
+      FROM x LEFT JOIN w{iters} w USING (tok) GROUP BY x.doc
+    )
+    SELECT zf.doc AS doc,
+           CAST(ROUND({sig}, 6) AS DOUBLE) AS score,
+           ({split_u_sql("zf.doc")} < {sig}) AS kept
+    FROM zf"""
+    return head + "".join(steps) + tail
+
+
+@register("q_quality_classifier", _logreg_oracle_sql(), family="curation")
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (the GPT-3/LLaMA WebText-classifier recipe):
+    train logistic regression on a labeled sample (here: every 5th doc,
+    label = English), score EVERY document, keep stochastically by score
+    with the deterministic lowbias32 uniform. Training is driver-side
+    (the labeled sample is dimension-sized by definition); scoring is one
+    broadcast join + one agg — hash-verified against a 20-step unrolled
+    MATERIALIZED-CTE gradient-descent twin, including scores and the
+    kept decision."""
+    from ..ops import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    weights, bias = classifier.train_logreg(
+        labeled, "text", "doc_id", "y", lr=1.0, iters=20
+    )
+    scored = classifier.score_quality(docs, weights, bias, "text", "doc_id")
+    return scored.select("doc", F.round("score", 6).alias("score"), "kept")
