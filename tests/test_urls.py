@@ -1,0 +1,72 @@
+"""URL canonicalization: handcrafted rule cases, idempotency, dedup."""
+
+from __future__ import annotations
+
+import pytest
+
+from ckg_spark.extract.urls import canonical_url, dedup_by_canonical_url
+from pyspark.sql import functions as F
+
+CASES = [
+    # lowercase scheme+host only
+    ("HTTP://WWW.Example.COM/Path/File?Q=Mixed", "http://www.example.com/Path/File?Q=Mixed"),
+    # fragment stripped
+    ("https://a.com/x#section-2", "https://a.com/x"),
+    # tracking params: leading, middle, trailing; joiner preserved
+    ("https://a.com/x?utm_source=tw&id=7", "https://a.com/x?id=7"),
+    ("https://a.com/x?id=7&utm_campaign=c&y=2", "https://a.com/x?id=7&y=2"),
+    ("https://a.com/x?id=7&fbclid=abc123", "https://a.com/x?id=7"),
+    ("https://a.com/x?gclid=z", "https://a.com/x"),
+    # default ports
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default kept
+    # trailing slash on empty path
+    ("https://a.com/", "https://a.com"),
+    ("https://a.com/sub/", "https://a.com/sub/"),  # non-empty path kept
+    # combinations
+    (
+        "HTTPS://A.com:443/Page?utm_medium=email&k=v#frag",
+        "https://a.com/Page?k=v",
+    ),
+    # no scheme: untouched except generic rules
+    ("a.com/x?utm_source=1", "a.com/x"),
+]
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalization_rules(spark):
+    got = _canon(spark, [u for u, _ in CASES])
+    for (raw, want), g in zip(CASES, got):
+        assert g == want, raw
+
+
+def test_canonicalization_idempotent(spark):
+    once = _canon(spark, [u for u, _ in CASES])
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_dedup_keeps_earliest_capture(spark):
+    rows = [
+        ("https://a.com/x?utm_source=t", "2024-01-02 00:00:00", "late"),
+        ("HTTPS://A.com/x", "2024-01-01 00:00:00", "early"),
+        ("https://b.com/y", "2024-01-03 00:00:00", "only"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "body"]).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    out = {r["canonical_url"]: r for r in dedup_by_canonical_url(pages).collect()}
+    assert set(out) == {"https://a.com/x", "https://b.com/y"}
+    assert out["https://a.com/x"]["body"] == "early"
+    assert out["https://a.com/x"]["url"] == "HTTPS://A.com/x"  # raw row preserved
+    # deterministic under repartitioning
+    out2 = {
+        r["canonical_url"]: r["body"]
+        for r in dedup_by_canonical_url(pages.repartition(5)).collect()
+    }
+    assert out2 == {k: v["body"] for k, v in out.items()}
