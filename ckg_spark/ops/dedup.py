@@ -250,3 +250,98 @@ def simhash_dup_candidates(
     return pairs.select("key_a", "key_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ----------------------------------------------------------------------
+# repeated-span removal (C4 / RefinedWeb-style sub-document dedup)
+# ----------------------------------------------------------------------
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str = "token_windows",
+    window: int = 16,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Sub-document dedup: drop SPANS that repeat across the corpus and
+    rebuild each document from its surviving spans — the C4 rule
+    ("discard any three-sentence span occurring more than once",
+    Raffel et al. 2020 §2.2) / RefinedWeb line-dedup, generalized to two
+    span definitions:
+
+    - ``mode='lines'``: spans are newline-delimited lines;
+    - ``mode='token_windows'``: spans are non-overlapping ``window``-token
+      chunks (the spelling for flat token-stream corpora — chunks tile
+      the document, so reconstruction is unambiguous).
+
+    Scale design: spans explode in-partition; the frequency count
+    shuffles ONLY xxhash64(span) (the span text never shuffles for
+    counting — the contamination-screen trick); the repeated-span set is
+    boilerplate-bounded and joins back as a BROADCAST anti-join; the one
+    corpus-scale shuffle is the per-document reconstruction aggregation,
+    ordered by span index (explicit total order). Documents whose every
+    span is boilerplate survive with empty text (left join, not inner).
+
+    Returns (doc, clean_text, n_spans, n_removed).
+    """
+    if mode == "lines":
+        base = docs.select(
+            F.col(id_col).alias("doc"), F.split(F.col(text_col), "\n").alias("_spans")
+        )
+    elif mode == "token_windows":
+        # tokens are PROJECTED before the HOF — an expression referenced
+        # inside a lambda re-evaluates per element (no CSE; CLAUDE.md)
+        toks = docs.select(
+            F.col(id_col).alias("doc"),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z0-9']+"), 0
+            ).alias("_tk"),
+        )
+        w = window
+        n_chunks = F.ceil(F.size("_tk") / F.lit(w)).cast("int")
+        # guard: sequence(0, -1) would DESCEND ([0, -1]) for empty docs
+        chunks = F.when(F.size("_tk") == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i * w + 1, w)),
+            )
+        )
+        base = toks.select("doc", chunks.alias("_spans"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    spans = base.select(
+        "doc", F.posexplode("_spans").alias("idx", "span")
+    ).filter(F.length(F.trim(F.col("span"))) > 0)
+    h = F.xxhash64(F.trim(F.col("span")))
+    rep = (
+        spans.select(h.alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(min_repeats)))
+        .select("h")
+    )
+    kept = spans.withColumn("h", h).join(F.broadcast(rep), "h", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.concat_ws(
+            " " if mode == "token_windows" else "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = spans.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

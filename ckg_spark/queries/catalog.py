@@ -4925,3 +4925,53 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = classifier.score_quality(docs, weights, bias, "text", "doc_id")
     return scored.select("doc", F.round("score", 6).alias("score"), "kept")
+
+
+@register(
+    "q_span_dedup",
+    """
+    WITH tk AS (
+      SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9'']+') AS tk
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc, CAST(t.i AS INT) - 1 AS idx,
+             array_to_string(tk[(t.i - 1) * 16 + 1 : t.i * 16], ' ') AS span
+      FROM tk,
+           UNNEST(generate_series(1, CAST(CEIL(len(tk) / 16.0) AS BIGINT))) AS t(i)
+    ),
+    nz AS (SELECT doc, idx, span FROM sp WHERE LEN(TRIM(span)) > 0),
+    rep AS (
+      SELECT span FROM (
+        SELECT TRIM(span) AS span, COUNT(*) AS c FROM nz GROUP BY 1
+      ) WHERE c >= 2
+    ),
+    kept AS (SELECT nz.* FROM nz WHERE TRIM(span) NOT IN (SELECT span FROM rep)),
+    reb AS (
+      SELECT doc, string_agg(span, ' ' ORDER BY idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc
+    ),
+    tot AS (SELECT doc, COUNT(*) AS n_spans FROM nz GROUP BY doc)
+    SELECT t.doc, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(t.n_spans AS BIGINT) AS n_spans,
+           CAST(t.n_spans - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN reb r USING (doc)
+    """,
+    family="dedup",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document repeated-span removal (the C4 three-sentence-span rule
+    / RefinedWeb line dedup, spelled as non-overlapping 16-token windows
+    for this flat token-stream corpus): spans repeating >= 2 times
+    corpus-wide are dropped and documents rebuilt from the survivors.
+    Span frequency counting shuffles only xxhash64(span); the repeated
+    set broadcasts back as an anti-join; reconstruction is the single
+    corpus shuffle, index-ordered. The oracle replays it on exact span
+    strings — hash-verified including the rebuilt text."""
+    from ..ops.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(
+        docs, "text", "doc_id", mode="token_windows", window=16, min_repeats=2
+    )

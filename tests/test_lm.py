@@ -106,3 +106,58 @@ def test_min_count_prunes_bigrams(spark, docs_df):
     for i in pruned:
         assert pruned[i] == pytest.approx(ref[i][2], abs=1e-3)
     assert full != pruned
+
+
+# ----------------------------------------------------------------------
+# repeated-span removal (ops/dedup.py::remove_repeated_spans)
+# ----------------------------------------------------------------------
+
+
+def test_line_mode_removes_corpus_boilerplate(spark):
+    from ckg_spark.ops.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first article\nsubscribe to our newsletter\nmore unique text"),
+            (2, "another story entirely\nsubscribe to our newsletter"),
+            (3, "subscribe to our newsletter"),
+            (4, "totally original content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r
+        for r in remove_repeated_spans(
+            docs, "text", "doc_id", mode="lines", min_repeats=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique first article\nmore unique text"
+    assert out[1]["n_removed"] == 1 and out[1]["n_spans"] == 3
+    assert out[2]["clean_text"] == "another story entirely"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "totally original content"
+    assert out[4]["n_removed"] == 0
+
+
+def test_token_window_mode_removes_shared_prefix_in_order(spark):
+    from ckg_spark.ops.dedup import remove_repeated_spans
+
+    shared = " ".join(f"w{i}" for i in range(8))  # exactly two 4-token windows
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta"),
+            (2, shared + " epsilon zeta eta theta"),
+            (3, "lone document with its own words here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r
+        for r in remove_repeated_spans(
+            docs, "text", "doc_id", mode="token_windows", window=4, min_repeats=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[1]["n_spans"] == 3 and out[1]["n_removed"] == 2
+    assert out[3]["n_removed"] == 0 and out[3]["n_spans"] == 2
