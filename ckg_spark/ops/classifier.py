@@ -54,10 +54,13 @@ def doc_token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _l2_features(counts: DataFrame) -> DataFrame:
-    nrm = counts.groupBy("doc").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
-    return counts.join(nrm, "doc").select(
-        "doc", "tok", (F.col("c") / F.col("nrm")).alias("x")
-    )
+    # window, not groupBy+join: the join spelling scans the count frame
+    # twice (once for norms, once to attach them); an unbounded window
+    # over doc is one shuffle and one pass
+    from pyspark.sql.window import Window
+
+    nrm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(Window.partitionBy("doc")))
+    return counts.select("doc", "tok", (F.col("c") / nrm).alias("x"))
 
 
 def _sigmoid(z: float) -> float:

@@ -322,26 +322,40 @@ def remove_repeated_spans(
         .filter(F.col("cnt") >= F.lit(int(min_repeats)))
         .select("h")
     )
-    kept = spans.withColumn("h", h).join(F.broadcast(rep), "h", "left_anti")
-    rebuilt = kept.groupBy("doc").agg(
+    # ONE pass over the span stream for removal + reconstruction + counts:
+    # a broadcast LEFT join flags repeated spans, then a single per-doc
+    # aggregation rebuilds the text from unflagged spans (null-idx structs
+    # sort last and are dropped by the filter inside the transform) and
+    # counts both totals and removals. The anti-join + separate totals
+    # spelling would scan the exploded corpus twice more.
+    flagged = spans.withColumn("h", h).join(
+        F.broadcast(rep.withColumn("_rep", F.lit(True))), "h", "left"
+    )
+    is_kept = F.col("_rep").isNull()
+    rebuilt = flagged.groupBy("doc").agg(
         F.concat_ws(
             " " if mode == "token_windows" else "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.when(is_kept, F.col("idx")).alias("idx"),
+                                F.when(is_kept, F.col("span")).alias("span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["idx"].isNotNull(),
+                ),
                 lambda s: s["span"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(is_kept, 0).otherwise(1)).alias("n_removed"),
     )
-    totals = spans.groupBy("doc").agg(F.count(F.lit(1)).alias("n_spans"))
-    return (
-        totals.join(rebuilt, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("n_spans").cast("bigint").alias("n_spans"),
-            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-        )
+    return rebuilt.select(
+        "doc",
+        "clean_text",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
     )
