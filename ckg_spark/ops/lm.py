@@ -129,7 +129,12 @@ def perplexity_buckets(scored: DataFrame) -> DataFrame:
     perplexity terciles computed as ONE tiny aggregate broadcast back —
     not a global-order window, which would single-partition the corpus.
     Ties at a cutpoint go to the lower bucket (deterministic: buckets
-    compare the already-rounded ppl both engines share)."""
+    compare the already-rounded ppl both engines share).
+
+    Exact terciles need two passes over ``scored`` (cutpoints, then the
+    bucket column); at production scale persist the scored frame first —
+    or derive the cutpoints from a deterministic split_u sample — instead
+    of replaying the scoring plan (CCNet itself is two-phase here)."""
     cuts = scored.agg(
         F.expr("percentile(ppl, 0.3333333333333333)").alias("c1"),
         F.expr("percentile(ppl, 0.6666666666666666)").alias("c2"),

@@ -4763,7 +4763,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops import lm
 
     docs = _t(spark, sf_dir, "documents")
-    scored = lm.lm_perplexity(docs, "text", "doc_id")
+    # pin the doc-sized scored frame: exact terciles read it twice
+    # (ops/lm.py perplexity_buckets docstring — persist-then-bucket is
+    # the production shape; replaying the scoring plan is not)
+    scored = lm.lm_perplexity(docs, "text", "doc_id").localCheckpoint()
     return lm.perplexity_buckets(scored)
 
 
