@@ -4978,3 +4978,63 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(
         docs, "text", "doc_id", mode="token_windows", window=16, min_repeats=2
     )
+
+
+@register(
+    "q_pii_scrub",
+    """
+    WITH planted AS (
+      SELECT doc_id AS doc,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7, tel +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc, text,
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM planted
+    ),
+    s2 AS (
+      SELECT doc, text, t1,
+             regexp_replace(t1,
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc,
+           regexp_replace(t2, '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '<PHONE>', 'g')
+             AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2,
+             '\\+?[0-9][0-9()\\s.-]{6,}[0-9]')) AS BIGINT) AS n_phones
+    FROM s2
+    """,
+    family="curation",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the C4-family content-safety pass): emails, IPv4
+    addresses, and phone-like digit runs replaced by typed tokens, with
+    per-kind counts — all RE2-safe JVM regexp column math, zero shuffles.
+    The framing plants deterministic PII into every document (the
+    synthetic corpus has none) so the scrubber is exercised for real;
+    hash-verified including the redacted text."""
+    from ..ops.scrub import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, tel +1 (555) 010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(docs, "text", "doc_id")

@@ -70,3 +70,36 @@ def test_dedup_keeps_earliest_capture(spark):
         for r in dedup_by_canonical_url(pages.repartition(5)).collect()
     }
     assert out2 == {k: v["body"] for k, v in out.items()}
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing (ops/scrub.py)
+# ----------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from ckg_spark.ops.scrub import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.co.uk for details"),
+            (2, "server at 192.168.001.42 answered"),
+            (3, "call +1 (555) 123-4567 or 555.987.6543 today"),
+            (4, "combo a@b.io from 10.0.0.7 call 555-000-1111"),
+            (5, "nothing sensitive here at all"),
+            # email local part with digits must NOT also count as a phone
+            (6, "reach 12345678@mail.com now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in scrub_pii(docs, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> for details"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[2]["clean_text"] == "server at <IP> answered"
+    assert out[3]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["clean_text"] == "combo <EMAIL> from <IP> call <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+    assert out[5]["clean_text"] == "nothing sensitive here at all"
+    assert (out[6]["n_emails"], out[6]["n_phones"]) == (1, 0)
+    assert out[6]["clean_text"] == "reach <EMAIL> now"
