@@ -1,0 +1,249 @@
+"""End-to-end training-corpus curation pipeline (checkpoint-resumable).
+
+Composes the engine's curation operators into the stage DAG a production
+web-corpus pipeline runs (the CCNet/C4/RefinedWeb order: cheap exact
+passes first so the expensive ones see fewer bytes):
+
+    docs ─url_dedup─> exact_dedup ─> pii_scrub ─> span_dedup ─>
+         quality_filter (lang + length + heuristic score) ─>
+         lm_filter (drop the worst perplexity tercile) ─>
+         neardup_dedup (MinHash-LSH clusters, keep min id) ─>
+         split_pack (deterministic train/val/test + sequence packing)
+
+Every stage commits a snapshot table + a metrics row through the same
+``run_stage`` machinery as the KG build (pipeline.py), so a killed job
+resumes from the last committed snapshot and per-stage row counts land
+in the warehouse's metrics journal (the north rule's lineage contract,
+applied to the curation side of the house).
+
+Scale notes: stage ordering is the optimization — url/exact dedup are
+one hash-agg each and typically remove the bulk of recrawl duplicates
+before span-dedup's explode or MinHash's shingling run; every text
+mutation happens in a snapshot-committed stage so reruns never repeat
+upstream work. All decision rules are deterministic (min-id keepers,
+lowbias32 splits), so two runs over the same input commit identical
+tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canon.cc import connected_components
+from .lakehouse import Warehouse
+from .ops import lm
+from .ops.curation import assign_split, pack_greedy
+from .ops.dedup import exact_dup_groups, minhash_dup_candidates, remove_repeated_spans
+from .ops.scrub import scrub_pii
+from .ops.textstats import quality_score, token_count
+from .pipeline import Checkpoints, _fingerprint, run_stage
+
+
+@dataclass
+class CurationConfig:
+    lang: str | None = "en"  # None keeps every language
+    min_tokens: int = 8
+    min_quality: float = 0.2  # heuristic gate (ops/textstats.quality_score)
+    span_window: int = 16
+    span_min_repeats: int = 2
+    drop_ppl_bucket: str | None = "tail"  # None disables the LM filter
+    neardup_jaccard: float = 0.5
+    train: float = 0.8
+    val: float = 0.9
+    pack_budget: int = 512
+    # packing runs one ordered window per stratum; sharding keeps each
+    # window bounded instead of sorting a whole split on one task
+    pack_shards: int = 32
+
+
+class CurationPipeline:
+    """Input contract: a documents frame with (doc_id, text, lang) and
+    optionally (url, warc_ts) — url dedup engages only when both exist."""
+
+    def __init__(
+        self, spark: SparkSession, warehouse_root: str, cfg: CurationConfig | None = None
+    ):
+        self.spark = spark
+        self.wh = Warehouse(warehouse_root)
+        self.ckpt = Checkpoints(self.wh)
+        self.cfg = cfg or CurationConfig()
+
+    def _stage(self, name, fp, table, compute):
+        return run_stage(self.spark, self.wh, self.ckpt, name, fp, table, compute)
+
+    def run(self, docs: DataFrame) -> dict:
+        cfg = self.cfg
+        stats: dict[str, Any] = {"skipped": [], "rows": {}}
+
+        def record(name: str, df: DataFrame, skipped: bool) -> DataFrame:
+            if skipped:
+                stats["skipped"].append(name)
+            stats["rows"][name] = df.count()
+            return df
+
+        fp0 = _fingerprint("curate_input", asdict(cfg))
+
+        # 1. url dedup (earliest capture wins) — only for page-shaped input
+        if "url" in docs.columns and "warc_ts" in docs.columns:
+            from .extract.urls import dedup_by_canonical_url
+
+            fp_url = _fingerprint("curate_url_dedup", {}, fp0)
+            df, sk = self._stage(
+                "curate_url_dedup",
+                fp_url,
+                "cur_url_dedup",
+                lambda: (dedup_by_canonical_url(docs), None),
+            )
+            df = record("url_dedup", df, sk)
+            fp_prev = fp_url
+        else:
+            df, fp_prev = docs, fp0
+
+        # 2. exact dedup: drop every byte-identical copy except the min id
+        def _exact():
+            groups = exact_dup_groups(df, "doc_id", "text")
+            losers = (
+                df.select("doc_id", F.md5("text").alias("content_hash"))
+                .join(F.broadcast(groups), "content_hash")
+                .filter(F.col("doc_id") != F.col("keeper_id"))
+                .select("doc_id")
+            )
+            return df.join(F.broadcast(losers), "doc_id", "left_anti"), None
+
+        fp_ex = _fingerprint("curate_exact_dedup", {}, fp_prev)
+        df, sk = self._stage("curate_exact_dedup", fp_ex, "cur_exact_dedup", _exact)
+        df = record("exact_dedup", df, sk)
+
+        # 3. PII scrub FIRST (the regexes need raw punctuation; the
+        # token-window span rebuild below is lossy normalization — it
+        # tokenizes away '@' and dots, so scrubbing after it would miss
+        # every address)
+        def _pii():
+            scrubbed = scrub_pii(df, "text", "doc_id").withColumnRenamed("doc", "doc_id")
+            rest = df.drop("text")
+            return (
+                scrubbed.join(rest, "doc_id").select(
+                    "doc_id", F.col("clean_text").alias("text"),
+                    *[c for c in rest.columns if c != "doc_id"],
+                    "n_emails", "n_ips", "n_phones",
+                ),
+                None,
+            )
+
+        fp_pii = _fingerprint("curate_pii", {}, fp_ex)
+        df, sk = self._stage("curate_pii", fp_pii, "cur_pii", _pii)
+        df = record("pii_scrub", df, sk)
+
+        # 4. repeated-span removal (text REWRITTEN from surviving token
+        # windows — a lossy, lowercased normalization by construction)
+        def _span():
+            cleaned = remove_repeated_spans(
+                df, "text", "doc_id",
+                mode="token_windows",
+                window=cfg.span_window,
+                min_repeats=cfg.span_min_repeats,
+            ).withColumnRenamed("doc", "doc_id")
+            rest = df.drop("text")
+            return (
+                cleaned.join(rest, "doc_id").select(
+                    "doc_id", F.col("clean_text").alias("text"),
+                    *[c for c in rest.columns if c != "doc_id"],
+                    "n_spans", "n_removed",
+                ),
+                None,
+            )
+
+        fp_sp = _fingerprint(
+            "curate_span_dedup",
+            {"window": cfg.span_window, "min_repeats": cfg.span_min_repeats},
+            fp_pii,
+        )
+        df, sk = self._stage("curate_span_dedup", fp_sp, "cur_span_dedup", _span)
+        df = record("span_dedup", df, sk)
+
+        # 5. heuristic quality gate: language, length, quality score
+        def _quality():
+            out = df.withColumn("n_tokens", token_count(F.col("text"))).withColumn(
+                "quality", F.round(quality_score(F.col("text")), 6)
+            )
+            if cfg.lang is not None and "lang" in df.columns:
+                out = out.filter(F.col("lang") == cfg.lang)
+            return (
+                out.filter(
+                    (F.col("n_tokens") >= cfg.min_tokens)
+                    & (F.col("quality") >= cfg.min_quality)
+                ),
+                None,
+            )
+
+        fp_q = _fingerprint(
+            "curate_quality",
+            {"lang": cfg.lang, "min_tokens": cfg.min_tokens, "min_q": cfg.min_quality},
+            fp_sp,
+        )
+        df, sk = self._stage("curate_quality", fp_q, "cur_quality", _quality)
+        df = record("quality_filter", df, sk)
+
+        # 6. LM perplexity filter (drop the configured tercile)
+        fp_lm = _fingerprint("curate_lm", {"drop": cfg.drop_ppl_bucket}, fp_q)
+        if cfg.drop_ppl_bucket is not None:
+            def _lm():
+                scored = lm.lm_perplexity(df, "text", "doc_id").localCheckpoint()
+                buckets = lm.perplexity_buckets(scored).withColumnRenamed("doc", "doc_id")
+                keep = buckets.filter(
+                    F.col("bucket") != cfg.drop_ppl_bucket
+                ).select("doc_id", "ppl", "bucket")
+                return df.join(keep, "doc_id"), None
+
+            df, sk = self._stage("curate_lm", fp_lm, "cur_lm", _lm)
+            df = record("lm_filter", df, sk)
+
+        # 7. near-dup dedup: MinHash-LSH pairs -> clusters -> keep min id
+        def _neardup():
+            pairs = minhash_dup_candidates(
+                df, "doc_id", "text", jaccard_threshold=cfg.neardup_jaccard
+            )
+            comp = connected_components(pairs, src="key_a", dst="key_b")
+            losers = comp.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("doc_id")
+            )
+            return df.join(F.broadcast(losers), "doc_id", "left_anti"), None
+
+        fp_nd = _fingerprint("curate_neardup", {"j": cfg.neardup_jaccard}, fp_lm)
+        df, sk = self._stage("curate_neardup", fp_nd, "cur_neardup", _neardup)
+        df = record("neardup_dedup", df, sk)
+
+        # 8. deterministic split + sequence packing of the train slice
+        def _split_pack():
+            out = df.withColumn(
+                "split", assign_split(F.col("doc_id"), cfg.train, cfg.val)
+            ).withColumn(
+                "pack_stratum",
+                F.concat_ws(
+                    "_", F.col("split"), F.pmod(F.col("doc_id"), F.lit(cfg.pack_shards))
+                ),
+            )
+            packed = pack_greedy(
+                out, stratum_col="pack_stratum", order_col="doc_id",
+                tokens_col="n_tokens", budget=cfg.pack_budget,
+            )
+            return packed, ["split"]
+
+        fp_fin = _fingerprint(
+            "curate_split_pack",
+            {
+                "train": cfg.train,
+                "val": cfg.val,
+                "budget": cfg.pack_budget,
+                "shards": cfg.pack_shards,
+            },
+            fp_nd,
+        )
+        df, sk = self._stage("curate_split_pack", fp_fin, "curated_documents", _split_pack)
+        df = record("split_pack", df, sk)
+        stats["n_curated"] = stats["rows"]["split_pack"]
+        return stats

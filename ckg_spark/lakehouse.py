@@ -103,6 +103,16 @@ class Table:
         if sid == 0 or sid not in snaps:
             raise FileNotFoundError(f"table {self.name}: no snapshot {snapshot_id!r}")
         dirs = [os.path.join(self.root, d) for d in snaps[sid]["dirs"]]
+        # snapshots record their schema at write time: an EMPTY result set
+        # (a filter stage that dropped everything) writes zero parquet
+        # files, and schema inference over no files would fail the re-read
+        schema_json = (snaps[sid].get("meta") or {}).get("_schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(
+                *dirs
+            )
         return spark.read.parquet(*dirs)
 
     # -- write ------------------------------------------------------------
@@ -152,6 +162,7 @@ class Table:
         rel, path = self._write_data(df, partition_by)
         files = _walk_row_counts(path)
         rows = sum(f["rows"] or 0 for f in files)
+        meta = {**(meta or {}), "_schema": df.schema.json()}
         return self._commit("overwrite", [rel], path, rows, meta, files=files)
 
     def append(
@@ -167,6 +178,7 @@ class Table:
         rel, path = self._write_data(df, partition_by)
         files = _walk_row_counts(path)
         rows = sum(f["rows"] or 0 for f in files)
+        meta = {**(meta or {}), "_schema": df.schema.json()}
         return self._commit("append", prev_dirs + [rel], path, rows, meta, files=files)
 
     def merge_insert_absent(

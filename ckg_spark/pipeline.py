@@ -71,6 +71,37 @@ class Checkpoints:
         os.replace(tmp, self.path)
 
 
+def run_stage(
+    spark: SparkSession,
+    wh: Warehouse,
+    ckpt: Checkpoints,
+    name: str,
+    fp: str,
+    table: str,
+    compute,
+) -> tuple[DataFrame, bool]:
+    """Shared stage executor (KGPipeline + curate.CurationPipeline):
+    skip when the fingerprint matches and the output snapshot exists,
+    otherwise run, commit the snapshot, log the metrics row, and mark
+    the checkpoint. Returns (output df, was_skipped)."""
+    t = wh.table(table)
+    rec = ckpt.done(name, fp)
+    if rec is not None and t.exists():
+        return t.read(spark, rec.get("snapshot")), True
+    import time as _time
+
+    t0 = _time.perf_counter()
+    df, partition_by = compute()
+    snap = t.overwrite(df, partition_by=partition_by, meta={"stage": name, "fp": fp})
+    elapsed = round(_time.perf_counter() - t0, 3)
+    rows = sum(f["rows"] or 0 for f in t.snapshots()[-1].files)
+    wh.log_metric(
+        name, table=table, snapshot=snap, rows=rows, fingerprint=fp, seconds=elapsed
+    )
+    ckpt.mark(name, fp, snapshot=snap, table=table)
+    return t.read(spark, snap), False
+
+
 class KGPipeline:
     """Drives the full build against a Warehouse. Every stage commits a
     snapshot and a metrics record before the next one starts."""
@@ -107,22 +138,7 @@ class KGPipeline:
     # -- stages -----------------------------------------------------------
     def _stage(self, name: str, fp: str, table: str, compute) -> tuple[DataFrame, bool]:
         """Run or skip a stage; returns (output df, was_skipped)."""
-        t = self.wh.table(table)
-        rec = self.ckpt.done(name, fp)
-        if rec is not None and t.exists():
-            return t.read(self.spark, rec.get("snapshot")), True
-        import time as _time
-
-        t0 = _time.perf_counter()
-        df, partition_by = compute()
-        snap = t.overwrite(df, partition_by=partition_by, meta={"stage": name, "fp": fp})
-        elapsed = round(_time.perf_counter() - t0, 3)
-        rows = sum(f["rows"] or 0 for f in t.snapshots()[-1].files)
-        self.wh.log_metric(
-            name, table=table, snapshot=snap, rows=rows, fingerprint=fp, seconds=elapsed
-        )
-        self.ckpt.mark(name, fp, snapshot=snap, table=table)
-        return t.read(self.spark, snap), False
+        return run_stage(self.spark, self.wh, self.ckpt, name, fp, table, compute)
 
     def run(self, pages: DataFrame | None = None) -> dict:
         spark = self.spark

@@ -1,0 +1,114 @@
+"""CurationPipeline: end-to-end over planted hazards, resume, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ckg_spark.curate import CurationConfig, CurationPipeline
+
+# exactly 12 tokens = 3 clean tiles at span_window=4, planted at the START
+# of three surviving docs so the tiles align across them (count 3 >= 3)
+BOILER = "subscribe to our newsletter and follow this page for more updates now"
+NEARBODY = (
+    "the shared near duplicate body keeps sixteen distinct words flowing here "
+    "with another final tail segment ending"
+)
+
+
+def _docs(spark):
+    rows = [
+        # keepers (boilerplate prefix + unique bodies)
+        (1, BOILER + " alpha beta gamma delta epsilon zeta eta theta iota", "en"),
+        (2, BOILER + " kappa lambda mu nu xi omicron pi rho sigma", "en"),
+        # exact duplicate of 1 (dropped at exact dedup, BEFORE span counting)
+        (3, BOILER + " alpha beta gamma delta epsilon zeta eta theta iota", "en"),
+        # near duplicates sharing NEARBODY (only 2 repeats < 3: untouched by
+        # span dedup); 4 kept as min id, 5 dropped at near-dup stage
+        (4, NEARBODY + " one", "en"),
+        (5, NEARBODY + " two", "en"),
+        # PII to scrub (kept)
+        (6, BOILER + " write to the editor at editor@example.com for a reply", "en"),
+        # too short (dropped at quality gate)
+        (7, "tiny", "en"),
+        # wrong language (dropped when lang='en')
+        (8, "mais ce document est en francais pour le test du filtre langue", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture()
+def cfg():
+    return CurationConfig(
+        lang="en", min_tokens=8, min_quality=0.0,
+        span_window=4, span_min_repeats=3,  # the boilerplate tail repeats 3x
+        drop_ppl_bucket=None,  # tiny fixture: terciles would drop keepers
+        neardup_jaccard=0.5, pack_budget=64,
+    )
+
+
+def test_curation_end_to_end(spark, tmp_path, cfg):
+    docs = _docs(spark)
+    from ckg_spark.lakehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    stats = CurationPipeline(spark, root, cfg).run(docs)
+    wh = Warehouse(root)
+    out = wh.table("curated_documents").read(spark)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # survivors: 1, 2 (or their dedup keepers), 4, 6
+    assert set(rows) == {1, 2, 4, 6}
+    # exact dup 3 dropped; near dup 5 dropped; 7 too short; 8 wrong lang
+    assert stats["rows"]["exact_dedup"] == 7
+    assert stats["rows"]["neardup_dedup"] == stats["rows"]["quality_filter"] - 1
+    # boilerplate spans removed from the rewritten text (docs 1, 2, 6 carry
+    # the aligned 3-tile prefix; dup doc 3 is gone before span counting)
+    assert "subscribe" not in rows[1]["text"] and "subscribe" not in rows[6]["text"]
+    assert "alpha beta gamma delta" in rows[1]["text"]
+    assert "kappa lambda mu nu" in rows[2]["text"]
+    # PII redacted (scrub runs BEFORE the lossy token-window rebuild; the
+    # <EMAIL> token itself then tokenizes to 'email' — the address is gone)
+    assert "@" not in rows[6]["text"] and "example" not in rows[6]["text"]
+    assert "email" in rows[6]["text"]
+    # split/pack columns present and deterministic
+    assert {"split", "bucket", "n_tokens", "quality"} <= set(out.columns)
+    # per-stage metrics journal carries every curation stage
+    names = {m["stage"] for m in wh.metrics()}
+    assert {
+        "curate_exact_dedup", "curate_span_dedup", "curate_pii",
+        "curate_quality", "curate_neardup", "curate_split_pack",
+    } <= names
+
+
+def test_curation_resume_skips_all_stages(spark, tmp_path, cfg):
+    docs = _docs(spark)
+    root = str(tmp_path / "wh2")
+    first = CurationPipeline(spark, root, cfg).run(docs)
+    second = CurationPipeline(spark, root, cfg).run(docs)
+    assert first["skipped"] == []
+    assert set(second["skipped"]) == {
+        "exact_dedup", "span_dedup", "pii_scrub", "quality_filter",
+        "neardup_dedup", "split_pack",
+    }
+    assert second["n_curated"] == first["n_curated"]
+
+
+def test_curation_config_change_invalidates_suffix(spark, tmp_path, cfg):
+    docs = _docs(spark)
+    root = str(tmp_path / "wh3")
+    CurationPipeline(spark, root, cfg).run(docs)
+    cfg2 = CurationConfig(**{**cfg.__dict__, "pack_budget": 32})
+    stats = CurationPipeline(spark, root, cfg2).run(docs)
+    # every stage's fingerprint chains from the config hash, so a config
+    # change reruns the DAG (conservative whole-config fingerprint)
+    assert "split_pack" not in stats["skipped"]
+
+
+def test_url_dedup_stage_engages_for_page_shaped_input(spark, tmp_path, cfg):
+    docs = _docs(spark).withColumn(
+        "url",
+        F.concat(F.lit("https://ex.com/a?utm_source=x&id="), (F.col("doc_id") % 2).cast("string")),
+    ).withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    stats = CurationPipeline(spark, str(tmp_path / "wh4"), cfg).run(docs)
+    # 8 docs over 2 canonical urls -> 2 survivors enter the rest of the DAG
+    assert stats["rows"]["url_dedup"] == 2
