@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""spark-submit driver program for the corpus curation pipeline
+(ckg_spark/curate.py), the training-data twin of build_job.py.
+
+    spark-submit --py-files ckg_spark.zip scripts/curate_job.py \
+        --docs /path/to/documents_parquet --warehouse /path/to/warehouse
+
+Input parquet must carry (doc_id, text, lang); (url, warc_ts) engage the
+url-dedup stage. Prints one JSON line of per-stage stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="input documents parquet dir")
+    ap.add_argument("--warehouse", required=True, help="output warehouse root")
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--min-tokens", type=int, default=8)
+    ap.add_argument("--span-window", type=int, default=16)
+    ap.add_argument("--pack-budget", type=int, default=512)
+    ap.add_argument("--no-lm-filter", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ckg_spark.curate import CurationConfig, CurationPipeline
+
+    spark = SparkSession.builder.appName("ckg-spark-curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.docs)
+    cfg = CurationConfig(
+        lang=args.lang or None,
+        min_tokens=args.min_tokens,
+        span_window=args.span_window,
+        pack_budget=args.pack_budget,
+        drop_ppl_bucket=None if args.no_lm_filter else "tail",
+    )
+    stats = CurationPipeline(spark, args.warehouse, cfg).run(docs)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,3 +39,37 @@ def test_submit_build_end_to_end(spark, vocab, tmp_path):
         if d.startswith("data-")
     ])
     assert edges.count() == stats["n_triples"]
+
+
+def test_submit_curate_end_to_end(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (i, f"a genuinely useful document number {i} with plenty of distinct "
+            f"words in it and also token{i} token{i+1} token{i+2} for variety "
+            "so that the filters keep it around", "en")
+        for i in range(40)
+    ] + [(100, "dup text", "en"), (101, "dup text", "en")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        docs_dir
+    )
+
+    wh = str(tmp_path / "whc")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "submit_curate.py"),
+            "--docs", docs_dir, "--warehouse", wh, "--master", "local[4]",
+            "--no-lm-filter",
+        ],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert stats["n_curated"] > 0
+    assert stats["rows"]["exact_dedup"] == 41  # one of the two dups dropped
+    from ckg_spark.lakehouse import Warehouse
+
+    cur = Warehouse(wh).table("curated_documents").read(spark)
+    assert {"split", "bucket"} <= set(cur.columns)
+    assert cur.count() == stats["n_curated"]
