@@ -323,6 +323,23 @@ def _pagerank(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _triangles(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import triangle_stats
+
+    return triangle_stats(df, src=a.get("src", "subj"), dst=a.get("dst", "obj"))
+
+
+def _kcore(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import k_core
+
+    return k_core(
+        df,
+        k=a.get("k", 2),
+        src=a.get("src", "subj"),
+        dst=a.get("dst", "obj"),
+    )
+
+
 def _wgcna(df: DataFrame, a: dict) -> DataFrame:
     """'wgcna' analysis type (analytics_factory.py:414-…): module
     detection over a LONG (sample, feature, value) frame — the
@@ -474,6 +491,8 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "communities": _communities,
     "pagerank": _pagerank,
     "eigenvector": _eigenvector,
+    "triangles": _triangles,
+    "kcore": _kcore,
     "wgcna": _wgcna,
 }
 

@@ -517,3 +517,175 @@ def pagerank_oracle_sql(edges_cte: str, damping: float = 0.85, iters: int = 15) 
         f"WITH {body}\n"
         f"SELECT node AS term_id, CAST(ROUND(rank, 6) AS DOUBLE) AS rank FROM r{iters}"
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as an edge list (either or both directions;
+    self-loops and duplicates dropped). Completes the reference's
+    graph-statistics family (nx clustering/transitivity feed the network
+    summaries around analytics.py:2273-2341) as one distributed plan.
+
+    Algorithm: degree-ordered orientation ("compact-forward", Latapy
+    2008). Each undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher one, so every wedge is enumerated at its
+    minimum-rank vertex — the join fan-out per node is bounded by its
+    ORIENTED out-degree, O(sqrt(m)) on skewed power-law graphs instead
+    of the raw hub degree. Wedge closure is one semi-join back against
+    the canonical edge set; each triangle is found exactly once and
+    explodes to its 3 corners for per-node counting. 3 shuffles total
+    (degree agg, wedge join, corner count); no iteration.
+
+    Returns (node, degree, triangles, clustering) with
+    clustering = 2*triangles / (degree*(degree-1)), 0.0 for degree<=1.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    lo_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    # closure: (y, z) already satisfies y < z, matching und's canonical order
+    tri = wedges.join(
+        und, (wedges["y"] == und["a"]) & (wedges["z"] == und["b"]), "left_semi"
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") > 1,
+        (F.lit(2.0) * F.col("triangles"))
+        / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "node", "left")
+        .fillna({"triangles": 0})
+        .select("node", "degree", "triangles", coeff.alias("clustering"))
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree >= k), with their within-core degree — iterative peeling:
+    drop all nodes of degree < k, recompute, repeat to fixpoint.
+
+    Each round is one map-side-combined degree aggregation plus two
+    broadcast-eligible semi-joins of the edge list against the surviving
+    node set (node-sized, shrinking); the edge frame is checkpointed per
+    round to cut lineage. Converges in at most the graph's degeneracy
+    peel depth; ``max_iterations`` bounds it with an early exit when the
+    edge count stops changing. Deterministic — pure set arithmetic.
+
+    Returns (node, core_degree) for nodes surviving in the k-core
+    (empty frame if the graph has no k-core).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = und
+    n_edges = alive.count()
+    for _ in range(max_iterations):
+        keep = (
+            alive.select(F.col("a").alias("node"))
+            .unionAll(alive.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .filter(F.col("degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        alive = (
+            alive.join(keep, alive["a"] == keep["node"], "left_semi")
+            .join(keep, alive["b"] == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        new_n = alive.count()
+        if new_n == n_edges:
+            break
+        n_edges = new_n
+    return (
+        alive.select(F.col("a").alias("node"))
+        .unionAll(alive.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def kcore_oracle_sql(und_cte: str, k: int, iters: int = 8, node_sql: str = "term_id") -> str:
+    """Unrolled DuckDB twin of :func:`k_core`. ``und_cte`` must define
+    ``und(a, b)`` — canonical (a < b) distinct undirected edges. Every
+    level is ``AS MATERIALIZED`` (each peel references its predecessor
+    three times; DuckDB inlines multiply-referenced CTEs — the 2^iters
+    trap documented on eigenvector_oracle_sql). Integer-exact."""
+    parts = [und_cte, "e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for i in range(iters):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT node FROM (
+                SELECT a AS node FROM e{i} UNION ALL SELECT b AS node FROM e{i}
+              ) GROUP BY node HAVING COUNT(*) >= {k}
+            )"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+              SELECT a, b FROM e{i}
+              WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i})
+            )"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+    SELECT node AS {node_sql}, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT a AS node FROM e{iters} UNION ALL SELECT b AS node FROM e{iters})
+    GROUP BY node"""

@@ -5038,3 +5038,116 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return scrub_pii(docs, "text", "doc_id")
+
+
+# ======================================================================
+# graph family completion: triangles / clustering coefficient + k-core
+# (the nx graph-statistics the reference computes on collected networks
+# around analytics.py:2273-2341, distributed). The co-mention fixture
+# graph is complete (trivial for both), so these run over a supplier
+# co-supply graph: suppliers joined by shared parts, sparsified to the
+# top-300 edges by shared-part count under a deterministic total order.
+# The pair fan-out is bounded by suppliers-per-part (a small constant in
+# TPC-H-shaped data) and the edge list is dimension-sized vs lineitem,
+# so the build is one map-side-combined agg + a TakeOrdered.
+# ======================================================================
+
+def _supplier_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    pairs = (
+        a.join(b, "pk")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    return (
+        pairs.orderBy(F.desc("np"), F.asc("a"), F.asc("b"))
+        .limit(300)
+        .select("a", "b")
+    )
+
+
+def _supplier_und_cte() -> str:
+    return """und AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS np
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) y
+          ON x.l_partkey = y.l_partkey AND x.l_suppkey < y.l_suppkey
+        GROUP BY x.l_suppkey, y.l_suppkey
+      ) ORDER BY np DESC, a ASC, b ASC LIMIT 300
+    )"""
+
+
+@register(
+    "q_graph_triangles",
+    f"""
+    WITH {_supplier_und_cte()},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      FROM (SELECT x AS node FROM tri UNION ALL
+            SELECT y AS node FROM tri UNION ALL
+            SELECT z AS node FROM tri)
+      GROUP BY node
+    )
+    SELECT CAST(d.node AS BIGINT) AS supp_key, d.degree,
+           CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+           CAST(ROUND(CASE WHEN d.degree > 1
+                 THEN 2.0 * COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1.0))
+                 ELSE 0.0 END, 6) AS DOUBLE) AS clustering
+    FROM deg d LEFT JOIN pn p ON d.node = p.node
+    """,
+    family="graph",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (nx.clustering feeding the reference's network summaries,
+    analytics.py:2273-2341) by degree-ordered wedge enumeration —
+    compact-forward orientation bounds the join fan-out at hub nodes
+    (ops/graph.py::triangle_stats). Hash-verified against a direct
+    x<y<z triangle-join DuckDB twin."""
+    from ..ops.graph import triangle_stats
+
+    und = _supplier_graph_df(spark, sf_dir)
+    return triangle_stats(und, "a", "b").select(
+        F.col("node").cast("long").alias("supp_key"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
+def _kcore_oracle() -> str:
+    from ..ops.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_supplier_und_cte(), k=6, iters=10, node_sql="supp_key")
+
+
+@register("q_graph_kcore", None, family="graph")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-core of the supplier co-supply graph: iterative peeling, one
+    degree agg + two node-set semi-joins per round
+    (ops/graph.py::k_core). Hash-verified against an unrolled
+    MATERIALIZED-CTE DuckDB peeling twin — integer-exact."""
+    from ..ops.graph import k_core
+
+    und = _supplier_graph_df(spark, sf_dir)
+    return k_core(und, k=6, src="a", dst="b").select(
+        F.col("node").cast("long").alias("supp_key"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )
+
+
+CATALOG["q_graph_kcore"].sql = _kcore_oracle()

@@ -1028,3 +1028,96 @@ def test_ngram_overlap_broadcast_and_symmetric_paths_agree(spark):
         )
     )
     assert a == b
+
+
+def _seeded_graph(n=24, seed=7):
+    """Deterministic sparse graph: edge (i, j) present iff md5(i,j,seed)
+    lands below a threshold. Independent of the engine's hashing."""
+    import hashlib
+
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = hashlib.md5(f"{i},{j},{seed}".encode()).digest()[0]
+            if h < 66:  # ~26% edge density
+                edges.append((f"n{i:02d}", f"n{j:02d}"))
+    return edges
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from ckg_spark.ops.graph import triangle_stats
+
+    edges = _seeded_graph()
+    eset = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    assert sum(tri.values()) > 0  # fixture is non-trivial
+
+    # feed BOTH directions + duplicates: the op must canonicalize
+    df = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges[::3]], ["subj", "obj"]
+    )
+    got = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        d = len(adj[v])
+        assert got[v]["degree"] == d
+        assert got[v]["triangles"] == tri[v], (v, got[v]["triangles"], tri[v])
+        exp_c = 2.0 * tri[v] / (d * (d - 1)) if d > 1 else 0.0
+        assert abs(got[v]["clustering"] - exp_c) < 1e-12
+
+
+def test_k_core_matches_python_peeling(spark):
+    from ckg_spark.ops.graph import k_core
+
+    edges = _seeded_graph()
+    k = 3
+    alive = set(edges)
+    while True:
+        deg = {}
+        for a, b in alive:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in alive if a in keep and b in keep}
+        if nxt == alive:
+            break
+        alive = nxt
+    exp = {}
+    for a, b in alive:
+        exp[a] = exp.get(a, 0) + 1
+        exp[b] = exp.get(b, 0) + 1
+    assert exp and len(exp) < len({x for e in edges for x in e})  # real peel
+
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()}
+    assert got == exp
+
+
+def test_k_core_empty_when_graph_too_sparse(spark):
+    from ckg_spark.ops.graph import k_core
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], ["subj", "obj"])
+    assert k_core(df, k=2).count() == 0
+
+
+def test_triangle_stats_deterministic_under_repartition(spark):
+    from ckg_spark.ops.graph import triangle_stats
+
+    edges = _seeded_graph(seed=11)
+    d1 = spark.createDataFrame(edges, ["subj", "obj"]).coalesce(1)
+    d8 = spark.createDataFrame(edges, ["subj", "obj"]).repartition(8)
+    r1 = sorted(map(tuple, triangle_stats(d1).collect()))
+    r8 = sorted(map(tuple, triangle_stats(d8).collect()))
+    assert r1 == r8

@@ -5,6 +5,8 @@ regression sneaking a corpus-scale shuffle back in."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ckg_spark.queries import CATALOG
@@ -298,8 +300,18 @@ def test_lm_scoring_broadcasts_model_and_stays_jvm(spark):
     tokenizer/ln math is JVM-side, and the only SortMergeJoin-free plan
     holds — scoring-side shuffles are the model-count aggregations plus
     the per-doc combine."""
-    plan = plan_of(CATALOG["q_lm_perplexity"].spark_fn(spark, SF_DIR))
+    from ckg_spark.ops import lm
+
+    # the catalog query localCheckpoints the scored frame before
+    # bucketing (the production persist-then-bucket shape), which
+    # truncates its visible plan — assert the join strategy on the
+    # scoring frame itself
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = plan_of(lm.lm_perplexity(docs, "text", "doc_id"))
     assert "EvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    full = plan_of(CATALOG["q_lm_perplexity"].spark_fn(spark, SF_DIR))
+    assert "EvalPython" not in full
+    assert "CartesianProduct" not in full
