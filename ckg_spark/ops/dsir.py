@@ -101,8 +101,14 @@ def importance_weights(
             - F.log((F.col("cr") + F.lit(s)) / (F.col("tr") + F.lit(s) * F.col("vsz")))
         ).alias("lr"),
     )
+    # broadcast the ratio table ONLY when hashing bounds it (<= n_buckets
+    # rows); the exact-string path's table is vocabulary-sized (unigrams +
+    # bigrams of the whole corpus — unbounded), so it must shuffle-join
+    # the (doc, feat) stream instead. Only ids + features shuffle; the
+    # document text still never does.
+    ratio = F.broadcast(lr) if n_buckets is not None else lr
     return (
-        rf.join(F.broadcast(lr), "feat")
+        rf.join(ratio, "feat")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("lr").alias("log_w"))
         .select(
