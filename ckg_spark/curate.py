@@ -8,6 +8,8 @@ passes first so the expensive ones see fewer bytes):
          quality_filter (lang + length + heuristic score) ─>
          lm_filter (drop the worst perplexity tercile) ─>
          neardup_dedup (MinHash-LSH clusters, keep min id) ─>
+         contamination_screen (optional: drop docs leaking eval n-grams) ─>
+         dsir_select (optional: keep the k most target-like docs) ─>
          split_pack (deterministic train/val/test + sequence packing)
 
 Every stage commits a snapshot table + a metrics row through the same
@@ -36,8 +38,9 @@ from pyspark.sql import functions as F
 from .canon.cc import connected_components
 from .lakehouse import Warehouse
 from .ops import lm
-from .ops.curation import assign_split, pack_greedy
+from .ops.curation import assign_split, ngram_overlap_split, pack_greedy
 from .ops.dedup import exact_dup_groups, minhash_dup_candidates, remove_repeated_spans
+from .ops.dsir import dsir_select, importance_weights
 from .ops.scrub import scrub_pii
 from .ops.textstats import quality_score, token_count
 from .pipeline import Checkpoints, _fingerprint, run_stage
@@ -52,6 +55,10 @@ class CurationConfig:
     span_min_repeats: int = 2
     drop_ppl_bucket: str | None = "tail"  # None disables the LM filter
     neardup_jaccard: float = 0.5
+    contam_ngram: int = 8  # shingle width for the decontamination screen
+    contam_min_shared: int = 1  # drop a doc sharing >= this many eval shingles
+    dsir_k: int | None = None  # keep only the k most target-like docs
+    dsir_buckets: int = 1 << 18  # hashed-feature count (bounds the broadcast)
     train: float = 0.8
     val: float = 0.9
     pack_budget: int = 512
@@ -75,8 +82,23 @@ class CurationPipeline:
     def _stage(self, name, fp, table, compute):
         return run_stage(self.spark, self.wh, self.ckpt, name, fp, table, compute)
 
-    def run(self, docs: DataFrame) -> dict:
+    def run(
+        self,
+        docs: DataFrame,
+        eval_docs: DataFrame | None = None,
+        dsir_target: DataFrame | None = None,
+    ) -> dict:
+        """``eval_docs`` (doc_id, text) engages the decontamination screen:
+        any document sharing >= cfg.contam_min_shared full word
+        ``contam_ngram``-grams with the holdout set is dropped.
+        ``dsir_target`` (text) + cfg.dsir_k engage DSIR selection: only
+        the k documents most like the target distribution survive.
+        Stage fingerprints cover the CONFIG (like the input corpus, the
+        eval/target frames themselves are the caller's identity concern —
+        point the pipeline at a fresh warehouse when they change)."""
         cfg = self.cfg
+        if cfg.dsir_k is not None and dsir_target is None:
+            raise ValueError("cfg.dsir_k is set but no dsir_target frame was passed")
         stats: dict[str, Any] = {"skipped": [], "rows": {}}
 
         def record(name: str, df: DataFrame, skipped: bool) -> DataFrame:
@@ -216,6 +238,61 @@ class CurationPipeline:
         fp_nd = _fingerprint("curate_neardup", {"j": cfg.neardup_jaccard}, fp_lm)
         df, sk = self._stage("curate_neardup", fp_nd, "cur_neardup", _neardup)
         df = record("neardup_dedup", df, sk)
+        fp_prev2 = fp_nd
+
+        # 7b. decontamination screen (optional): drop documents leaking
+        # holdout/benchmark content. The eval side broadcasts (it is
+        # dimension-sized vs the corpus), so the train shingles never
+        # shuffle (ops/curation.ngram_overlap_split, broadcast_eval).
+        if eval_docs is not None:
+            def _contam():
+                tagged = df.select(
+                    F.col("doc_id"), F.col("text"), F.lit(False).alias("is_eval")
+                ).unionByName(
+                    eval_docs.select(
+                        F.col("doc_id"), F.col("text"), F.lit(True).alias("is_eval")
+                    )
+                )
+                pairs = ngram_overlap_split(
+                    tagged, "doc_id", "text", F.col("is_eval"), n=cfg.contam_ngram
+                )
+                dirty = (
+                    pairs.filter(F.col("n_shared") >= cfg.contam_min_shared)
+                    .select(F.col("left_id").alias("doc_id"))
+                    .distinct()
+                )
+                return df.join(F.broadcast(dirty), "doc_id", "left_anti"), None
+
+            fp_ct = _fingerprint(
+                "curate_contam",
+                {"n": cfg.contam_ngram, "min_shared": cfg.contam_min_shared},
+                fp_prev2,
+            )
+            df, sk = self._stage("curate_contam", fp_ct, "cur_contam", _contam)
+            df = record("contamination_screen", df, sk)
+            fp_prev2 = fp_ct
+
+        # 7c. DSIR selection (optional): keep the k documents most like
+        # the target distribution — hashed features so the ratio table
+        # broadcast is bounded by cfg.dsir_buckets (ops/dsir.py).
+        if cfg.dsir_k is not None:
+            def _dsir():
+                weighted = importance_weights(
+                    df, dsir_target, "text", "doc_id", n_buckets=cfg.dsir_buckets
+                )
+                chosen = dsir_select(weighted, k=cfg.dsir_k).select(
+                    F.col("doc").alias("doc_id"), "log_w"
+                )
+                return df.join(F.broadcast(chosen), "doc_id"), None
+
+            fp_ds = _fingerprint(
+                "curate_dsir",
+                {"k": cfg.dsir_k, "buckets": cfg.dsir_buckets},
+                fp_prev2,
+            )
+            df, sk = self._stage("curate_dsir", fp_ds, "cur_dsir", _dsir)
+            df = record("dsir_select", df, sk)
+            fp_prev2 = fp_ds
 
         # 8. deterministic split + sequence packing of the train slice
         def _split_pack():
@@ -241,7 +318,7 @@ class CurationPipeline:
                 "budget": cfg.pack_budget,
                 "shards": cfg.pack_shards,
             },
-            fp_nd,
+            fp_prev2,
         )
         df, sk = self._stage("curate_split_pack", fp_fin, "curated_documents", _split_pack)
         df = record("split_pack", df, sk)

@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--span-window", type=int, default=16)
     ap.add_argument("--pack-budget", type=int, default=512)
     ap.add_argument("--no-lm-filter", action="store_true")
+    ap.add_argument("--eval-docs", help="holdout parquet (doc_id, text): engages decontamination")
+    ap.add_argument("--dsir-target", help="target-corpus parquet (text): engages DSIR selection")
+    ap.add_argument("--dsir-k", type=int, help="documents to keep in DSIR selection")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,8 +43,13 @@ def main() -> None:
         span_window=args.span_window,
         pack_budget=args.pack_budget,
         drop_ppl_bucket=None if args.no_lm_filter else "tail",
+        dsir_k=args.dsir_k,
     )
-    stats = CurationPipeline(spark, args.warehouse, cfg).run(docs)
+    stats = CurationPipeline(spark, args.warehouse, cfg).run(
+        docs,
+        eval_docs=spark.read.parquet(args.eval_docs) if args.eval_docs else None,
+        dsir_target=spark.read.parquet(args.dsir_target) if args.dsir_target else None,
+    )
     print(json.dumps(stats))
     spark.stop()
 

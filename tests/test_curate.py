@@ -112,3 +112,50 @@ def test_url_dedup_stage_engages_for_page_shaped_input(spark, tmp_path, cfg):
     stats = CurationPipeline(spark, str(tmp_path / "wh4"), cfg).run(docs)
     # 8 docs over 2 canonical urls -> 2 survivors enter the rest of the DAG
     assert stats["rows"]["url_dedup"] == 2
+
+
+def test_contamination_stage_drops_leaky_docs(spark, tmp_path, cfg):
+    docs = _docs(spark)
+    # eval doc shares doc 2's full body (>= one 8-gram); doc ids overlap
+    # train ids on purpose — the screen keys on the is_eval tag, not ids
+    eval_docs = spark.createDataFrame(
+        [(1, BOILER + " kappa lambda mu nu xi omicron pi rho sigma")],
+        "doc_id long, text string",
+    )
+    c = CurationConfig(**{**cfg.__dict__, "contam_ngram": 8, "contam_min_shared": 1})
+    stats = CurationPipeline(spark, str(tmp_path / "wh"), c).run(
+        docs, eval_docs=eval_docs
+    )
+    from ckg_spark.lakehouse import Warehouse
+
+    out = Warehouse(str(tmp_path / "wh")).table("curated_documents").read(spark)
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert 2 not in survivors  # leaked the eval 8-gram
+    assert {1, 4, 6} <= survivors  # clean docs untouched
+    assert stats["rows"]["contamination_screen"] == stats["rows"]["neardup_dedup"] - 1
+
+
+def test_dsir_stage_keeps_k_most_target_like(spark, tmp_path, cfg):
+    docs = _docs(spark)
+    # the target speaks doc 4/5's vocabulary — the near-dup survivor (4)
+    # must outrank the boilerplate docs under importance weighting
+    target = spark.createDataFrame(
+        [(100, NEARBODY + " duplicate body words flowing segment")],
+        "doc_id long, text string",
+    )
+    c = CurationConfig(**{**cfg.__dict__, "dsir_k": 2})
+    stats = CurationPipeline(spark, str(tmp_path / "wh"), c).run(
+        docs, dsir_target=target
+    )
+    from ckg_spark.lakehouse import Warehouse
+
+    out = Warehouse(str(tmp_path / "wh")).table("curated_documents").read(spark)
+    survivors = {r["doc_id"] for r in out.collect()}
+    assert len(survivors) == 2 and stats["rows"]["dsir_select"] == 2
+    assert 4 in survivors  # the target-like doc made the cut
+
+
+def test_dsir_k_without_target_raises(spark, tmp_path, cfg):
+    c = CurationConfig(**{**cfg.__dict__, "dsir_k": 2})
+    with pytest.raises(ValueError, match="dsir_target"):
+        CurationPipeline(spark, str(tmp_path / "wh"), c).run(_docs(spark))
