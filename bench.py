@@ -69,6 +69,8 @@ HEADLINE = [
     "q_wgcna_soft_threshold",
     "q_lm_perplexity",
     "q_dsir_select",
+    "q_graph_triangles",
+    "q_graph_kcore",
 ]
 
 

@@ -5046,14 +5046,20 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # around analytics.py:2273-2341, distributed). The co-mention fixture
 # graph is complete (trivial for both), so these run over a supplier
 # co-supply graph: suppliers joined by shared parts, sparsified to the
-# top-300 edges by shared-part count under a deterministic total order.
+# top 3*n_suppliers edges by shared-part count under a deterministic
+# total order — constant mean degree (~6) at EVERY scale factor, so the
+# 4-core and the triangle structure stay non-trivial as the data grows
+# (probed: 8/56/617 core nodes at sf0.001/0.01/0.1, peel depth <= 5).
 # The pair fan-out is bounded by suppliers-per-part (a small constant in
 # TPC-H-shaped data) and the edge list is dimension-sized vs lineitem,
-# so the build is one map-side-combined agg + a TakeOrdered.
+# so the build is one map-side-combined agg + a TakeOrdered; the edge
+# budget is a driver-side dimension count (the documented short-circuit
+# pattern — supplier cardinality, not corpus-scale work).
 # ======================================================================
 
 def _supplier_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    n_supp = li.select("l_suppkey").distinct().count()
     a = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
     b = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
     pairs = (
@@ -5064,7 +5070,7 @@ def _supplier_graph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.orderBy(F.desc("np"), F.asc("a"), F.asc("b"))
-        .limit(300)
+        .limit(3 * n_supp)
         .select("a", "b")
     )
 
@@ -5077,7 +5083,9 @@ def _supplier_und_cte() -> str:
         JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) y
           ON x.l_partkey = y.l_partkey AND x.l_suppkey < y.l_suppkey
         GROUP BY x.l_suppkey, y.l_suppkey
-      ) ORDER BY np DESC, a ASC, b ASC LIMIT 300
+        QUALIFY ROW_NUMBER() OVER (ORDER BY np DESC, a ASC, b ASC)
+          <= 3 * (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem)
+      )
     )"""
 
 
@@ -5132,19 +5140,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_oracle() -> str:
     from ..ops.graph import kcore_oracle_sql
 
-    return kcore_oracle_sql(_supplier_und_cte(), k=6, iters=10, node_sql="supp_key")
+    return kcore_oracle_sql(_supplier_und_cte(), k=4, iters=10, node_sql="supp_key")
 
 
 @register("q_graph_kcore", None, family="graph")
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-core of the supplier co-supply graph: iterative peeling, one
+    """4-core of the supplier co-supply graph: iterative peeling, one
     degree agg + two node-set semi-joins per round
     (ops/graph.py::k_core). Hash-verified against an unrolled
     MATERIALIZED-CTE DuckDB peeling twin — integer-exact."""
     from ..ops.graph import k_core
 
     und = _supplier_graph_df(spark, sf_dir)
-    return k_core(und, k=6, src="a", dst="b").select(
+    return k_core(und, k=4, src="a", dst="b").select(
         F.col("node").cast("long").alias("supp_key"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
