@@ -550,12 +550,15 @@ def triangle_stats(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # only `und` is pinned: it cuts the (possibly corpus-scale) upstream
+    # lineage once, and every later frame recomputes from that pin —
+    # deg/oriented are edge-list-sized, so extra blocking checkpoint jobs
+    # cost more than their recomputation saves
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
@@ -569,7 +572,6 @@ def triangle_stats(
             F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .localCheckpoint(eager=True)
     )
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = (
