@@ -71,6 +71,7 @@ HEADLINE = [
     "q_dsir_select",
     "q_graph_triangles",
     "q_graph_kcore",
+    "q_graph_closeness",
 ]
 
 

@@ -323,6 +323,17 @@ def _pagerank(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _closeness(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import closeness_centrality
+
+    return closeness_centrality(
+        df,
+        src=a.get("src", "subj"),
+        dst=a.get("dst", "obj"),
+        weight=a.get("weight"),
+    )
+
+
 def _triangles(df: DataFrame, a: dict) -> DataFrame:
     from .ops.graph import triangle_stats
 
@@ -491,6 +502,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "communities": _communities,
     "pagerank": _pagerank,
     "eigenvector": _eigenvector,
+    "closeness": _closeness,
     "triangles": _triangles,
     "kcore": _kcore,
     "wgcna": _wgcna,

@@ -287,6 +287,49 @@ def _brandes_source(adj, s, weighted: bool):
             yield w, delta[w]
 
 
+def _collect_adjacency(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str | None,
+    max_broadcast_edges: int,
+    op_name: str,
+) -> dict:
+    """Collect the (dimension-sized) undirected edge list to the driver
+    behind an explicit gate and build sorted adjacency lists —
+    deterministic traversal order for every all-sources pass."""
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("s"),
+            F.col(dst).cast("string").alias("d"),
+            w_col.alias("w"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+    )
+    rows = e.limit(max_broadcast_edges + 1).collect()
+    if len(rows) > max_broadcast_edges:
+        raise ValueError(
+            f"{op_name}: edge list exceeds max_broadcast_edges="
+            f"{max_broadcast_edges}; apply a score cutoff first (the reference "
+            "does — viz.py:1099-1104) or raise the gate"
+        )
+    weighted = weight is not None
+    adj: dict = {}
+    for r in rows:
+        if weighted and not r["w"] > 0.0:
+            raise ValueError(f"{op_name}: weights must be > 0")
+        adj.setdefault(r["s"], {})[r["d"]] = min(
+            r["w"], adj.get(r["s"], {}).get(r["d"], float("inf"))
+        )
+        adj.setdefault(r["d"], {})[r["s"]] = min(
+            r["w"], adj.get(r["d"], {}).get(r["s"], float("inf"))
+        )
+    return {v: sorted(nbrs.items()) for v, nbrs in adj.items()}
+
+
 def betweenness_centrality(
     edges: DataFrame,
     src: str = "src",
@@ -324,37 +367,10 @@ def betweenness_centrality(
     Returns (node, betweenness), zero rows included. Verified against an
     independent all-shortest-paths-enumeration oracle plus closed-form
     star/path anchors in tests/test_ops.py."""
-    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = (
-        edges.select(
-            F.col(src).cast("string").alias("s"),
-            F.col(dst).cast("string").alias("d"),
-            w_col.alias("w"),
-        )
-        .filter(F.col("s") != F.col("d"))
-        .groupBy("s", "d")
-        .agg(F.min("w").alias("w"))
+    adj = _collect_adjacency(
+        edges, src, dst, weight, max_broadcast_edges, "betweenness_centrality"
     )
-    rows = e.limit(max_broadcast_edges + 1).collect()
-    if len(rows) > max_broadcast_edges:
-        raise ValueError(
-            f"betweenness_centrality: edge list exceeds max_broadcast_edges="
-            f"{max_broadcast_edges}; apply a score cutoff first (the reference "
-            "does — viz.py:1099-1104) or raise the gate"
-        )
     weighted = weight is not None
-    adj: dict = {}
-    for r in rows:
-        if weighted and not r["w"] > 0.0:
-            raise ValueError("betweenness_centrality: weights must be > 0")
-        adj.setdefault(r["s"], {})[r["d"]] = min(
-            r["w"], adj.get(r["s"], {}).get(r["d"], float("inf"))
-        )
-        adj.setdefault(r["d"], {})[r["s"]] = min(
-            r["w"], adj.get(r["d"], {}).get(r["s"], float("inf"))
-        )
-    # sorted neighbor lists: deterministic traversal order
-    adj = {v: sorted(nbrs.items()) for v, nbrs in adj.items()}
     n = len(adj)
     spark = edges.sparkSession
     nodes_df = spark.createDataFrame(
@@ -691,3 +707,146 @@ def kcore_oracle_sql(und_cte: str, k: int, iters: int = 8, node_sql: str = "term
     SELECT node AS {node_sql}, CAST(COUNT(*) AS BIGINT) AS core_degree
     FROM (SELECT a AS node FROM e{iters} UNION ALL SELECT b AS node FROM e{iters})
     GROUP BY node"""
+
+
+def _sssp_lengths(adj, s, weighted: bool) -> dict:
+    """Shortest-path lengths from one source (BFS / Dijkstra over the
+    broadcast adjacency) — the forward half of _brandes_source."""
+    if not weighted:
+        dist = {s: 0}
+        queue = deque([s])
+        while queue:
+            v = queue.popleft()
+            dv = dist[v]
+            for w, _wt in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dv + 1
+                    queue.append(w)
+        return dist
+    dist = {s: 0.0}
+    done: set = set()
+    heap = [(0.0, s)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if v in done:
+            continue
+        done.add(v)
+        for w, wt in adj.get(v, ()):
+            if w in done:
+                continue
+            nd = dv + wt
+            if w not in dist or nd < dist[w]:
+                dist[w] = nd
+                heapq.heappush(heap, (nd, w))
+    return dist
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    wf_improved: bool = True,
+    max_broadcast_edges: int = 2_000_000,
+) -> DataFrame:
+    """Closeness centrality of the undirected graph — the last of the
+    reference's nx node-centrality family (degree / eigenvector /
+    betweenness live alongside it in the network summaries,
+    viz.py:1127-1131, analytics.py:2273-2341).
+
+        C(v) = (r-1)/sum_u d(v,u) * (r-1)/(n-1)   [nx wf_improved default]
+
+    with r = |reachable from v| (self included) — the Wasserman-Faust
+    scaling keeps disconnected components comparable; ``wf_improved=
+    False`` drops the second factor (plain nx closeness(u, wf=False)).
+
+    Same scale shape as betweenness: topology broadcasts once behind the
+    ``max_broadcast_edges`` gate (dimension-sized after the reference's
+    own score cutoff), each node's single-source pass runs where its row
+    lands via ``mapInPandas`` (each source emits exactly its own final
+    (node, closeness) row — no aggregation shuffle at all), weighted mode
+    uses Dijkstra with nx's distance semantics.
+    """
+    adj = _collect_adjacency(
+        edges, src, dst, weight, max_broadcast_edges, "closeness_centrality"
+    )
+    weighted = weight is not None
+    n = len(adj)
+    spark = edges.sparkSession
+    nodes_df = spark.createDataFrame(
+        [(v,) for v in sorted(adj)], StructType([StructField("node", StringType(), False)])
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+    sources = nodes_df.repartition(min(max(n, 1), parallelism * 4))
+    bc_adj = spark.sparkContext.broadcast(adj)
+
+    def run_sources(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local_adj = bc_adj.value
+        out_nodes: list = []
+        out_vals: list = []
+        for pdf in batches:
+            for s in pdf["node"]:
+                dist = _sssp_lengths(local_adj, s, weighted)
+                r = len(dist)
+                tot = float(sum(dist.values()))
+                if r > 1 and tot > 0.0:
+                    c = (r - 1.0) / tot
+                    if wf_improved and n > 1:
+                        c *= (r - 1.0) / (n - 1.0)
+                else:
+                    c = 0.0
+                out_nodes.append(s)
+                out_vals.append(c)
+        yield pd.DataFrame(
+            {"node": pd.Series(out_nodes, dtype=object),
+             "closeness": pd.Series(out_vals, dtype=float)}
+        )
+
+    return sources.mapInPandas(
+        run_sources,
+        StructType(
+            [
+                StructField("node", StringType(), False),
+                StructField("closeness", DoubleType(), False),
+            ]
+        ),
+    )
+
+
+def closeness_oracle_sql(
+    und_cte: str, iters: int = 12, node_sql: str = "term_id"
+) -> str:
+    """Unrolled DuckDB twin of unweighted :func:`closeness_centrality`
+    (wf_improved): fixed-depth BFS level expansion — each level is the
+    min-distance aggregation of the previous level plus one edge hop.
+    ``und_cte`` must define ``und(a, b)`` (canonical distinct undirected
+    edges); ``iters`` must be >= the graph's diameter. MATERIALIZED at
+    every level (each references its predecessor twice)."""
+    parts = [
+        und_cte,
+        "sym AS MATERIALIZED (SELECT a AS s, b AS d FROM und "
+        "UNION SELECT b AS s, a AS d FROM und)",
+        "gnodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym)",
+        "p0 AS MATERIALIZED (SELECT node AS src, node AS dst, 0 AS dist FROM gnodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""p{i + 1} AS MATERIALIZED (
+              SELECT src, dst, MIN(dist) AS dist FROM (
+                SELECT src, dst, dist FROM p{i}
+                UNION ALL
+                SELECT p.src, e.d AS dst, p.dist + 1 AS dist
+                FROM p{i} p JOIN sym e ON p.dst = e.s
+              ) GROUP BY src, dst
+            )"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+    SELECT src AS {node_sql},
+           CAST(ROUND(CASE WHEN r > 1 AND sumd > 0
+                 THEN ((r - 1.0) / sumd) * ((r - 1.0) / (n - 1.0))
+                 ELSE 0.0 END, 6) AS DOUBLE) AS closeness
+    FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS r,
+                 CAST(SUM(dist) AS DOUBLE) AS sumd
+          FROM p{iters} GROUP BY src),
+         (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gnodes)"""

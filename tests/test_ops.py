@@ -1121,3 +1121,49 @@ def test_triangle_stats_deterministic_under_repartition(spark):
     r1 = sorted(map(tuple, triangle_stats(d1).collect()))
     r8 = sorted(map(tuple, triangle_stats(d8).collect()))
     assert r1 == r8
+
+
+def test_closeness_matches_python_reference(spark):
+    from collections import deque
+
+    from ckg_spark.ops.graph import closeness_centrality
+
+    edges = _seeded_graph(n=18, seed=3)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    exp = {}
+    for s in adj:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        r, tot = len(dist), sum(dist.values())
+        exp[s] = ((r - 1) / tot) * ((r - 1) / (n - 1)) if tot > 0 else 0.0
+
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    got = {r["node"]: r["closeness"] for r in closeness_centrality(df, "subj", "obj").collect()}
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12, (v, got[v], exp[v])
+
+
+def test_closeness_weighted_path_anchor(spark):
+    from ckg_spark.ops.graph import closeness_centrality
+
+    # path a -2- b -3- c: distances from a: {b:2, c:5}; wf factor 1
+    df = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 3.0)], ["subj", "obj", "w"]
+    )
+    got = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality(df, "subj", "obj", weight="w").collect()
+    }
+    assert abs(got["a"] - 2.0 / 7.0) < 1e-12
+    assert abs(got["b"] - 2.0 / 5.0) < 1e-12
