@@ -323,6 +323,12 @@ def _pagerank(df: DataFrame, a: dict) -> DataFrame:
     )
 
 
+def _graph_summary(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.graph import graph_summary
+
+    return graph_summary(df, src=a.get("src", "subj"), dst=a.get("dst", "obj"))
+
+
 def _closeness(df: DataFrame, a: dict) -> DataFrame:
     from .ops.graph import closeness_centrality
 
@@ -503,6 +509,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "pagerank": _pagerank,
     "eigenvector": _eigenvector,
     "closeness": _closeness,
+    "graph_summary": _graph_summary,
     "triangles": _triangles,
     "kcore": _kcore,
     "wgcna": _wgcna,

@@ -850,3 +850,65 @@ def closeness_oracle_sql(
                  CAST(SUM(dist) AS DOUBLE) AS sumd
           FROM p{iters} GROUP BY src),
          (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gnodes)"""
+
+
+def graph_summary(edges: DataFrame, src: str = "subj", dst: str = "obj") -> DataFrame:
+    """One-row global summary of the undirected graph: node/edge counts,
+    density, mean degree, global transitivity (3*triangles / wedges) and
+    degree assortativity (Pearson r of endpoint degrees over directed
+    edge ends, Newman 2002) — the distributed analog of the reference's
+    network-summary stats (nx density/transitivity feed get_network's
+    report header, viz.py:1099-1131, and the dbstats queries).
+
+    One triangle pass (reuses :func:`triangle_stats`) + two edge-list
+    aggregations; everything downstream of the canonical edge set is
+    dimension-sized column math.
+    """
+    ts = triangle_stats(edges, src, dst).localCheckpoint(eager=True)
+    base = ts.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / F.lit(2)).cast("long").alias("n_edges"),
+        F.avg("degree").alias("mean_degree"),
+        (F.sum("triangles") / F.lit(3)).cast("long").alias("n_triangles"),
+        F.sum(
+            (F.col("degree") * (F.col("degree") - F.lit(1)) / F.lit(2)).cast("double")
+        ).alias("n_wedges"),
+    )
+    # assortativity: join endpoint degrees onto BOTH directions of each
+    # edge, then one Pearson pass (corr is an exact single-pass aggregate)
+    deg = ts.select("node", "degree")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("dy"))
+    assort = (
+        both.join(da, "a")
+        .join(db, "b")
+        .agg(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")).alias("assortativity"))
+    )
+    return base.crossJoin(F.broadcast(assort)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_edges",
+        F.round(
+            F.col("n_edges") * F.lit(2.0)
+            / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - F.lit(1))),
+            6,
+        ).alias("density"),
+        F.round("mean_degree", 6).alias("mean_degree"),
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+        F.round("assortativity", 6).alias("assortativity"),
+    )

@@ -5184,3 +5184,52 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CATALOG["q_graph_closeness"].sql = _closeness_oracle()
+
+
+@register(
+    "q_graph_summary",
+    f"""
+    WITH {_supplier_und_cte()},
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.a AS x FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri FROM tri),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+             AVG(d) AS mean_degree,
+             SUM(d * (d - 1) / 2.0) AS n_wedges
+      FROM deg
+    ),
+    bidir AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    ass AS (
+      SELECT CORR(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)) AS r
+      FROM bidir JOIN deg da ON bidir.a = da.node JOIN deg db ON bidir.b = db.node
+    )
+    SELECT n_nodes, n_edges,
+           CAST(ROUND(n_edges * 2.0 / (n_nodes * (n_nodes - 1.0)), 6) AS DOUBLE) AS density,
+           CAST(ROUND(mean_degree, 6) AS DOUBLE) AS mean_degree,
+           n_tri AS n_triangles,
+           CAST(ROUND(CASE WHEN n_wedges > 0 THEN 3.0 * n_tri / n_wedges
+                 ELSE 0.0 END, 6) AS DOUBLE) AS transitivity,
+           CAST(ROUND(r, 6) AS DOUBLE) AS assortativity
+    FROM base, tcount, ass
+    """,
+    family="graph",
+)
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global network summary — density, mean degree, triangle count,
+    transitivity, degree assortativity — over the supplier co-supply
+    graph (the nx summary stats of the reference's get_network header,
+    viz.py:1099-1131, and the dbstats analogs). One triangle pass + two
+    edge aggregations (ops/graph.py::graph_summary)."""
+    from ..ops.graph import graph_summary
+
+    und = _supplier_graph_df(spark, sf_dir)
+    return graph_summary(und, "a", "b")

@@ -1167,3 +1167,41 @@ def test_closeness_weighted_path_anchor(spark):
     }
     assert abs(got["a"] - 2.0 / 7.0) < 1e-12
     assert abs(got["b"] - 2.0 / 5.0) < 1e-12
+
+
+def test_graph_summary_matches_python(spark):
+    from itertools import combinations
+
+    from ckg_spark.ops.graph import graph_summary
+
+    edges = _seeded_graph(n=16, seed=5)
+    eset = set(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    n, m = len(nodes), len(edges)
+    tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) / 2 for v in nodes)
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [len(adj[a]), len(adj[b])]
+        ys += [len(adj[b]), len(adj[a])]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (len(xs) - 1)
+    sx = (sum((x - mx) ** 2 for x in xs) / (len(xs) - 1)) ** 0.5
+    sy = (sum((y - my) ** 2 for y in ys) / (len(ys) - 1)) ** 0.5
+    exp_assort = cov / (sx * sy)
+
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    got = graph_summary(df).collect()[0]
+    assert got["n_nodes"] == n and got["n_edges"] == m
+    assert got["n_triangles"] == tri
+    assert abs(got["density"] - 2.0 * m / (n * (n - 1))) < 1e-6
+    assert abs(got["transitivity"] - 3.0 * tri / wedges) < 1e-6
+    assert abs(got["assortativity"] - exp_assort) < 1e-6
