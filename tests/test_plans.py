@@ -315,3 +315,16 @@ def test_lm_scoring_broadcasts_model_and_stays_jvm(spark):
     full = plan_of(CATALOG["q_lm_perplexity"].spark_fn(spark, SF_DIR))
     assert "EvalPython" not in full
     assert "CartesianProduct" not in full
+
+
+def test_graph_family_plans_stay_jvm(spark):
+    """Triangles / k-core / summary: pure JVM column math end-to-end —
+    no Python evaluator, no cartesian product. (Closeness is exempt from
+    the EvalPython assert: its per-source BFS fan-out IS a mapInPandas
+    by design, like betweenness.)"""
+    for q in ["q_graph_triangles", "q_graph_kcore", "q_graph_summary"]:
+        plan = plan_of(CATALOG[q].spark_fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    plan = plan_of(CATALOG["q_graph_closeness"].spark_fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
