@@ -27,13 +27,25 @@ def main() -> None:
     ap.add_argument("--eval-docs", help="holdout parquet (doc_id, text): engages decontamination")
     ap.add_argument("--dsir-target", help="target-corpus parquet (text): engages DSIR selection")
     ap.add_argument("--dsir-k", type=int, help="documents to keep in DSIR selection")
+    ap.add_argument(
+        "--local-cores", type=int, default=None,
+        help="run on local[N] with a timed report (scaling evidence mode; "
+        "normally the master comes from spark-submit)",
+    )
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    import time
 
     from ckg_spark.curate import CurationConfig, CurationPipeline
 
-    spark = SparkSession.builder.appName("ckg-spark-curate").getOrCreate()
+    if args.local_cores is not None:
+        from ckg_spark.session import get_spark
+
+        spark = get_spark("ckg-spark-curate", cores=args.local_cores)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("ckg-spark-curate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     docs = spark.read.parquet(args.docs)
@@ -45,11 +57,25 @@ def main() -> None:
         drop_ppl_bucket=None if args.no_lm_filter else "tail",
         dsir_k=args.dsir_k,
     )
+    if args.local_cores is not None:
+        # spin up the executor Python worker pool outside the timing —
+        # same convention as bench.py --kg-only
+        import pandas as _pd
+
+        spark.createDataFrame(_pd.DataFrame({"x": range(1000)})).mapInPandas(
+            lambda it: it, "x long"
+        ).selectExpr("sum(x)").collect()
+    n_input = docs.count()
+    t0 = time.perf_counter()
     stats = CurationPipeline(spark, args.warehouse, cfg).run(
         docs,
         eval_docs=spark.read.parquet(args.eval_docs) if args.eval_docs else None,
         dsir_target=spark.read.parquet(args.dsir_target) if args.dsir_target else None,
     )
+    elapsed = time.perf_counter() - t0
+    stats["n_input"] = n_input
+    stats["seconds"] = round(elapsed, 3)
+    stats["docs_per_sec"] = round(n_input / elapsed, 1)
     print(json.dumps(stats))
     spark.stop()
 
