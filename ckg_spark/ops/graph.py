@@ -627,7 +627,7 @@ def k_core(
     k: int,
     src: str = "subj",
     dst: str = "obj",
-    max_iterations: int = 30,
+    max_iterations: int = 100,
 ) -> DataFrame:
     """Nodes of the k-core (the maximal subgraph where every node has
     degree >= k), with their within-core degree — iterative peeling:
@@ -654,7 +654,10 @@ def k_core(
     )
     alive = und
     n_edges = alive.count()
+    converged = n_edges == 0
     for _ in range(max_iterations):
+        if converged:
+            break
         keep = (
             alive.select(F.col("a").alias("node"))
             .unionAll(alive.select(F.col("b").alias("node")))
@@ -670,9 +673,18 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         new_n = alive.count()
-        if new_n == n_edges:
-            break
+        if new_n == n_edges or new_n == 0:
+            converged = True
         n_edges = new_n
+    if not converged:
+        # a partial peel is WRONG (nodes below k are still present),
+        # not just slow — observed peel depths exceed 40 on skewed
+        # sparsified graphs; fail loudly instead
+        raise ValueError(
+            f"k_core(k={k}) did not converge within max_iterations="
+            f"{max_iterations}; raise the bound (each extra round is one "
+            "degree aggregation over the shrinking edge set)"
+        )
     return (
         alive.select(F.col("a").alias("node"))
         .unionAll(alive.select(F.col("b").alias("node")))
