@@ -9,9 +9,11 @@ top-k sampling == sampling without replacement proportional to the
 importance weights — Vieira 2014).
 
 Scale design:
-- the feature-ratio table is VOCABULARY-sized (bucketed to ``n_buckets``
-  when set — DSIR's hashing trick bounds it to a constant) and joins
-  into the document token stream as a BROADCAST: the corpus text never
+- the feature-ratio table joins into the document token stream as a
+  BROADCAST when ``n_buckets`` bounds it (DSIR's hashing trick — the
+  production path); the exact-string path's table is vocabulary-sized
+  (all unigrams+bigrams — unbounded), so it shuffle-joins the
+  (doc, feat) id stream instead. Either way the document TEXT never
   shuffles for scoring, exactly like ops/lm.py;
 - distribution fitting is two map-side-combined count aggregations;
 - selection is a TakeOrdered top-k (no global sort shuffle);
