@@ -72,6 +72,7 @@ HEADLINE = [
     "q_graph_triangles",
     "q_graph_kcore",
     "q_graph_closeness",
+    "q_graph_summary",
 ]
 
 
