@@ -78,12 +78,22 @@ def connected_components(
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id.
 
-    ``driver_max_edges`` gates the union-find short-circuit (one
-    limit-probe collect — cheaper than a single loop round, and for small
-    graphs it IS the only evaluation of the edge plan); pass 0 to force
-    the distributed min-label-propagation path."""
+    ``driver_max_edges`` gates the union-find short-circuit; pass 0 to
+    force the distributed min-label-propagation path.
+
+    The edge frame is pinned (localCheckpoint) BEFORE the size probe:
+    probing a raw plan through ``limit().collect()`` executes the final
+    stage incrementally (1 task, then 4, …, spark.sql.limit.scaleUpFactor)
+    — when the upstream is expensive (MinHash banding + Jaccard verify in
+    the near-dup pipelines), that serializes the whole computation
+    regardless of core count (measured: the curation near-dup stage
+    scaled 1.1x from 1 to 4 cores). The pin costs one fully-parallel
+    evaluation, the probe then reads materialized blocks, and both the
+    driver and distributed paths reuse the pin (the distributed path
+    checkpointed ``sym`` anyway)."""
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     if driver_max_edges:
-        probe = edges.select(src, dst).limit(driver_max_edges + 1).collect()
+        probe = edges.limit(driver_max_edges + 1).collect()
         if len(probe) <= driver_max_edges:
             return _driver_union_find(edges, probe, src)
     sym = (
