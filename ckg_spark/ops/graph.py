@@ -308,6 +308,12 @@ def _collect_adjacency(
         .filter(F.col("s") != F.col("d"))
         .groupBy("s", "d")
         .agg(F.min("w").alias("w"))
+        # pin before the limit-probe: CollectLimit over a raw plan runs
+        # the final stage incrementally (near-serial when the upstream —
+        # e.g. a co-mention pair expansion — is expensive); one parallel
+        # evaluation here, the probe reads materialized blocks (same
+        # lesson as canon/cc.py)
+        .localCheckpoint(eager=True)
     )
     rows = e.limit(max_broadcast_edges + 1).collect()
     if len(rows) > max_broadcast_edges:

@@ -391,6 +391,10 @@ def module_eigengenes(
     )
     rows = None
     if weights_path == "auto":
+        # pin before the limit-probe: CollectLimit over the raw TOM/corr
+        # plan would execute its final stage incrementally (near-serial
+        # on an expensive upstream — same lesson as canon/cc.py)
+        medges = medges.localCheckpoint(eager=True)
         probe = medges.limit(driver_max_edges + 1).collect()
         if len(probe) <= driver_max_edges:
             weights_path, rows = "driver", probe  # probe WAS the evaluation
