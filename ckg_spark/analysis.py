@@ -8,9 +8,11 @@ Differences from the reference, by design:
 
 - every dispatched operator is a DISTRIBUTED DataFrame plan (the
   reference collects to pandas/scipy); results come back as DataFrames.
-- driver-side-only analyses (tsne, umap, mapper, SAMR, WGCNA) are not
+- driver-side-only analyses (tsne, umap, mapper, SAMR) are not
   dispatched — `SUPPORTED` is the contract. The reference's own
   factory silently no-ops unknown types; here unknown types raise.
+  (WGCNA, originally in this list, gained a distributed module-detection
+  stand-in — see ``_wgcna`` / ops/wgcna.py.)
 
 Data conventions per analysis type are documented in each handler;
 long-format column names arrive via ``args`` exactly like the
