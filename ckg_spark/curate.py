@@ -125,16 +125,22 @@ class CurationPipeline:
         else:
             df, fp_prev = docs, fp0
 
-        # 2. exact dedup: drop every byte-identical copy except the min id
+        # 2. exact dedup: drop every byte-identical copy except the min id.
+        # No broadcast hints: dup groups and losers are CORPUS-proportional
+        # (recrawl-heavy web data is ~half duplicates — id frames alone are
+        # terabytes at 10^12 docs), so the strategy must be AQE's runtime
+        # size decision, not a forced broadcast. Both pre-join frames are
+        # 2-column id projections — the text bytes cross exactly one
+        # Exchange (the final anti-join), same as a window-keeper plan.
         def _exact():
             groups = exact_dup_groups(df, "doc_id", "text")
             losers = (
                 df.select("doc_id", F.md5("text").alias("content_hash"))
-                .join(F.broadcast(groups), "content_hash")
+                .join(groups, "content_hash")
                 .filter(F.col("doc_id") != F.col("keeper_id"))
                 .select("doc_id")
             )
-            return df.join(F.broadcast(losers), "doc_id", "left_anti"), None
+            return df.join(losers, "doc_id", "left_anti"), None
 
         fp_ex = _fingerprint("curate_exact_dedup", {}, fp_prev)
         df, sk = self._stage("curate_exact_dedup", fp_ex, "cur_exact_dedup", _exact)
@@ -230,10 +236,12 @@ class CurationPipeline:
                 df, "doc_id", "text", jaccard_threshold=cfg.neardup_jaccard
             )
             comp = connected_components(pairs, src="key_a", dst="key_b")
+            # losers scale with the corpus' near-dup mass — AQE decides
+            # whether the anti-join broadcasts (same rationale as _exact)
             losers = comp.filter(F.col("node") != F.col("component")).select(
                 F.col("node").alias("doc_id")
             )
-            return df.join(F.broadcast(losers), "doc_id", "left_anti"), None
+            return df.join(losers, "doc_id", "left_anti"), None
 
         fp_nd = _fingerprint("curate_neardup", {"j": cfg.neardup_jaccard}, fp_lm)
         df, sk = self._stage("curate_neardup", fp_nd, "cur_neardup", _neardup)
@@ -256,12 +264,14 @@ class CurationPipeline:
                 pairs = ngram_overlap_split(
                     tagged, "doc_id", "text", F.col("is_eval"), n=cfg.contam_ngram
                 )
+                # dirty is usually tiny (docs leaking eval content) but is
+                # unbounded in the adversarial case — AQE decides
                 dirty = (
                     pairs.filter(F.col("n_shared") >= cfg.contam_min_shared)
                     .select(F.col("left_id").alias("doc_id"))
                     .distinct()
                 )
-                return df.join(F.broadcast(dirty), "doc_id", "left_anti"), None
+                return df.join(dirty, "doc_id", "left_anti"), None
 
             fp_ct = _fingerprint(
                 "curate_contam",
@@ -283,7 +293,12 @@ class CurationPipeline:
                 chosen = dsir_select(weighted, k=cfg.dsir_k).select(
                     F.col("doc").alias("doc_id"), "log_w"
                 )
-                return df.join(F.broadcast(chosen), "doc_id"), None
+                # chosen is exactly k id rows — broadcast only when k is
+                # provably broadcast-sized (a selection of a 100 TB corpus
+                # can be billions of keepers); otherwise AQE decides
+                if cfg.dsir_k <= 4_000_000:
+                    chosen = F.broadcast(chosen)
+                return df.join(chosen, "doc_id"), None
 
             fp_ds = _fingerprint(
                 "curate_dsir",

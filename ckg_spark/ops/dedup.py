@@ -331,13 +331,17 @@ def remove_repeated_spans(
         .select("h")
     )
     # ONE pass over the span stream for removal + reconstruction + counts:
-    # a broadcast LEFT join flags repeated spans, then a single per-doc
-    # aggregation rebuilds the text from unflagged spans (null-idx structs
-    # sort last and are dropped by the filter inside the transform) and
-    # counts both totals and removals. The anti-join + separate totals
-    # spelling would scan the exploded corpus twice more.
+    # a LEFT join flags repeated spans, then a single per-doc aggregation
+    # rebuilds the text from unflagged spans (null-idx structs sort last
+    # and are dropped by the filter inside the transform) and counts both
+    # totals and removals. The anti-join + separate totals spelling would
+    # scan the exploded corpus twice more. No forced broadcast: the
+    # repeated-span table is CORPUS-proportional at crawl scale (shared
+    # boilerplate across a 10^12-doc crawl is billions of distinct spans)
+    # — AQE broadcasts it at runtime when it is actually small, and the
+    # join degrades to a hash shuffle (correct, bounded) when it is not.
     flagged = spans.withColumn("h", h).join(
-        F.broadcast(rep.withColumn("_rep", F.lit(True))), "h", "left"
+        rep.withColumn("_rep", F.lit(True)), "h", "left"
     )
     is_kept = F.col("_rep").isNull()
     rebuilt = flagged.groupBy("doc").agg(

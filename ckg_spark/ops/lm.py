@@ -59,8 +59,9 @@ def ngram_model(
     cc is the context count — occurrences of ``prev`` as a bigram
     context (which also gives the BOS context = number of documents
     without a separate pass). ``min_count`` prunes rare bigrams (the
-    broadcast-size knob); unigrams are kept in full (vocabulary is
-    dimension-sized by construction of the tokenizer)."""
+    model-size knob); unigrams are kept in full. Neither table is forced
+    to broadcast downstream — a self-trained crawl-scale vocabulary is
+    corpus-proportional (see lm_perplexity)."""
     pairs = _pairs(_tokens(docs, text_col), id_col)
     # ONE corpus pass: the full bigram table determines everything else —
     # every token occurrence appears exactly once as `tok` in the pair
@@ -99,9 +100,15 @@ def lm_perplexity(
     Returns (doc, n_tokens, avg_logprob, ppl)."""
     uni, bi, tot = ngram_model(model_docs or docs, text_col, id_col, min_count)
     pairs = _pairs(_tokens(docs, text_col), id_col)
+    # No forced broadcast on the model tables: a SELF-trained model over a
+    # web crawl has corpus-proportional vocab (heavy-tailed token space —
+    # billions of distinct unigrams at 10^12 docs), so AQE decides at
+    # runtime. The CCNet deployment trains on a bounded reference corpus
+    # (pass ``model_docs``), which keeps both tables broadcast-sized and
+    # AQE picks the broadcast automatically.
     scored = (
-        pairs.join(F.broadcast(bi), ["prev", "tok"], "left")
-        .join(F.broadcast(uni), "tok", "left")
+        pairs.join(bi, ["prev", "tok"], "left")
+        .join(uni, "tok", "left")
         .crossJoin(F.broadcast(tot))
     )
     p = F.when(

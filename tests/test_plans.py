@@ -295,11 +295,11 @@ def test_wgcna_plans_stay_jvm_and_broadcast(spark):
 
 
 def test_lm_scoring_broadcasts_model_and_stays_jvm(spark):
-    """LM perplexity: the model tables join into the scored token stream
-    as BROADCASTs (the corpus text must never shuffle for scoring), the
-    tokenizer/ln math is JVM-side, and the only SortMergeJoin-free plan
-    holds — scoring-side shuffles are the model-count aggregations plus
-    the per-doc combine."""
+    """LM perplexity: the model-table joins are NOT hint-forced (a
+    self-trained crawl-scale vocabulary is corpus-proportional, so the
+    strategy must be AQE's runtime size decision) — but when the model IS
+    small, AQE's FINAL plan must still pick broadcasts so the scored
+    token stream never shuffles; the tokenizer/ln math is JVM-side."""
     from ckg_spark.ops import lm
 
     # the catalog query localCheckpoints the scored frame before
@@ -307,11 +307,13 @@ def test_lm_scoring_broadcasts_model_and_stays_jvm(spark):
     # truncates its visible plan — assert the join strategy on the
     # scoring frame itself
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    plan = plan_of(lm.lm_perplexity(docs, "text", "doc_id"))
-    assert "EvalPython" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    scored = lm.lm_perplexity(docs, "text", "doc_id")
+    assert "EvalPython" not in plan_of(scored)
+    scored.collect()  # finalize the adaptive plan
+    final = plan_of(scored)
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
     full = plan_of(CATALOG["q_lm_perplexity"].spark_fn(spark, SF_DIR))
     assert "EvalPython" not in full
     assert "CartesianProduct" not in full
