@@ -104,13 +104,35 @@ def minhash_dup_candidates(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard:
-    (key_a, key_b, jaccard). Shuffles: band bucket join + the verify join."""
-    # materialize shingles + signatures before the self-joins: each join
-    # branch would otherwise recompute the shingling/UDF stages
-    sh = word_shingles(docs, id_col, text_col, shingle_n).localCheckpoint()
-    sigs = minhash_signatures(sh, "key", "shingles", num_hashes=num_hashes).localCheckpoint()
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
-    return verify_jaccard(cands, sh, jaccard_threshold)
+    (key_a, key_b, jaccard). Shuffles: band bucket join + the verify join.
+
+    Corpus-pass budget: ONE fused narrow pass computes shingles and
+    signatures together (the shingle arrays — ~3x the text bytes — are
+    never materialized or stored for the full corpus); exact-Jaccard
+    verification re-shingles only the documents that appear in a candidate
+    pair (semi-join on the candidate keys), which is the near-dup mass,
+    not the corpus. The previous shape localCheckpointed full-corpus
+    shingles and joined candidates against them — storing and probing a
+    frame 3x the corpus size to verify a handful of pairs."""
+    kt = docs.select(
+        F.col(id_col).cast("string").alias("key"), F.col(text_col).alias("__text__")
+    ).localCheckpoint()
+    sigs = minhash_signatures(
+        word_shingles(kt, "key", "__text__", shingle_n),
+        "key", "shingles", num_hashes=num_hashes,
+    ).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_hashes // bands
+    ).localCheckpoint()
+    cand_keys = (
+        cands.select(F.col("key_a").alias("key"))
+        .union(cands.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    sh_cand = word_shingles(
+        kt.join(cand_keys, "key", "left_semi"), "key", "__text__", shingle_n
+    )
+    return verify_jaccard(cands, sh_cand, jaccard_threshold)
 
 
 def verify_jaccard(pairs: DataFrame, keyed_sets: DataFrame, threshold: float) -> DataFrame:
