@@ -29,6 +29,7 @@ tables.
 
 from __future__ import annotations
 
+import time
 from dataclasses import asdict, dataclass
 from typing import Any
 
@@ -42,7 +43,7 @@ from .ops.curation import assign_split, ngram_overlap_split, pack_greedy
 from .ops.dedup import exact_dup_groups, minhash_dup_candidates, remove_repeated_spans
 from .ops.dsir import dsir_select, importance_weights
 from .ops.scrub import scrub_pii
-from .ops.textstats import quality_score, token_count
+from .ops.textstats import quality_keep, with_quality_stats
 from .pipeline import Checkpoints, _fingerprint, run_stage
 
 
@@ -78,9 +79,21 @@ class CurationPipeline:
         self.wh = Warehouse(warehouse_root)
         self.ckpt = Checkpoints(self.wh)
         self.cfg = cfg or CurationConfig()
+        # wall seconds per stage (snapshot write included) — the scaling
+        # harness reads these to attribute the 1-vs-4-core gap to a stage
+        self.stage_seconds: dict[str, float] = {}
 
     def _stage(self, name, fp, table, compute):
-        return run_stage(self.spark, self.wh, self.ckpt, name, fp, table, compute)
+        t0 = time.perf_counter()
+        # tag every job with the curation stage so event logs / the UI can
+        # attribute task time to a stage (the scaling harness reads this)
+        self.spark.sparkContext.setJobGroup(name, name)
+        try:
+            out = run_stage(self.spark, self.wh, self.ckpt, name, fp, table, compute)
+        finally:
+            self.spark.sparkContext.setJobGroup("", "")
+        self.stage_seconds[name] = round(time.perf_counter() - t0, 3)
+        return out
 
     def run(
         self,
@@ -193,18 +206,19 @@ class CurationPipeline:
         df, sk = self._stage("curate_span_dedup", fp_sp, "cur_span_dedup", _span)
         df = record("span_dedup", df, sk)
 
-        # 5. heuristic quality gate: language, length, quality score
+        # 5. heuristic quality gate: language, length, quality score —
+        # single-tokenization shape (with_quality_stats): the Column-per-stat
+        # spelling split the text ~7x per row and was 3.4x the stage CPU
         def _quality():
-            out = df.withColumn("n_tokens", token_count(F.col("text"))).withColumn(
-                "quality", F.round(quality_score(F.col("text")), 6)
-            )
+            out = with_quality_stats(df, "text")
             if cfg.lang is not None and "lang" in df.columns:
                 out = out.filter(F.col("lang") == cfg.lang)
+            # one-pass predicate (quality_keep): filtering on the projected
+            # stats columns gets pushed below the projection with the full
+            # expression trees substituted in — ~5 tokenizations per input
+            # row; this stays a single split + array pass per row
             return (
-                out.filter(
-                    (F.col("n_tokens") >= cfg.min_tokens)
-                    & (F.col("quality") >= cfg.min_quality)
-                ),
+                out.filter(quality_keep(F.col("text"), cfg.min_tokens, cfg.min_quality)),
                 None,
             )
 
@@ -338,4 +352,5 @@ class CurationPipeline:
         df, sk = self._stage("curate_split_pack", fp_fin, "curated_documents", _split_pack)
         df = record("split_pack", df, sk)
         stats["n_curated"] = stats["rows"]["split_pack"]
+        stats["stage_seconds"] = dict(self.stage_seconds)
         return stats

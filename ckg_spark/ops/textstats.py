@@ -76,15 +76,118 @@ def quality_score(text_col: Column) -> Column:
     )
 
 
+def with_quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    n_tokens_col: str = "n_tokens",
+    quality_col: str = "quality",
+    extras: bool = False,
+) -> DataFrame:
+    """Adds ``n_tokens`` + ``quality`` (and with ``extras`` also rounded
+    ``punct_ratio``/``stopword_ratio``) in ONE tokenization pass.
+
+    The Column-expression spellings (`token_count(t)`, `quality_score(t)`)
+    re-evaluate the tokenizing regex split per use: higher-order functions
+    are interpreted (no whole-stage-codegen subexpression elimination), so
+    a projection combining them splits the text ~7x per row — measured at
+    3.4x the stage CPU of this single-pass shape on the 120k-doc curation
+    corpus. Projecting the token array into a real column first (the
+    HOF-CSE rule from BENCH.md's optimization log) makes every statistic
+    read one materialized array. Values are bit-identical to the Column
+    versions — the arithmetic and rounding order are unchanged.
+    """
+    t = F.col(text_col)
+    words = STOPWORDS[lang]
+    toks, n_c, hits_c, wl_c = "__qs_toks", "__qs_n", "__qs_hits", "__qs_wl"
+    out = df.withColumn(toks, tokens_col(t))
+    tk = F.col(toks)
+    out = (
+        out.withColumn(n_c, F.size(tk))
+        .withColumn(hits_c, F.size(F.filter(tk, lambda x: x.isin(words))))
+        .withColumn(
+            wl_c, F.aggregate(F.transform(tk, F.length), F.lit(0), lambda a, x: a + x)
+        )
+    )
+    denom = F.greatest(F.col(n_c), F.lit(1))
+    stop_ratio = F.col(hits_c) / denom
+    mwl = F.col(wl_c) / denom
+    pr = punct_ratio(t)  # length math only — no tokenization
+    quality = F.round(
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.5) * (F.lit(1.0) - pr)
+        - F.when(mwl > 12, 0.25).otherwise(0.0),
+        6,
+    )
+    out = out.withColumn(n_tokens_col, F.col(n_c)).withColumn(quality_col, quality)
+    if extras:
+        out = out.withColumn("punct_ratio", F.round(pr, 6)).withColumn(
+            "stopword_ratio", F.round(stop_ratio, 6)
+        )
+    return out.drop(toks, n_c, hits_c, wl_c)
+
+
+def quality_keep(
+    text_col: Column, min_tokens: int, min_quality: float, lang: str = "en"
+) -> Column:
+    """One-pass keep predicate, row-for-row equal to
+    ``(token_count(t) >= min_tokens) & (quality_score(t) >= min_quality)``.
+
+    A predicate spelled over projected stats columns gets alias-substituted
+    and pushed below the projection by Catalyst (PushPredicateThroughNonJoin
+    has no cost model), so the pushed filter re-tokenizes the text ~5x per
+    input row. This spelling folds tokenize + count + stopword hits + word
+    lengths into ONE ``F.aggregate`` whose finish lambda emits the boolean —
+    a single split + single array pass per row wherever the optimizer moves
+    it. Arithmetic and rounding match quality_score exactly.
+    """
+    words = STOPWORDS[lang]
+    toks = tokens_col(text_col)
+    zero = F.struct(
+        F.lit(0).alias("n"), F.lit(0).alias("hits"), F.lit(0).alias("wl")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        return F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            (acc["hits"] + F.when(x.isin(words), 1).otherwise(0)).alias("hits"),
+            (acc["wl"] + F.length(x)).alias("wl"),
+        )
+
+    pr = punct_ratio(text_col)  # length math only — evaluated once in finish
+
+    def finish(acc: Column) -> Column:
+        denom = F.greatest(acc["n"], F.lit(1))
+        q = F.round(
+            F.lit(0.5) * (acc["hits"] / denom)
+            + F.lit(0.5) * (F.lit(1.0) - pr)
+            - F.when((acc["wl"] / denom) > 12, 0.25).otherwise(0.0),
+            6,
+        )
+        return (acc["n"] >= F.lit(min_tokens)) & (q >= F.lit(min_quality))
+
+    return F.aggregate(toks, zero, merge, finish)
+
+
 def langid_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: per-language hit ratios + argmax.
     (doc_id, score_en, score_de, score_fr, score_es, pred_lang).
-    Ties break alphabetically — fully deterministic."""
-    out = docs.select(F.col(id_col), F.col(text_col))
+    Ties break alphabetically — fully deterministic. Tokenizes ONCE —
+    the per-language Column spelling re-split the text 8x per row
+    (interpreted HOFs get no codegen CSE)."""
+    toks = "__li_toks"
+    out = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias(toks)
+    )
+    tk = F.col(toks)
+    denom = F.greatest(F.size(tk), F.lit(1))
+    def _hit_filter(words):  # factory: a 2-arg lambda would be (elem, INDEX)
+        return lambda t: t.isin(words)
+
     score_cols = []
     for lang in sorted(STOPWORDS):
-        c = F.round(stopword_ratio(F.col(text_col), lang), 6).alias(f"score_{lang}")
-        score_cols.append(c)
+        hits = F.size(F.filter(tk, _hit_filter(STOPWORDS[lang])))
+        score_cols.append(F.round(hits / denom, 6).alias(f"score_{lang}"))
     scored = out.select(id_col, *score_cols)
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
@@ -110,15 +213,18 @@ def fingerprint(text_col: Column) -> Column:
 
 def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per doc: tokens, chars, punct/stopword ratios, quality,
-    fingerprint. Single narrow projection — no shuffle."""
+    fingerprint. Single narrow projection — no shuffle; tokenizes once
+    (with_quality_stats), not once per statistic."""
     t = F.col(text_col)
-    return docs.select(
+    return with_quality_stats(
+        docs.select(F.col(id_col), F.col(text_col)), text_col, extras=True
+    ).select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
+        "n_tokens",
         F.length(t).alias("n_chars"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
         fingerprint(t).alias("fingerprint"),
     )
 

@@ -890,13 +890,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring (stopword/punct/word-length heuristics),
     entirely JVM-side column math (SURVEY.md training-data ops)."""
     docs = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    # single-tokenization shape: the per-stat Column spelling re-splits the
+    # text per use (HOFs are interpreted — no codegen CSE); values identical
+    return textstats.with_quality_stats(docs, "text", extras=True).select(
         "doc_id",
-        textstats.token_count(t).cast("long").alias("n_tokens"),
-        F.round(textstats.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(textstats.stopword_ratio(t), 6).alias("stopword_ratio"),
-        textstats.quality_score(t).alias("quality"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
     )
 
 
