@@ -42,7 +42,7 @@ from .ops import lm
 from .ops.curation import assign_split, ngram_overlap_split, pack_greedy
 from .ops.dedup import exact_dup_groups, minhash_dup_candidates, remove_repeated_spans
 from .ops.dsir import dsir_select, importance_weights
-from .ops.scrub import scrub_pii
+from .ops.scrub import pii_columns
 from .ops.textstats import quality_keep, with_quality_stats
 from .pipeline import Checkpoints, _fingerprint, run_stage
 
@@ -162,15 +162,18 @@ class CurationPipeline:
         # 3. PII scrub FIRST (the regexes need raw punctuation; the
         # token-window span rebuild below is lossy normalization — it
         # tokenizes away '@' and dots, so scrubbing after it would miss
-        # every address)
+        # every address). NARROW projection (ops/scrub.pii_columns) — the
+        # earlier scrub-frame-join-back spelling shuffled the corpus text
+        # at crawl scale where the non-text side outgrows a broadcast.
         def _pii():
-            scrubbed = scrub_pii(df, "text", "doc_id").withColumnRenamed("doc", "doc_id")
-            rest = df.drop("text")
+            cols = pii_columns(F.col("text"))
+            rest = [c for c in df.columns if c not in ("doc_id", "text")]
             return (
-                scrubbed.join(rest, "doc_id").select(
-                    "doc_id", F.col("clean_text").alias("text"),
-                    *[c for c in rest.columns if c != "doc_id"],
-                    "n_emails", "n_ips", "n_phones",
+                df.select(
+                    "doc_id", cols["clean_text"].alias("text"), *rest,
+                    cols["n_emails"].alias("n_emails"),
+                    cols["n_ips"].alias("n_ips"),
+                    cols["n_phones"].alias("n_phones"),
                 ),
                 None,
             )

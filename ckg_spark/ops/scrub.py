@@ -35,22 +35,36 @@ def scrub_text(text: Column) -> Column:
     return out
 
 
-def scrub_pii(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc, clean_text, n_emails, n_ips, n_phones): redacted text plus
-    per-kind match counts. Counts are taken pass-by-pass on the
-    PROGRESSIVELY scrubbed text (an email is counted once as an email,
-    never again as a phone) — same order as the replacements."""
-    t0 = F.col(text_col)
-    after_email = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+def pii_columns(text: Column) -> dict[str, Column]:
+    """The scrub as plain Columns — (clean_text, n_emails, n_ips,
+    n_phones) — so callers carrying other columns (curate's PII stage)
+    stay a NARROW projection instead of joining a scrub frame back on
+    doc id (at crawl scale that join shuffles the text twice; locally
+    AQE broadcasts, but the plan shape must not depend on it). Counts
+    are taken pass-by-pass on the PROGRESSIVELY scrubbed text (an email
+    is counted once as an email, never again as a phone) — same order
+    as the replacements. ``regexp_count`` instead of
+    ``size(regexp_extract_all(...))``: identical non-overlapping match
+    counts without materializing an array of matched substrings per row
+    (the scrub runs on every input document — allocation is the scaling
+    cost on a shared-memory-bandwidth host)."""
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    return {
+        "clean_text": F.regexp_replace(after_ip, PHONE_RE, "<PHONE>"),
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)).cast("bigint"),
+        "n_ips": F.regexp_count(after_email, F.lit(IPV4_RE)).cast("bigint"),
+        "n_phones": F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("bigint"),
+    }
+
+
+def scrub_pii(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, clean_text, n_emails, n_ips, n_phones) — see pii_columns."""
+    cols = pii_columns(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc"),
-        F.regexp_replace(after_ip, PHONE_RE, "<PHONE>").alias("clean_text"),
-        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0))
-        .cast("bigint")
-        .alias("n_ips"),
-        F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0))
-        .cast("bigint")
-        .alias("n_phones"),
+        cols["clean_text"].alias("clean_text"),
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
     )

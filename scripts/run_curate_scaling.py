@@ -121,6 +121,17 @@ def main() -> None:
             f"\nCuration scaling efficiency ({lo} -> {hi} cores): **{eff:.3f}** "
             f"(median-based {med_eff:.3f})\n"
         )
+        if best_lo.get("stage_seconds") and best_hi.get("stage_seconds"):
+            f.write("\nPer-stage (best trials, seconds @lo / @hi / speedup): ")
+            parts = []
+            for st, s_lo in best_lo["stage_seconds"].items():
+                s_hi = best_hi["stage_seconds"].get(st)
+                if s_hi:
+                    parts.append(
+                        f"{st.removeprefix('curate_')} {s_lo}/{s_hi}/"
+                        f"{s_lo / s_hi:.2f}x"
+                    )
+            f.write(", ".join(parts) + "\n")
 
 
 if __name__ == "__main__":
