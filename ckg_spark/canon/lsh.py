@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime); a_i*x + c_i < 2^62
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The affine-permutation family's (a_i, c_i), fixed-seed — shared by
+    the JVM signature path below and the numpy corpus path in ops/dedup
+    so both produce bit-identical signatures over the same bases."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
@@ -92,11 +107,8 @@ def minhash_signatures(
     order-insensitive) — the recall-1.0 property downstream exact verifiers
     rely on. Empty/null token arrays sign as all-zeros.
     """
-    import random
-
-    p = 2147483647  # 2^31 - 1 (Mersenne prime); a_i*x + c_i < 2^62
-    rng = random.Random(0x5EED)
-    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    p = MINHASH_P
+    coeffs = minhash_coeffs(num_hashes)
     toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
     bases = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
     with_bases = items.select(F.col(key_col).alias("key"), bases.alias("__bases__"))

