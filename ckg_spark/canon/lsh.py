@@ -68,11 +68,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """items(key, tokens: array<string>) -> (key, signature: array<long>).
 
-    Fully JVM-side: hash family i is ``xxhash64(concat('<i>|', token))``;
-    sig[i] = min over the tokens. A narrow map with zero shuffles and zero
-    Python — the previous pandas-UDF version spent the whole stage in
-    per-byte FNV hashing in Python (the classic UDF-in-the-hot-path trap;
-    SURVEY.md §4).
+    Fully JVM-side: one ``xxhash64`` base per token, then hash family i is
+    the affine permutation ``h_i(x) = (a_i*x + c_i) mod p`` over the base
+    (details below); sig[i] = min over the tokens. A narrow map with zero
+    shuffles and zero Python — the previous pandas-UDF version spent the
+    whole stage in per-byte FNV hashing in Python (the classic
+    UDF-in-the-hot-path trap; SURVEY.md §4).
 
     The family MUST actually reorder tokens independently per i. Two
     traps, both caught by the planted-near-dup recall gate in

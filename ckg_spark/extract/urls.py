@@ -41,11 +41,16 @@ def canonical_url(url: Column) -> Column:
     u = F.when(head == "", u).otherwise(F.concat(head, rest))
     # 2. fragment
     u = F.regexp_replace(u, r"#.*$", "")
-    # 3. tracking params: mid-query (keep the joiner), then leading/trailing
-    u = F.regexp_replace(u, rf"([?&]){_TRACKING}=[^&#]*&", "$1")
-    u = F.regexp_replace(u, rf"[?&]{_TRACKING}=[^&#]*$", "")
+    # 3. tracking params: the lookbehind keeps the preceding delimiter OUT
+    #    of the match (a pattern that consumed the '&' joiner made the
+    #    scanner resume past the next param, so the second of two adjacent
+    #    tracking params survived and permuted recrawl urls got different
+    #    canonical ids); each match eats its own trailing '&' when present
+    u = F.regexp_replace(u, rf"(?<=[?&]){_TRACKING}=[^&#]*&?", "")
     # a query that now starts with '&' lost its first param: promote to '?'
     u = F.regexp_replace(u, r"\?&", "?")
+    # stripping the last param can leave a trailing delimiter
+    u = F.regexp_replace(u, r"[?&]+$", "")
     # 4. default ports
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(?=[/?#]|$)", "$1")
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(?=[/?#]|$)", "$1")

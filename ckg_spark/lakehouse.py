@@ -212,9 +212,21 @@ class Table:
         ``prune_on ⊆ key_cols`` (same key ⇒ same prune value, so dropping
         other partitions cannot lose a match)."""
         staged = df if assume_unique else df.dropDuplicates(key_cols)
+        cached = None
         if self.exists():
+            if prune_on:
+                # the staged batch feeds two jobs (distinct prune values,
+                # then the anti-join+append) — persist so the second doesn't
+                # recompute its lineage; jobs are sequential, so persist
+                # (not localCheckpoint) is safe. Released below: repeated
+                # incremental merges must not accumulate cached blocks.
+                cached = staged = staged.persist()
             staged = self._absent_only(spark, staged, key_cols, prune_on)
-        return self.append(staged, partition_by=partition_by, meta=meta)
+        try:
+            return self.append(staged, partition_by=partition_by, meta=meta)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
     def _absent_only(
         self,
@@ -235,11 +247,10 @@ class Table:
                 raise ValueError(
                     f"prune_on columns must be merge keys, got extra {sorted(missing)}"
                 )
-            # the staged batch feeds two jobs (distinct prune values, then
-            # the anti-join+append) — persist so the second doesn't
-            # recompute its lineage; jobs are sequential, so persist (not
-            # localCheckpoint) is safe here
-            staged = staged.persist()
+            # caching for the two jobs this frame feeds (distinct prune
+            # values, then the anti-join+append) is the CALLER's job —
+            # merge_insert_absent persists around this call and unpersists
+            # after the append, so merges don't leak cached blocks
             for col in prune_on:
                 vals = [r[0] for r in staged.select(col).distinct().collect()]
                 current = current.filter(F.col(col).isin(vals))

@@ -208,6 +208,7 @@ def boruvka_mst(
     )
     forest = e.filter(F.lit(False)).localCheckpoint(eager=True)  # empty, same schema
     labels = nodes.withColumn("label", F.col("node"))
+    converged = False
     for _ in range(max_rounds):
         la = labels.select(F.col("node").alias("a"), F.col("label").alias("ca"))
         lb = labels.select(F.col("node").alias("b"), F.col("label").alias("cb"))
@@ -228,6 +229,7 @@ def boruvka_mst(
             .dropDuplicates(["a", "b"])
         )
         if picked.isEmpty():
+            converged = True
             break
         forest = forest.unionByName(picked).localCheckpoint(eager=True)
         labels = connected_components(forest, src="a", dst="b").select(
@@ -238,6 +240,15 @@ def boruvka_mst(
             nodes.join(labels, "node", "left")
             .select("node", F.coalesce(F.col("label"), F.col("node")).alias("label"))
             .localCheckpoint(eager=True)
+        )
+    if not converged:
+        # a partial forest is WRONG (downstream single-linkage clusters /
+        # dendrograms silently change), not just slow — same contract as
+        # ops/graph.k_core. Boruvka halves components per round, so
+        # max_rounds=20 covers 2^20 components; raise rather than return.
+        raise RuntimeError(
+            f"boruvka_mst did not converge in {max_rounds} rounds; "
+            "crossing edges remain — raise max_rounds"
         )
     return forest.select(
         F.col("a").alias(src), F.col("b").alias(dst), F.col("w").alias(dist)

@@ -377,8 +377,13 @@ def remove_repeated_spans(
     counting — the contamination-screen trick); the repeated-span set is
     boilerplate-bounded and joins back as a BROADCAST anti-join; the one
     corpus-scale shuffle is the per-document reconstruction aggregation,
-    ordered by span index (explicit total order). Documents whose every
-    span is boilerplate survive with empty text (left join, not inner).
+    ordered by span index (explicit total order). EVERY input document
+    appears in the output: docs whose every span is boilerplate survive
+    with empty text, and docs that yield no qualifying spans at all
+    (non-Latin text in token_windows mode, all-blank/empty text) survive
+    with empty text and zero counts via an explode_outer sentinel row —
+    dropping them here would silently delete them from any pipeline that
+    joins on the result (curate's span stage does exactly that).
 
     Returns (doc, clean_text, n_spans, n_removed).
     """
@@ -390,8 +395,15 @@ def remove_repeated_spans(
     # INDEX (an int sequence) and each span string is computed once per
     # output row from the carried token/line array.
     if mode == "lines":
+        # blank lines are dropped HERE (inside the carrier array) so that
+        # "no qualifying spans" and "empty array" are the same condition —
+        # the explode_outer sentinel below then covers both.
         base = docs.select(
-            F.col(id_col).alias("doc"), F.split(F.col(text_col), "\n").alias("_arr")
+            F.col(id_col).alias("doc"),
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda x: F.length(F.trim(x)) > 0,
+            ).alias("_arr"),
         )
         carrier = "_arr"
         n_spans_expr = F.size("_arr")
@@ -413,14 +425,18 @@ def remove_repeated_spans(
     seq = F.when(F.size(carrier) == 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(0), n_spans_expr.cast("int") - 1)
     )
-    spans = (
-        base.select("doc", carrier, F.explode(seq).alias("idx"))
-        .select("doc", "idx", span_expr.alias("span"))
-        .filter(F.length(F.trim(F.col("span"))) > 0)
+    # explode_OUTER: a doc with zero qualifying spans (non-Latin text in
+    # token_windows mode, all-blank in lines mode, empty text) emits ONE
+    # sentinel row with idx=null instead of vanishing from the groupBy —
+    # every input doc appears in the output (clean_text='', counts 0).
+    spans = base.select("doc", carrier, F.explode_outer(seq).alias("idx")).select(
+        "doc", "idx", span_expr.alias("span")
     )
-    h = F.xxhash64(F.trim(F.col("span")))
+    real = F.col("idx").isNotNull()
+    h = F.when(real, F.xxhash64(F.trim(F.col("span"))))
     rep = (
         spans.select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(int(min_repeats)))
@@ -458,7 +474,7 @@ def remove_repeated_spans(
                 lambda s: s["span"],
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_spans"),
+        F.count("idx").alias("n_spans"),  # count() skips the null sentinel
         F.sum(F.when(is_kept, 0).otherwise(1)).alias("n_removed"),
     )
     return rebuilt.select(

@@ -37,9 +37,14 @@ from .curation import _M32, split_u
 from .lm import TOKEN_RE
 
 
-def _features(docs: DataFrame, text_col: str, id_col: str, n_buckets: int | None) -> DataFrame:
+def _features(
+    docs: DataFrame, text_col: str, id_col: str | None, n_buckets: int | None
+) -> DataFrame:
     """Per-occurrence unigram + bigram feature stream (doc, feat).
-    The explode keeps rows in their input partition — no shuffle."""
+    The explode keeps rows in their input partition — no shuffle.
+    id_col=None emits a constant doc id: the target-corpus side only ever
+    aggregates per-feature counts, so requiring an id column there would
+    make a text-only target parquet (the documented input) crash."""
     toks = docs.withColumn(
         "_tk", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     ).filter(F.size("_tk") >= 1)
@@ -51,7 +56,8 @@ def _features(docs: DataFrame, text_col: str, id_col: str, n_buckets: int | None
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     )
-    out = toks.select(F.col(id_col).alias("doc"), F.explode(grams).alias("feat"))
+    doc = F.col(id_col) if id_col is not None else F.lit(0)
+    out = toks.select(doc.alias("doc"), F.explode(grams).alias("feat"))
     if n_buckets is not None:
         out = out.select(
             "doc", F.pmod(F.xxhash64("feat"), F.lit(int(n_buckets))).alias("feat")
@@ -76,7 +82,7 @@ def importance_weights(
     V is the joint vocabulary (the bucket count when hashed). Returns
     (doc, n_feats, log_w, avg_lr)."""
     rf = _features(raw, text_col, id_col, n_buckets)
-    tf = _features(target, text_col, id_col, n_buckets)
+    tf = _features(target, text_col, None, n_buckets)  # text-only target OK
     rc = rf.groupBy("feat").agg(F.count(F.lit(1)).alias("cr"))
     tc = tf.groupBy("feat").agg(F.count(F.lit(1)).alias("ct"))
     joint = rc.join(tc, "feat", "full_outer").select(

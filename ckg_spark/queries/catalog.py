@@ -4957,10 +4957,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept GROUP BY doc
     ),
     tot AS (SELECT doc, COUNT(*) AS n_spans FROM nz GROUP BY doc)
-    SELECT t.doc, COALESCE(r.clean_text, '') AS clean_text,
-           CAST(t.n_spans AS BIGINT) AS n_spans,
-           CAST(t.n_spans - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
-    FROM tot t LEFT JOIN reb r USING (doc)
+    SELECT k.doc, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(t.n_spans, 0) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tk k LEFT JOIN tot t USING (doc) LEFT JOIN reb r USING (doc)
     """,
     family="dedup",
 )

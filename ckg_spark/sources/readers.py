@@ -248,31 +248,52 @@ def read_xml_records(
     def parse_chunks(batches):
         import xml.etree.ElementTree as ET
 
+        def to_row(root) -> dict[str, object]:
+            row: dict[str, object] = {}
+            by_tag: dict[str, list[str]] = {}
+            for el in root.iter():
+                t = _local(el.tag)
+                if el.text is not None and el.text.strip():
+                    by_tag.setdefault(t, []).append(el.text.strip())
+            for c in scalar:
+                vals = by_tag.get(c)
+                row[c] = vals[0] if vals else None
+            for c in arrays:
+                row[c] = sorted(by_tag.get(c, []))
+            return row
+
         for pdf in batches:
             rows = []
             for chunk in pdf["value"]:
                 if chunk is None:
                     continue
-                m = open_re.search(chunk)
-                if m is None:
+                ms = list(open_re.finditer(chunk))
+                if not ms:
                     continue  # preamble/epilogue chunk (</root>, xml decl)
-                xml = chunk[m.start():] + close
-                try:
-                    root = ET.fromstring(xml)
-                except ET.ParseError:
-                    continue  # malformed straggler — same skip as iterparse clear()
-                row: dict[str, object] = {}
-                by_tag: dict[str, list[str]] = {}
-                for el in root.iter():
-                    t = _local(el.tag)
-                    if el.text is not None and el.text.strip():
-                        by_tag.setdefault(t, []).append(el.text.strip())
-                for c in scalar:
-                    vals = by_tag.get(c)
-                    row[c] = vals[0] if vals else None
-                for c in arrays:
-                    row[c] = sorted(by_tag.get(c, []))
-                rows.append(row)
+                # a chunk (split on the CLOSE tag) can hold several record
+                # openers: every opener before the last must be a
+                # SELF-CLOSING record (no close tag can intervene — the
+                # close tag is the chunk delimiter); only the final opener
+                # is the record this chunk's delimiter closed. Parsing only
+                # the first opener mis-rooted the fragment and silently
+                # dropped both the self-closing record and its successor.
+                for i, m in enumerate(ms):
+                    is_last = i + 1 == len(ms)
+                    seg = chunk[m.start() : len(chunk) if is_last else ms[i + 1].start()]
+                    if is_last:
+                        # normal record: the chunk boundary ATE its close
+                        # tag — restore it. A self-closing LAST record
+                        # (file tail) instead carries the root's epilogue:
+                        # strip trailing close tags and parse it alone.
+                        cands = (seg + close, _re.sub(r"\s*(</[^>]+>\s*)+$", "", seg))
+                    else:
+                        cands = (seg,)
+                    for cand in cands:
+                        try:
+                            rows.append(to_row(ET.fromstring(cand)))
+                            break
+                        except ET.ParseError:
+                            continue  # malformed straggler — iterparse-style skip
             yield pd.DataFrame(rows, columns=scalar + arrays)
 
     chunks = spark.read.option("lineSep", close).text(path)

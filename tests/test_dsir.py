@@ -104,3 +104,20 @@ def test_select_is_deterministic_and_weighted(spark, frames):
     ref = _ref_weights(RAW, TARGET)
     want = sorted(ref, key=lambda i: (-ref[i][1], i))[:2]
     assert top == want
+
+
+def test_target_may_be_text_only(spark, frames):
+    """The documented dsir_target input is a text-only corpus — the target
+    side only ever feeds per-feature counts, so an id column there must
+    not be required, and weights must match the with-ids result exactly."""
+    raw, target = frames
+    text_only = target.select("text")
+    got = {
+        r["doc"]: (r["n_feats"], r["log_w"])
+        for r in dsir.importance_weights(raw, text_only, "text", "doc_id").collect()
+    }
+    ref = {
+        r["doc"]: (r["n_feats"], r["log_w"])
+        for r in dsir.importance_weights(raw, target, "text", "doc_id").collect()
+    }
+    assert got == ref

@@ -161,3 +161,36 @@ def test_token_window_mode_removes_shared_prefix_in_order(spark):
     assert out[2]["clean_text"] == "epsilon zeta eta theta"
     assert out[1]["n_spans"] == 3 and out[1]["n_removed"] == 2
     assert out[3]["n_removed"] == 0 and out[3]["n_spans"] == 2
+
+
+def test_docs_with_no_qualifying_spans_survive(spark):
+    """A doc that yields ZERO spans (non-Latin text in token_windows mode,
+    all-blank text in lines mode, empty text) must still appear in the
+    output — dropping it silently deletes the doc from any pipeline that
+    joins on the result (curate's span stage does exactly that)."""
+    from ckg_spark.ops.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal ascii words right here"),
+            (2, "这是一个完全中文的文档没有拉丁字母"),  # no [a-z0-9'] tokens
+            (3, ""),
+            (4, "   \n   \n  "),
+        ],
+        "doc_id long, text string",
+    )
+    # lines mode: the CJK doc has one real (non-blank) line; token_windows
+    # mode tokenizes on [a-z0-9'] so it yields nothing there
+    empties = {"token_windows": (2, 3, 4), "lines": (3, 4)}
+    for mode, zero_docs in empties.items():
+        out = {
+            r["doc"]: r
+            for r in remove_repeated_spans(
+                docs, "text", "doc_id", mode=mode, window=4, min_repeats=2
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}, mode
+        for d in zero_docs:
+            assert out[d]["clean_text"] == "", (mode, d)
+            assert out[d]["n_spans"] == 0 and out[d]["n_removed"] == 0, (mode, d)
+        assert out[1]["n_spans"] > 0 and out[1]["n_removed"] == 0

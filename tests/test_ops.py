@@ -990,6 +990,18 @@ def test_boruvka_deterministic_under_repartition(spark):
     assert r1 == r9
 
 
+def test_boruvka_raises_on_nonconvergence(spark):
+    """A partial spanning forest is wrong, not just slow (downstream
+    single-linkage clusters silently change) — same contract as k_core."""
+    import pytest
+
+    from ckg_spark.ops.cluster import boruvka_mst
+
+    df = spark.createDataFrame(_MST_EDGES, ["src", "dst", "dist"])
+    with pytest.raises(RuntimeError, match="converge"):
+        boruvka_mst(df, max_rounds=0)
+
+
 def test_linkage_matrix_matches_naive_agglomerative(spark):
     """MST -> Kruskal-replay linkage == textbook agglomerative single
     linkage (merge heights and sizes; cluster ids canonicalized by

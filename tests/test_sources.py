@@ -228,3 +228,20 @@ def test_read_xml_records_root_shares_tag_prefix(spark, tmp_path):
     )
     df = read_xml_records(spark, str(tmp_path / "d.xml"), "drug", fields=["id"])
     assert sorted(r["id"] for r in df.collect()) == ["D1", "D2"]
+
+
+def test_read_xml_records_self_closing(spark, tmp_path):
+    """Self-closing records have no close tag, so they ride inside the
+    NEXT record's chunk (or the epilogue chunk at file tail) — both the
+    self-closing record and its successor must survive."""
+    from ckg_spark.sources.readers import read_xml_records
+
+    (tmp_path / "a.xml").write_text(
+        '<r><rec id="ignored"><id>1</id></rec>'
+        "<rec/><rec><id>2</id></rec>"   # self-closing mid-file
+        "<rec/><rec/><rec><id>3</id></rec>"  # two adjacent self-closing
+        "<rec><id>4</id></rec><rec/></r>"  # self-closing at file tail
+    )
+    df = read_xml_records(spark, str(tmp_path), "rec", fields=["id"])
+    got = sorted((r["id"] or "-") for r in df.collect())
+    assert got == ["-", "-", "-", "-", "1", "2", "3", "4"]

@@ -31,6 +31,12 @@ CASES = [
     ),
     # no scheme: untouched except generic rules
     ("a.com/x?utm_source=1", "a.com/x"),
+    # CONSECUTIVE tracking params: a joiner-consuming pattern used to skip
+    # the second one, so permuted recrawls got different canonical ids
+    ("http://x.com/?utm_source=a&utm_medium=b&p=1", "http://x.com/?p=1"),
+    ("http://x.com/?utm_medium=b&utm_source=a&p=1", "http://x.com/?p=1"),
+    ("https://a.com/x?id=7&utm_source=a&utm_campaign=c", "https://a.com/x?id=7"),
+    ("https://a.com/x?utm_source=a&utm_medium=b&fbclid=z", "https://a.com/x"),
 ]
 
 
