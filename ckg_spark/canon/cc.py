@@ -140,4 +140,13 @@ def connected_components(
         labels = jumped.select("node", F.col("new_label").alias("label"))
         if not n_changed:
             break
+    else:
+        # partial labels are WRONG (two nodes of one component keep
+        # different labels), not just slow — fail loudly, like k_core.
+        # min-label + pointer jumping converges in O(log n) rounds, so
+        # the default bound covers any graph of ~2^max_iter diameter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))

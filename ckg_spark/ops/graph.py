@@ -64,6 +64,16 @@ def transitive_closure(
             reach = new_reach
             break
         reach = new_reach
+    else:
+        # still growing when the doubling budget ran out: the closure is
+        # missing pairs, and a partial closure silently loses ancestor
+        # edges downstream — fail loudly (k_core / connected_components
+        # contract). 2^max_iterations bounds expressible path length, so
+        # the default 10 covers paths of length 1024.
+        raise RuntimeError(
+            f"transitive_closure still growing after {max_iterations} "
+            "doubling rounds; raise max_iterations"
+        )
     return reach.select(
         F.col("s").alias(src), F.col("d").alias(dst), F.col("depth").alias("min_depth")
     )
@@ -82,7 +92,14 @@ def pagerank(
 
     Deterministic: fixed iteration count, no sampling. Dangling-node mass
     is redistributed uniformly each round, so ranks sum to ~1."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # eager pin: nodes references e twice (the union), links twice more —
+    # without it an expensive upstream re-executes ~4x (same hazard
+    # eigenvector_centrality pins against)
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -90,6 +107,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: return an empty (node, rank) frame like every
+        # sibling operator, instead of ZeroDivisionError on 1/n
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
     links = e.join(out_deg, "s").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -541,8 +562,30 @@ def pagerank_oracle_sql(edges_cte: str, damping: float = 0.85, iters: int = 15) 
     )
 
 
+def canonical_undirected(
+    edges: DataFrame, src: str = "subj", dst: str = "obj", pin: bool = True
+) -> DataFrame:
+    """Canonical undirected edge set (a, b) with a < b: self-loops and
+    duplicate/reverse edges dropped. The shared first step of
+    triangle_stats / k_core / graph_summary — one definition so the
+    pin-before-reuse rule (localCheckpoint cuts a possibly corpus-scale
+    upstream once) is applied in ONE place, not re-derived per operator."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return und.localCheckpoint(eager=True) if pin else und
+
+
 def triangle_stats(
-    edges: DataFrame, src: str = "subj", dst: str = "obj"
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    canonical: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph given as an edge list (either or both directions;
@@ -563,19 +606,12 @@ def triangle_stats(
     Returns (node, degree, triangles, clustering) with
     clustering = 2*triangles / (degree*(degree-1)), 0.0 for degree<=1.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = canonical_undirected(edges, src, dst) if canonical is None else canonical
     # only `und` is pinned: it cuts the (possibly corpus-scale) upstream
     # lineage once, and every later frame recomputes from that pin —
     # deg/oriented are edge-list-sized, so extra blocking checkpoint jobs
-    # cost more than their recomputation saves
+    # cost more than their recomputation saves. ``canonical`` lets
+    # graph_summary share one pinned frame across its passes.
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -649,15 +685,7 @@ def k_core(
     Returns (node, core_degree) for nodes surviving in the k-core
     (empty frame if the graph has no k-core).
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = canonical_undirected(edges, src, dst)
     alive = und
     n_edges = alive.count()
     converged = n_edges == 0
@@ -882,7 +910,11 @@ def graph_summary(edges: DataFrame, src: str = "subj", dst: str = "obj") -> Data
     aggregations; everything downstream of the canonical edge set is
     dimension-sized column math.
     """
-    ts = triangle_stats(edges, src, dst).localCheckpoint(eager=True)
+    # ONE pinned canonical edge frame shared by the triangle pass and the
+    # assortativity pass — rebuilding it from the raw plan re-executed the
+    # (possibly corpus-scale) upstream twice more via the unionAll below
+    und = canonical_undirected(edges, src, dst)
+    ts = triangle_stats(edges, src, dst, canonical=und).localCheckpoint(eager=True)
     base = ts.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum("degree") / F.lit(2)).cast("long").alias("n_edges"),
@@ -895,14 +927,6 @@ def graph_summary(edges: DataFrame, src: str = "subj", dst: str = "obj") -> Data
     # assortativity: join endpoint degrees onto BOTH directions of each
     # edge, then one Pearson pass (corr is an exact single-pass aggregate)
     deg = ts.select("node", "degree")
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
     both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dx"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("dy"))

@@ -361,14 +361,24 @@ def _hyper_term(i: DE, k_: DE, K: DE, n: DE, N: DE) -> DE:
 
 def hypergeom_sf_spark(k: Column, K: Column, n: Column, N: Column) -> Column:
     """P(X >= k) = sum_{i=k}^{min(K,n)} pmf(i) — F.aggregate left fold
-    (identical summation order to the DuckDB list_reduce)."""
+    (identical summation order to the DuckDB list_reduce).
+
+    Guarded for k > min(K,n): Spark's sequence(k, hi) silently DESCENDS
+    there, summing out-of-support terms whose lgamma hits non-positive
+    integer arguments (ANSI divide-by-zero inside the Lanczos rational) —
+    while the SQL twin's range() yields an empty list and 0.0. The guard
+    keeps the two backends identical over the whole domain."""
     Kd, nd, Nd = K.cast("double"), n.cast("double"), N.cast("double")
     hi = F.least(K, n).cast("int")
     term = lambda i: _hyper_term(  # noqa: E731
         DE(i.cast("double"), None), None, DE(Kd, None), DE(nd, None), DE(Nd, None)
     ).c
-    return F.aggregate(
-        F.sequence(k.cast("int"), hi), F.lit(0.0), lambda acc, i: acc + term(i)
+    return F.when(k.cast("int") > hi, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.least(k.cast("int"), hi), hi),
+            F.lit(0.0),
+            lambda acc, i: acc + term(i),
+        )
     )
 
 

@@ -64,14 +64,21 @@ def wgcna_adjacency(
     value_col: str,
     power: int = 6,
     min_n: int = 3,
+    corr: DataFrame | None = None,
 ) -> DataFrame:
     """Unsigned WGCNA adjacency a_ij = |cor(x_i, x_j)|^power from a LONG
     measurement table (WGCNA.adjacency, wgcnaAnalysis.py:256). Returns
     upper-triangle edges (node1 < node2, r, a); r is rounded to 6 dp
-    before powering (see module docstring)."""
-    corr = feature_correlation_matrix(
-        df, sample_col, feature_col, value_col, method="pearson", min_n=min_n
-    )
+    before powering (see module docstring).
+
+    ``corr`` (node1, node2, weight) skips the all-pairs correlation
+    self-join — the one corpus-scale pass of the whole WGCNA family —
+    when the caller already has it (pearson, same min_n); pipelines that
+    need modules AND eigengenes should compute it once and share."""
+    if corr is None:
+        corr = feature_correlation_matrix(
+            df, sample_col, feature_col, value_col, method="pearson", min_n=min_n
+        )
     return corr.select(
         "node1",
         "node2",
@@ -130,6 +137,7 @@ def wgcna_modules(
     tom_cutoff: float = 0.1,
     min_module_size: int = 2,
     min_n: int = 3,
+    corr: DataFrame | None = None,
 ) -> DataFrame:
     """Module detection: threshold the TOM graph and take connected
     components (the distributed stand-in for cutreeDynamic on the
@@ -140,7 +148,7 @@ def wgcna_modules(
     GREY (WGCNA's unassigned label, :303). Returns
     (feature, module, module_size) — module = lexicographic min member,
     deterministic under repartitioning."""
-    adj = wgcna_adjacency(df, sample_col, feature_col, value_col, power, min_n)
+    adj = wgcna_adjacency(df, sample_col, feature_col, value_col, power, min_n, corr=corr)
     tom = tom_similarity(adj)
     edges = tom.filter(F.col("tom") >= F.lit(float(tom_cutoff)))
     cc = connected_components(edges, "node1", "node2")
@@ -321,10 +329,17 @@ def _pc1_weights_distributed(
             .agg(F.sum(F.col("r") * F.col("w")).alias("nw"))
         )
         norm = prod.groupBy("module").agg(F.sqrt(F.sum(F.col("nw") * F.col("nw"))).alias("nrm"))
-        w = prod.join(F.broadcast(norm), "module").select(
+        # zero-norm step (singular module matrix whose dominant action
+        # annihilates w): KEEP the previous unit vector — the driver path
+        # breaks with the last w, and the two paths must agree bit-for-bit
+        # (zeroing here left the distributed w at 0 forever)
+        prev = w.select("module", "i", F.col("w").alias("w_prev"))
+        w = prod.join(prev, ["module", "i"]).join(F.broadcast(norm), "module").select(
             "module",
             "i",
-            F.when(F.col("nrm") > 0, F.col("nw") / F.col("nrm")).otherwise(F.lit(0.0)).alias("w"),
+            F.when(F.col("nrm") > 0, F.col("nw") / F.col("nrm"))
+            .otherwise(F.col("w_prev"))
+            .alias("w"),
         )
         if it % 5 == 4 or it == n_iter - 1:
             w = w.localCheckpoint(eager=True)
@@ -347,6 +362,7 @@ def module_eigengenes(
     include_grey: bool = False,
     weights_path: str = "auto",
     driver_max_edges: int = 200_000,
+    corr: DataFrame | None = None,
 ) -> DataFrame:
     """First principal component per module
     (WGCNA.moduleEigengenes, wgcnaAnalysis.py:307-333): standardize each
@@ -379,8 +395,14 @@ def module_eigengenes(
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
-    # per-module correlation edges (restricted to within-module pairs)
-    corr = feature_correlation_matrix(df, sample_col, feature_col, value_col, min_n=min_n)
+    # per-module correlation edges (restricted to within-module pairs).
+    # ``corr`` lets the caller reuse the all-pairs frame wgcna_modules
+    # already computed — otherwise the corpus-scale sample self-join
+    # executes twice per modules+eigengenes pipeline.
+    if corr is None:
+        corr = feature_correlation_matrix(
+            df, sample_col, feature_col, value_col, min_n=min_n
+        )
     m1 = mods.select(F.col("feature").alias("node1"), "module")
     m2 = mods.select(F.col("feature").alias("node2"), F.col("module").alias("module2"))
     medges = (

@@ -4662,12 +4662,18 @@ def q_wgcna_eigengenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_wgcna.py."""
     from ..ops import wgcna
 
+    from ..ops.stats import feature_correlation_matrix
+
     cell = _wgcna_cell(spark, sf_dir)
+    # ONE all-pairs correlation pass (the family's corpus-scale self-join)
+    # shared by module detection and eigengene weights
+    corr = feature_correlation_matrix(cell, "s", "f", "v").localCheckpoint(eager=True)
     mods = wgcna.wgcna_modules(
         cell, "s", "f", "v",
         power=_WGCNA_POWER, tom_cutoff=_WGCNA_TOM_CUTOFF, min_module_size=2,
+        corr=corr,
     )
-    eg = wgcna.module_eigengenes(cell, mods, "s", "f", "v")
+    eg = wgcna.module_eigengenes(cell, mods, "s", "f", "v", corr=corr)
     return eg.select("sample", "module", F.round("eigengene", 6).alias("eigengene"))
 
 
@@ -4681,12 +4687,16 @@ def q_wgcna_module_trait(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_wgcna.py."""
     from ..ops import wgcna
 
+    from ..ops.stats import feature_correlation_matrix
+
     cell = _wgcna_cell(spark, sf_dir)
+    corr = feature_correlation_matrix(cell, "s", "f", "v").localCheckpoint(eager=True)
     mods = wgcna.wgcna_modules(
         cell, "s", "f", "v",
         power=_WGCNA_POWER, tom_cutoff=_WGCNA_TOM_CUTOFF, min_module_size=2,
+        corr=corr,
     )
-    eg = wgcna.module_eigengenes(cell, mods, "s", "f", "v")
+    eg = wgcna.module_eigengenes(cell, mods, "s", "f", "v", corr=corr)
     sup = _t(spark, sf_dir, "supplier")
     traits = sup.select(
         F.col("s_suppkey").cast("string").alias("sample"),

@@ -62,6 +62,24 @@ def _committed_epochs(table: Table) -> set[tuple[str, int]]:
     }
 
 
+def _needs_url_antijoin(table: Table, stream_id: str) -> bool:
+    """True iff the table holds ANY snapshot written by a different stream
+    or by epoch-less batch appends — durable manifest state that cannot
+    change mid-drain (this drain only adds epoch-carrying snapshots under
+    its own stream_id), so a crash/restart between epochs re-derives the
+    same answer. Deriving it from the committed (stream, epoch) PAIRS was
+    not invariant for batch-populated tables: the pair set is empty before
+    epoch 0 commits and all-this-stream after, so the url anti-join guard
+    silently dropped for the replayed remainder of the drain."""
+    if not table.exists():
+        return False
+    return any(
+        not (s.meta and "epoch" in s.meta)
+        or s.meta.get("stream_id", "legacy") != stream_id
+        for s in table.snapshots()
+    )
+
+
 def _checkpoint_identity(checkpoint_dir: str) -> str:
     """Stable UUID stored inside the checkpoint dir: same checkpoint (incl.
     crash replays) => same id; recreated/lost checkpoint => new id."""
@@ -116,13 +134,11 @@ def incremental_mentions(
     # first epoch of a recreated checkpoint commits, and the remaining
     # replayed epochs would then append duplicates. Instead it is derived
     # from durable manifest state that is invariant across the whole drain:
-    # the table holds rows written by a DIFFERENT stream (or by epoch-less
-    # batch appends) — those are exactly the rows a recreated checkpoint
-    # will replay and must be anti-joined away, on every epoch, every
-    # invocation.
-    fresh_ckpt_over_existing = any(sid != stream_id for sid, _e in seen) or (
-        mentions_table.exists() and not seen
-    )
+    # the table holds ANY snapshot written by a different stream OR by
+    # epoch-less batch appends — those are exactly the rows a recreated
+    # checkpoint will replay and must be anti-joined away, on every epoch,
+    # every invocation — see _needs_url_antijoin.
+    fresh_ckpt_over_existing = _needs_url_antijoin(mentions_table, stream_id)
     stats = {"epochs_committed": 0, "epochs_skipped": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -133,12 +149,14 @@ def incremental_mentions(
         if fresh_ckpt_over_existing:
             existing_urls = mentions_table.read(spark).select("url").distinct()
             out = out.join(existing_urls, on="url", how="left_anti")
-        snap = mentions_table.append(out, meta={"epoch": epoch_id, "stream_id": stream_id})
-        if mentions_table.snapshots()[-1].rows_written == 0 and fresh_ckpt_over_existing:
+        sid = mentions_table.append(out, meta={"epoch": epoch_id, "stream_id": stream_id})
+        wrote = next(
+            s.rows_written for s in mentions_table.snapshots() if s.id == sid
+        )
+        if wrote == 0 and fresh_ckpt_over_existing:
             stats["epochs_skipped"] += 1
         else:
             stats["epochs_committed"] += 1
-        _ = snap
 
     (
         mentions.writeStream.foreachBatch(sink)

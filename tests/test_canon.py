@@ -57,6 +57,19 @@ def test_connected_components_chain(spark):
     assert set(comp.values()) == {"n000"}
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Partial labels are wrong, not just slow — exhausting max_iter
+    without the zero-changes fixpoint must raise (k_core contract)."""
+    import pytest
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, driver_max_edges=0, max_iter=1)
+
+
 def test_distributed_cc_equals_driver_union_find(spark, vocab):
     """Three-way agreement: the distributed pointer-jumping loop, cc's own
     union-find short-circuit (default gate), and canonicalize's independent

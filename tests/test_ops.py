@@ -274,6 +274,28 @@ def test_transitive_closure_chain_and_dag(spark):
     assert got[("a", "d")] == 1  # direct edge shorter than the 2-hop paths
 
 
+def test_transitive_closure_raises_when_still_growing(spark):
+    """A partial closure silently loses ancestor pairs — fail loudly when
+    the doubling budget is exhausted before the fixpoint."""
+    import pytest
+
+    from ckg_spark.ops.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(8)], ["subj", "obj"]
+    )
+    with pytest.raises(RuntimeError, match="still growing"):
+        transitive_closure(chain, max_iterations=1)  # 2^1 < 8-deep chain
+
+
+def test_pagerank_and_siblings_empty_graph(spark):
+    """Empty edge frame: empty result, not ZeroDivisionError."""
+    from ckg_spark.ops.graph import pagerank
+
+    empty = spark.createDataFrame([], "subj string, obj string")
+    assert pagerank(empty).collect() == []
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     import numpy as np
 

@@ -89,6 +89,9 @@ HYP_CASES = [
     (500, 2000, 1000, 60000),
     (1, 1, 1, 2),
     (10, 10, 10, 10),
+    # k > min(K, n): out of support — 0.0 on BOTH backends (Spark's
+    # sequence() would descend and hit lgamma poles without the guard)
+    (5, 3, 4, 10),
 ]
 
 

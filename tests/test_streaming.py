@@ -381,3 +381,76 @@ def test_streaming_dedup_first_per_fingerprint(spark, tmp_path):
 
     batch = batch_first_per_fingerprint(spark.createDataFrame(f1 + f2, cols))
     assert sorted(r["doc_id"] for r in batch.collect()) == survivors
+
+
+def test_antijoin_flag_invariant_for_batch_populated_table(tmp_path):
+    """The url anti-join decision must not flip mid-drain when the table
+    was populated by EPOCH-LESS batch appends: after this stream's epoch 0
+    commits, the batch snapshot still forces the guard on (deriving it
+    from the committed (stream, epoch) pairs alone lost it — pairs are
+    empty before epoch 0 and all-this-stream after)."""
+    import pandas as pd
+
+    from ckg_spark.streaming.incremental import _needs_url_antijoin
+
+    wh = Warehouse(str(tmp_path / "whf"))
+    table = wh.table("m")
+    assert _needs_url_antijoin(table, "me") is False  # empty table: no-op
+
+    # simulate manifest states without Spark: batch append (no epoch meta)
+    table._commit("append", ["d0"], None, 5, meta={"source": "batch"})
+    assert _needs_url_antijoin(table, "me") is True
+    # this stream's first epoch committed: guard must STAY on
+    table._commit("append", ["d1"], None, 0, meta={"epoch": 0, "stream_id": "me"})
+    assert _needs_url_antijoin(table, "me") is True
+    # a legacy epoch snapshot (no stream_id) also forces it
+    table2 = wh.table("m2")
+    table2._commit("append", ["d0"], None, 3, meta={"epoch": 0})
+    assert _needs_url_antijoin(table2, "me") is True
+    # a table written ONLY by this stream needs no anti-join
+    table3 = wh.table("m3")
+    table3._commit("append", ["d0"], None, 3, meta={"epoch": 0, "stream_id": "me"})
+    assert _needs_url_antijoin(table3, "me") is False
+
+
+def test_crash_mid_drain_over_batch_populated_table_no_duplicates(
+    spark, vocab, corpus_dir, tmp_path
+):
+    """Same crash-mid-drain replay as above, but the pre-existing rows came
+    from a BATCH append (no epoch metadata) instead of a previous stream."""
+    d, _ = corpus_dir
+    wh = Warehouse(str(tmp_path / "wh5"))
+    table = wh.table("mentions_b")
+    _, _, blocklist = vocab_dataframes(spark, vocab)
+    ac = _automaton_bc(spark, vocab)
+
+    batch = tag_mentions(
+        with_extracted_text(spark.read.parquet(d)).select("url", "text", "lang"),
+        ac,
+        blocklist=blocklist,
+    )
+    table.append(batch)  # epoch-less population
+    expected = _mention_rows(table.read(spark))
+
+    ckpt = str(tmp_path / "ck_batchpop")
+    orig_append = table.append
+    calls = {"n": 0}
+
+    def crashing_append(df, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-drain")
+        return orig_append(df, **kw)
+
+    table.append = crashing_append
+    with pytest.raises(Exception):
+        incremental_mentions(
+            spark, d, ac, table, ckpt, blocklist=blocklist, max_files_per_trigger=1
+        )
+    table.append = orig_append
+    assert calls["n"] > 1
+
+    incremental_mentions(
+        spark, d, ac, table, ckpt, blocklist=blocklist, max_files_per_trigger=1
+    )
+    assert _mention_rows(table.read(spark)) == expected
