@@ -48,7 +48,7 @@ def _normalization(df: DataFrame, a: dict) -> DataFrame:
         w = Window.partitionBy(a.get("sample_col", "sample"))
         return df.withColumn(
             "value_norm",
-            F.round(v - F.expr(f"percentile({value}, 0.5)").over(w), 6),
+            F.round(v - F.expr(f"percentile(CAST({value} AS DOUBLE), 0.5)").over(w), 6),
         )
     if method == "l2":
         w = Window.partitionBy(a.get("sample_col", "sample"))

@@ -12,10 +12,15 @@ nearest samples. Here:
   math, DuckDB-oracle hash-checkable.
 - :func:`impute_normal_downshift` — the down-shifted fill WITHOUT the
   random jitter: missing becomes ``mean - shift*std`` of the group's
-  observed values. Dropping the 0.3σ jitter is a deliberate determinism
-  trade (the reference seeds numpy instead); the imputed values land at
-  the distribution's left shoulder exactly as MinProb intends, and the
-  operator stays reproducible and hash-verifiable on both backends.
+  observed values, where "group" is caller-chosen ``group_cols``. The
+  REFERENCE's grouping is per SAMPLE — imputation_normal_distribution
+  transposes before taking column stats, "for each sample (across all
+  proteins) separately" (analytics.py:306) — so reference-parity callers
+  pass the (group, sample) keys (prep.py and impute_mixed do). Dropping
+  the 0.3σ jitter is a deliberate determinism trade (the reference seeds
+  numpy instead); the imputed values land at the distribution's left
+  shoulder exactly as MinProb intends, and the operator stays
+  reproducible and hash-verifiable on both backends.
 - :func:`impute_knn` — the ``imputation_KNN`` branch (analytics.py:
   240-266, sklearn KNNImputer semantics: nan-euclidean distances over
   shared observed features, uniform mean of the k nearest samples that
@@ -192,10 +197,16 @@ def impute_mixed(
     in at least ``cutoff`` of a group's samples are KNN-imputed WITHIN
     that group (the reference loops ``df[group] == g`` and keeps only
     columns with ``notnull().mean() >= cutoff``; fancyimpute KNN(k=3));
-    every remaining missing cell gets the feature's ``mean - shift*std``
-    computed over the POST-KNN values — exactly the reference's stage-2
-    ``imputation_normal_distribution`` over the KNN-updated frame (minus
-    the seeded jitter, the module's documented determinism trade).
+    every remaining missing cell gets its SAMPLE's ``mean - shift*std``
+    computed over that (group, sample) row's POST-KNN values across all
+    features — the reference's stage-2 ``imputation_normal_distribution``
+    transposes first, so its per-column stats are per-sample, "for each
+    sample (across all proteins) separately" (analytics.py:306) — minus
+    the seeded jitter, the module's documented determinism trade. A
+    sample with fewer than two post-KNN observed values has no stddev
+    and its downshift cells come back NULL (the reference fills 0.0 for
+    all-NaN stats — an artifact of its ``value = 0.0`` default, not a
+    semantic we reproduce).
 
     Returns one row per missing cell:
     (group, sample, feature, value_imputed, method∈{'knn','downshift'}).
@@ -218,16 +229,18 @@ def impute_mixed(
     knn_fill = impute_knn(
         ge, "__s__", "__f__", "__v__", F.col("__miss__"), k=k, block_col="__g__"
     ).withColumnRenamed("value_imputed", "__iv__")
-    post = g.filter(~F.col("__miss__")).select("__f__", "__v__").unionByName(
-        knn_fill.select("__f__", F.col("__iv__").alias("__v__"))
+    post = g.filter(~F.col("__miss__")).select("__g__", "__s__", "__v__").unionByName(
+        knn_fill.select("__g__", "__s__", F.col("__iv__").alias("__v__"))
     )
-    fstat = post.groupBy("__f__").agg(
+    # per (group, sample) — the keys identifying one of the reference's
+    # transposed columns; sample ids may repeat across groups
+    fstat = post.groupBy("__g__", "__s__").agg(
         (F.avg("__v__") - F.lit(float(shift)) * F.stddev_samp("__v__")).alias("__fill__")
     )
     down = (
         g.filter(F.col("__miss__"))
         .join(F.broadcast(elig), ["__g__", "__f__"], "left_anti")
-        .join(F.broadcast(fstat), "__f__", "left")
+        .join(F.broadcast(fstat), ["__g__", "__s__"], "left")
         .select(
             "__g__",
             "__s__",

@@ -33,7 +33,9 @@ def summary_stats(df: DataFrame, value_col: str, group_cols: list[str]) -> DataF
         F.round(F.stddev_samp(v), 6).alias("stddev"),
         F.round(F.min(v), 6).alias("min"),
         F.round(F.max(v), 6).alias("max"),
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("median"),
+        F.round(F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)"), 6).alias(
+            "median"
+        ),
     )
 
 
@@ -129,7 +131,9 @@ def bh_adjust(
     out = (
         r.withColumn("p_adj", F.round(p_adj, 9))
         .withColumn(
-            "rejected", F.when(p_adj < F.lit(alpha), 1).otherwise(0).cast("int")
+            # <= like statsmodels multipletests (and this module's
+            # bh_twostage / pvalue_correction), on the UNROUNDED value
+            "rejected", F.when(p_adj <= F.lit(alpha), 1).otherwise(0).cast("int")
         )
         .drop("__rn__", "__m__")
     )
@@ -200,10 +204,18 @@ def anova_oneway(
     p_value) — generic q_anova_oneway (calculate_anova,
     analytics.py:1408-1478)."""
     v = F.col(value_col).cast("double")
-    g = df.groupBy(feature_col, group_col).agg(
-        F.count(F.lit(1)).alias("n_g"),
-        F.sum(v).alias("s_g"),
-        F.sum(v * v).alias("ss_g"),
+    # count(v), not count(*): NULL cells (e.g. measurements_ready with
+    # imputation=None) must not inflate n_g while the sums skip them —
+    # that deflates the means and corrupts dof and F. All-NULL groups
+    # drop out entirely (k and n count observed groups only).
+    g = (
+        df.groupBy(feature_col, group_col)
+        .agg(
+            F.count(v).alias("n_g"),
+            F.sum(v).alias("s_g"),
+            F.sum(v * v).alias("ss_g"),
+        )
+        .filter(F.col("n_g") > 0)
     )
     a = g.groupBy(feature_col).agg(
         F.count(F.lit(1)).alias("k"),
@@ -321,8 +333,13 @@ def mann_whitney_u(
     of 0.5 and the rank-sum stays far below 2^52, so the rank-sum is
     bitwise summation-order-independent — only z/p carry float noise."""
     v = F.col(value_col).cast("double")
-    d = df.filter(F.col(group_col).isin(group_a, group_b)).select(
-        F.col(feature_col), F.col(group_col), v.alias("__x__")
+    # NULL/NaN values must not enter the ranking (Spark sorts NULL first
+    # ascending — they would take the lowest ranks AND count into n1/n2);
+    # pingouin's remove_na drops them before mwu, mirrored here.
+    d = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .filter(v.isNotNull() & ~F.isnan(v))
+        .select(F.col(feature_col), F.col(group_col), v.alias("__x__"))
     )
     rmin = (
         F.rank().over(Window.partitionBy(feature_col).orderBy("__x__")).cast("double")
@@ -749,7 +766,12 @@ def tukey_hsd(
     ops/special.py (no scipy, hash-verifiable). ``k`` is the number of
     groups, a STRUCTURAL constant of the expression (the range-CDF power
     and multiplier), exactly like bootstrap's n_boot; pass
-    df.select(group_col).distinct().count() when unknown. Effect size is
+    df.select(group_col).distinct().count() when unknown. Features whose
+    own group count differs from ``k`` (a group entirely missing for that
+    feature) are DROPPED rather than mis-tested: pingouin evaluates each
+    feature at its own group count, and emitting their pairs here would
+    use the wrong dof (N-k over-subtracts) and the wrong range dimension.
+    Effect size is
     pingouin's hedges (pooled ddof=1 d times the J = 1-3/(4n-9) small-
     sample factor — note the REFERENCE's own hedges_g uses a different
     concatenated-std estimator, covered by :func:`effect_sizes`);
@@ -764,10 +786,15 @@ def tukey_hsd(
         F.sum(v).alias("s1"),
         F.sum(v * v).alias("s2"),
     )
-    feat = gs.groupBy(feature_col).agg(
-        F.sum("n").alias("N"),
-        F.sum(F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")).alias("ssw"),
-        F.count(F.lit(1)).cast("int").alias("n_groups"),
+    feat = (
+        gs.groupBy(feature_col)
+        .agg(
+            F.sum("n").alias("N"),
+            F.sum(F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")).alias("ssw"),
+            F.count(F.lit(1)).cast("int").alias("n_groups"),
+        )
+        .filter(F.col("n_groups") == F.lit(int(k)))
+        .drop("n_groups")
     )
     a, b = gs.alias("a"), gs.alias("b")
     pairs = (
@@ -899,12 +926,13 @@ def pvalue_correction(
     df, invalid = _split_valid_p(df, p_col)
     p = F.col(p_col)
     m = F.count(F.lit(1)).over(Window.partitionBy())
+    # __pr__ holds the UNROUNDED adjusted p: rejection must compare the
+    # true value against alpha (statsmodels), not the 9-dp display round —
+    # a p_adj of 0.0500000004 rounds to alpha but is NOT rejected.
     if method == "bonferroni":
-        p_adj = F.least(F.lit(1.0), p * m)
-        out = df.withColumn("p_adj", F.round(p_adj, 9))
+        out = df.withColumn("__pr__", F.least(F.lit(1.0), p * m))
     elif method == "sidak":
-        p_adj = F.lit(1.0) - F.pow(F.lit(1.0) - p, m)
-        out = df.withColumn("p_adj", F.round(p_adj, 9))
+        out = df.withColumn("__pr__", F.lit(1.0) - F.pow(F.lit(1.0) - p, m))
     elif method == "holm":
         order = [p.asc()] + [F.col(k).asc() for k in key_cols]
         r = df.select(
@@ -917,13 +945,13 @@ def pvalue_correction(
             F.lit(1.0),
             F.max((F.col("__m__") - F.col("__rn__") + 1) * p).over(head),
         )
-        out = r.withColumn("p_adj", F.round(p_adj, 9)).drop("__rn__", "__m__")
+        out = r.withColumn("__pr__", p_adj).drop("__rn__", "__m__")
     else:
         raise ValueError(f"unknown correction method {method!r}")
-    return out.withColumn(
+    return out.withColumn("p_adj", F.round(F.col("__pr__"), 9)).withColumn(
         "rejected",
-        F.when(F.col("p_adj") <= F.lit(alpha), 1).otherwise(0).cast("int"),
-    ).unionByName(
+        F.when(F.col("__pr__") <= F.lit(alpha), 1).otherwise(0).cast("int"),
+    ).drop("__pr__").unionByName(
         invalid.withColumn("p_adj", F.lit(None).cast("double")).withColumn(
             "rejected", F.lit(0).cast("int")
         )
@@ -945,37 +973,53 @@ def feature_correlation_matrix(
     matrix. One self-join on the sample key (the per-sample fan-out is
     d^2/2 where d = feature count — dimension-sized by the same contract
     as the reference's column set), one pair aggregation computing r via
-    ``corr``; missing cells pair-wise deleted exactly like pandas.
-    ``method='spearman'`` ranks within feature first (average ranks,
-    scipy tie handling — same spelling as :func:`correlation`).
+    ``corr``; missing (NULL/NaN) cells pair-wise deleted exactly like
+    pandas — dropped BEFORE the join, so the join itself is the
+    complete-observation mask and ``n`` counts complete pairs.
+    ``method='spearman'`` ranks AFTER the join, within each pair's
+    complete-observation subset (average ranks, scipy tie handling) —
+    pandas' nancorr re-ranks per pair the same way, so global per-feature
+    ranks would diverge whenever two features' sample coverage differs.
+    The rank windows partition by the pair key, the same partitioning the
+    final aggregation needs, so they share one shuffle.
     Returns (node1, node2, n, weight, p_value) with node1 < node2 —
     the reference's network-ready edge-list naming (node1/node2/weight
     feed convertToEdgeList/get_network directly). Apply
     :func:`bh_adjust` (keys node1, node2) for the padj/rejected columns
     the reference's output carries."""
+    if method not in ("pearson", "spearman"):
+        raise ValueError(f"unknown correlation method {method!r}")
     v = F.col(value_col).cast("double")
     base = df.select(
         F.col(sample_col).alias("__s__"),
         F.col(feature_col).alias("__f__"),
         v.alias("__v__"),
-    )
-    if method == "spearman":
-        mr = F.rank().over(Window.partitionBy("__f__").orderBy("__v__"))
-        ties = F.count(F.lit(1)).over(Window.partitionBy("__f__", "__v__"))
-        base = base.select(
-            "__s__", "__f__", (mr + (ties - F.lit(1)) / F.lit(2.0)).alias("__v__")
-        )
-    elif method != "pearson":
-        raise ValueError(f"unknown correlation method {method!r}")
+    ).filter(v.isNotNull() & ~F.isnan(v))
     a, b = base.alias("a"), base.alias("b")
     j = a.join(
         b,
         (F.col("a.__s__") == F.col("b.__s__")) & (F.col("a.__f__") < F.col("b.__f__")),
+    ).select(
+        F.col("a.__f__").alias("node1"),
+        F.col("b.__f__").alias("node2"),
+        F.col("a.__v__").alias("__x__"),
+        F.col("b.__v__").alias("__y__"),
     )
-    s = j.groupBy(
-        F.col("a.__f__").alias("node1"), F.col("b.__f__").alias("node2")
-    ).agg(
-        F.corr(F.col("a.__v__"), F.col("b.__v__")).alias("r"),
+    if method == "spearman":
+
+        def pair_rank(c):
+            mr = F.rank().over(Window.partitionBy("node1", "node2").orderBy(c))
+            ties = F.count(F.lit(1)).over(Window.partitionBy("node1", "node2", c))
+            return mr + (ties - F.lit(1)) / F.lit(2.0)
+
+        j = j.select(
+            "node1",
+            "node2",
+            pair_rank(F.col("__x__")).alias("__x__"),
+            pair_rank(F.col("__y__")).alias("__y__"),
+        )
+    s = j.groupBy("node1", "node2").agg(
+        F.corr(F.col("__x__"), F.col("__y__")).alias("r"),
         F.count(F.lit(1)).alias("n"),
     )
     dof_raw = F.col("n").cast("double") - F.lit(2.0)

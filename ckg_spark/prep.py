@@ -138,9 +138,11 @@ def measurements_ready(
             F.col("value_imputed").alias("value_ready"), "method",
         )
     elif imputation == "downshift":
-        # per-feature downshift over the feature's observed values
+        # per-SAMPLE downshift — imputation_normal_distribution transposes
+        # first, so its stats are per sample across all features
+        # (analytics.py:306); (group, sample) identifies one sample row
         imp_rows = (
-            impute_normal_downshift(kept, ["__f__"], "__v__", miss, shift=shift)
+            impute_normal_downshift(kept, ["__g__", "__s__"], "__v__", miss, shift=shift)
             .filter(miss)
             .select(
                 "__g__", "__s__", "__f__",

@@ -1311,7 +1311,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
              AS DOUBLE) AS p_adj,
            CAST(CASE WHEN LEAST(1.0, MIN((p_value * m) / rn) OVER
-             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) < 0.05
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) <= 0.05
              THEN 1 ELSE 0 END AS INT) AS rejected
     FROM r
     """,
@@ -1344,7 +1344,7 @@ def q_ttest_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "p_value",
         F.round(p_adj, 9).alias("p_adj"),
-        F.when(p_adj < 0.05, 1).otherwise(0).cast("int").alias("rejected"),
+        F.when(p_adj <= 0.05, 1).otherwise(0).cast("int").alias("rejected"),
     )
 
 
@@ -2371,10 +2371,11 @@ _FIRST_EVENT_CELL_SQL = """
                LEFT JOIN gfmean ON mis.grp = gfmean.grp AND mis.f = gfmean.f
     ),
     post AS (
-      SELECT f, v FROM g WHERE NOT miss
-      UNION ALL SELECT f, iv AS v FROM knn_fill
+      SELECT grp, s, v FROM g WHERE NOT miss
+      UNION ALL SELECT grp, s, iv AS v FROM knn_fill
     ),
-    fstat AS (SELECT f, (AVG(v) - 1.8 * STDDEV_SAMP(v)) AS fill FROM post GROUP BY f),
+    fstat AS (SELECT grp, s, (AVG(v) - 1.8 * STDDEV_SAMP(v)) AS fill
+              FROM post GROUP BY grp, s),
     down AS (
       SELECT g.grp, g.s, g.f FROM g
       WHERE g.miss AND NOT EXISTS (SELECT 1 FROM elig e WHERE e.grp = g.grp AND e.f = g.f)
@@ -2385,7 +2386,7 @@ _FIRST_EVENT_CELL_SQL = """
       SELECT grp, s, f, iv AS value_imputed, 'knn' AS method FROM knn_fill
       UNION ALL
       SELECT d.grp, d.s, d.f, ROUND(fs.fill, 6), 'downshift'
-      FROM down d JOIN fstat fs ON d.f = fs.f
+      FROM down d LEFT JOIN fstat fs ON d.grp = fs.grp AND d.s = fs.s
     )
     """,
     family="stats",
@@ -2396,9 +2397,10 @@ def q_impute_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id % 3), features observed in >= 60% of the group's samples
     are KNN-imputed within the group (fancyimpute KNN(k=3) semantics,
     id-tiebroken); every remaining missing cell (v < 30 is the
-    missingness predicate at this framing) gets the feature's
+    missingness predicate at this framing) gets its SAMPLE's
     mean - 1.8*std over the POST-KNN values — the reference's stage-2
-    imputation_normal_distribution over the KNN-updated frame. Both
+    imputation_normal_distribution transposes first, so its stats are
+    per sample across features (analytics.py:306). Both
     stages and the eligibility split are hash-verified."""
     from ..ops.impute import impute_mixed
 
@@ -3557,10 +3559,11 @@ def q_bootstrap_meandiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEFT JOIN gfmean ON mis.grp = gfmean.grp AND mis.f = gfmean.f
     ),
     post AS (
-      SELECT f, v FROM gk WHERE NOT miss
-      UNION ALL SELECT f, iv AS v FROM knn_fill
+      SELECT grp, s, v FROM gk WHERE NOT miss
+      UNION ALL SELECT grp, s, iv AS v FROM knn_fill
     ),
-    fstat AS (SELECT f, (AVG(v) - 1.8 * STDDEV_SAMP(v)) AS fill FROM post GROUP BY f),
+    fstat AS (SELECT grp, s, (AVG(v) - 1.8 * STDDEV_SAMP(v)) AS fill
+              FROM post GROUP BY grp, s),
     down AS (
       SELECT gk.grp, gk.s, gk.f FROM gk
       WHERE gk.miss
@@ -3575,7 +3578,7 @@ def q_bootstrap_meandiff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT grp, s, f, iv, 'knn' FROM knn_fill
       UNION ALL
       SELECT d.grp, d.s, d.f, ROUND(fs.fill, 6), 'downshift'
-      FROM down d JOIN fstat fs ON d.f = fs.f
+      FROM down d LEFT JOIN fstat fs ON d.grp = fs.grp AND d.s = fs.s
     )
     """,
     family="stats",
@@ -3589,8 +3592,9 @@ def q_measurements_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user × event_type) first-reading matrix, readings < 30 left-
     censored. Emits every surviving cell with its provenance
     ('observed' / 'knn' / 'downshift'); the whole composition —
-    filter, eligibility split, nan-euclidean KNN, post-KNN downshift —
-    is hash-verified. ckg_spark/prep.py::measurements_ready is the
+    filter, eligibility split, nan-euclidean KNN, per-sample post-KNN
+    downshift (analytics.py:306 transposes, so stage-2 stats are per
+    sample) — is hash-verified. ckg_spark/prep.py::measurements_ready is the
     generic spelling."""
     from ..prep import measurements_ready
 
@@ -3623,7 +3627,7 @@ def _tukey_hsd_sql() -> str:
     ),
     feat AS (
       SELECT l_linestatus, SUM(n) AS nn, SUM(s2 - ((s1 * s1) / n)) AS ssw
-      FROM gs GROUP BY l_linestatus
+      FROM gs GROUP BY l_linestatus HAVING COUNT(*) = 3
     ),
     pairs AS (
       SELECT a.l_linestatus, a.l_returnflag AS group1, b.l_returnflag AS group2,

@@ -85,9 +85,11 @@ def prepare_processed(
         group_col=group_col,
         missing_method=args.get("missing_method", "percentage"),
         missing_max=float(args.get("missing_max", 0.3)),
+        min_valid=int(args.get("min_valid", 1)),
         missing_per_group=bool(args.get("missing_per_group", True)),
         imputation=method if args.get("imputation", True) else None,
         shift=float(args.get("missing_shift", 1.8)),
+        knn_cutoff=float(args.get("knn_cutoff", 0.6)),
     )
     out = dict(frames)
     # measurements_ready keeps the caller's column names; only the value

@@ -335,8 +335,10 @@ def test_impute_mixed_matches_independent_reference(spark):
     """From-scratch per-group KNN + post-KNN downshift mirror of
     imputation_mixed_norm_KNN (analytics.py:268-291): nan-euclidean
     distances over the group's eligible-feature submatrix, k nearest by
-    (distance, id), then per-feature mean - 1.8*std over observed ∪
-    KNN-imputed values for everything the cutoff excluded."""
+    (distance, id), then per-SAMPLE mean - 1.8*std over the sample's
+    observed ∪ KNN-imputed values for everything the cutoff excluded
+    (stage 2 transposes in the reference — analytics.py:306 — so its
+    stats are per sample across features, not per feature)."""
     import numpy as np
 
     from ckg_spark.ops.impute import impute_mixed
@@ -418,19 +420,16 @@ def test_impute_mixed_matches_independent_reference(spark):
                     fill = sum(fmean) / len(fmean)
                 fill = round(fill, 6)
                 expected[(g, s, f)] = (fill, "knn")
-                knn_fills.append((f, fill))
-    for f in feats:
-        post = [
-            vals[(g, s, f)][0]
-            for g in groups
-            for s in samples
-            if not vals[(g, s, f)][1]
-        ] + [v for ff, v in knn_fills if ff == f]
-        fill = np.mean(post) - shift * np.std(post, ddof=1)
-        for g in groups:
-            if (g, f) in elig:
-                continue
-            for s in samples:
+                knn_fills.append((g, s, fill))
+    for g in groups:
+        for s in samples:
+            post = [
+                vals[(g, s, f)][0] for f in feats if not vals[(g, s, f)][1]
+            ] + [v for gg, ss, v in knn_fills if (gg, ss) == (g, s)]
+            fill = np.mean(post) - shift * np.std(post, ddof=1)
+            for f in feats:
+                if (g, f) in elig:
+                    continue
                 if vals[(g, s, f)][1]:
                     expected[(g, s, f)] = (fill, "downshift")
 

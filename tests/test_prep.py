@@ -109,7 +109,9 @@ def test_knn_branch_drops_ineligible_features(spark, frame):
     assert all(r["value_ready"] is not None for r in imputed.values())
 
 
-def test_downshift_branch_fills_per_feature(spark, frame):
+def test_downshift_branch_fills_per_sample(spark, frame):
+    import statistics
+
     out = measurements_ready(
         frame, "smp", "feat", "v", "grp",
         is_missing=F.col("miss"), missing_max=0.7,
@@ -118,9 +120,24 @@ def test_downshift_branch_fills_per_feature(spark, frame):
     downs = [r for r in out if r["method"] == "downshift"]
     # all 5 missing f3 cells + 2 absent f2 cells filled
     assert len(downs) == 7
-    # per-feature fill: every downshifted f3 cell gets the same value
-    f3 = {r["value_ready"] for r in downs if r["feat"] == "f3"}
-    assert len(f3) == 1
+    # per-SAMPLE fill: each downshifted cell is mean - 1.8*std of its own
+    # sample's observed values (imputation_normal_distribution transposes
+    # before taking stats — analytics.py:306); a sample with fewer than
+    # two observed values has no stddev and stays NULL
+    obs: dict[tuple, list] = {}
+    for r in out:
+        if r["method"] == "observed":
+            obs.setdefault((r["grp"], r["smp"]), []).append(r["value_ready"])
+    assert any(len(v) < 2 for v in obs.values()) or any(
+        (r["grp"], r["smp"]) not in obs for r in downs
+    )  # the fixture exercises the no-stddev path (s3 has one observed value)
+    for r in downs:
+        vals = obs.get((r["grp"], r["smp"]), [])
+        if len(vals) >= 2:
+            exp = statistics.mean(vals) - 1.8 * statistics.stdev(vals)
+            assert r["value_ready"] == pytest.approx(exp, abs=1e-6), r
+        else:
+            assert r["value_ready"] is None, r
 
 
 def test_catalog_composition_runs_and_is_consistent(spark):

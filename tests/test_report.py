@@ -112,7 +112,13 @@ def test_prepare_processed_from_args(spark):
         ("s4", "B", "f1", 13.0),
         ("s1", "A", "f2", 5.0),
         ("s2", "A", "f2", 6.0),
-        # f2 missing in both B samples -> group-missingness filter
+        # f2 missing in both B samples -> group-missingness filter;
+        # f3 fully observed so every sample has >= 2 observed values
+        # (per-sample downshift needs a stddev — analytics.py:306)
+        ("s1", "A", "f3", 1.0),
+        ("s2", "A", "f3", 2.0),
+        ("s3", "B", "f3", 3.0),
+        ("s4", "B", "f3", 4.0),
     ]
     meas = spark.createDataFrame(rows, ["sample", "group", "identifier", "value"])
     args = {
