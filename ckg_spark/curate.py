@@ -30,7 +30,7 @@ tables.
 from __future__ import annotations
 
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from .canon.cc import connected_components
 from .lakehouse import Warehouse
 from .ops import lm
-from .ops.curation import assign_split, ngram_overlap_split, pack_greedy
+from .ops.curation import assign_split, ngram_overlap_pairs, pack_greedy
 from .ops.dedup import exact_dup_groups, minhash_dup_candidates, remove_repeated_spans
 from .ops.dsir import dsir_select, importance_weights
 from .ops.scrub import pii_columns
@@ -106,12 +106,22 @@ class CurationPipeline:
         ``contam_ngram``-grams with the holdout set is dropped.
         ``dsir_target`` (text) + cfg.dsir_k engage DSIR selection: only
         the k documents most like the target distribution survive.
-        Stage fingerprints cover the CONFIG (like the input corpus, the
+        Each stage's fingerprint covers exactly ITS OWN config knobs
+        (chained through the upstream fingerprints), so changing e.g.
+        pack_budget reruns only split_pack and reuses every upstream
+        snapshot — a whole-config root hash would recompute the full
+        corpus DAG for a packing knob. Like the input corpus, the
         eval/target frames themselves are the caller's identity concern —
-        point the pipeline at a fresh warehouse when they change)."""
+        point the pipeline at a fresh warehouse when they change."""
         cfg = self.cfg
         if cfg.dsir_k is not None and dsir_target is None:
             raise ValueError("cfg.dsir_k is set but no dsir_target frame was passed")
+        if dsir_target is not None and cfg.dsir_k is None:
+            raise ValueError(
+                "a dsir_target frame was passed but cfg.dsir_k is unset — "
+                "selection would be silently skipped; set dsir_k (or drop "
+                "the target)"
+            )
         stats: dict[str, Any] = {"skipped": [], "rows": {}}
 
         def record(name: str, df: DataFrame, skipped: bool) -> DataFrame:
@@ -120,7 +130,10 @@ class CurationPipeline:
             stats["rows"][name] = df.count()
             return df
 
-        fp0 = _fingerprint("curate_input", asdict(cfg))
+        # root fingerprint carries NO config: every knob is threaded into
+        # exactly the stage(s) that read it, so a knob change invalidates
+        # only its own stage + downstream
+        fp0 = _fingerprint("curate_input", {})
 
         # 1. url dedup (earliest capture wins) — only for page-shaped input
         if "url" in docs.columns and "warc_ts" in docs.columns:
@@ -211,9 +224,20 @@ class CurationPipeline:
 
         # 5. heuristic quality gate: language, length, quality score —
         # single-tokenization shape (with_quality_stats): the Column-per-stat
-        # spelling split the text ~7x per row and was 3.4x the stage CPU
+        # spelling split the text ~7x per row and was 3.4x the stage CPU.
+        # Stopword profile FOLLOWS cfg.lang (a German run scored against
+        # English stopwords zeroes stopword_ratio corpus-wide and a
+        # min_quality above ~0.45 would silently delete everything);
+        # lang=None / unknown codes use the multilingual union profile.
+        # NOTE: n_tokens counts WHITESPACE tokens — unsegmented CJK text
+        # is one token per run, so a multilingual (lang=None) corpus
+        # needs min_tokens=1 or an upstream segmenter for those scripts.
+        from .ops.textstats import STOPWORDS
+
+        qlang = cfg.lang if cfg.lang in STOPWORDS else None
+
         def _quality():
-            out = with_quality_stats(df, "text")
+            out = with_quality_stats(df, "text", lang=qlang)
             if cfg.lang is not None and "lang" in df.columns:
                 out = out.filter(F.col("lang") == cfg.lang)
             # one-pass predicate (quality_keep): filtering on the projected
@@ -221,7 +245,9 @@ class CurationPipeline:
             # expression trees substituted in — ~5 tokenizations per input
             # row; this stays a single split + array pass per row
             return (
-                out.filter(quality_keep(F.col("text"), cfg.min_tokens, cfg.min_quality)),
+                out.filter(
+                    quality_keep(F.col("text"), cfg.min_tokens, cfg.min_quality, lang=qlang)
+                ),
                 None,
             )
 
@@ -233,16 +259,30 @@ class CurationPipeline:
         df, sk = self._stage("curate_quality", fp_q, "cur_quality", _quality)
         df = record("quality_filter", df, sk)
 
-        # 6. LM perplexity filter (drop the configured tercile)
+        # 6. LM perplexity filter (drop the configured tercile). LEFT
+        # join: the LM tokenizer is Latin-script (ops/lm.TOKEN_RE) — a doc
+        # with no scorable tokens (possible under lang=None) gets NO ppl
+        # row, and an inner join would silently delete it; unscorable docs
+        # pass through with null ppl/bucket (a filter may only drop what
+        # it actually scored).
         fp_lm = _fingerprint("curate_lm", {"drop": cfg.drop_ppl_bucket}, fp_q)
         if cfg.drop_ppl_bucket is not None:
             def _lm():
                 scored = lm.lm_perplexity(df, "text", "doc_id").localCheckpoint()
                 buckets = lm.perplexity_buckets(scored).withColumnRenamed("doc", "doc_id")
-                keep = buckets.filter(
-                    F.col("bucket") != cfg.drop_ppl_bucket
-                ).select("doc_id", "ppl", "bucket")
-                return df.join(keep, "doc_id"), None
+                # carried as ppl_bucket: pack_greedy later adds its own
+                # 'bucket' column, which would silently overwrite this one
+                keep = buckets.select(
+                    "doc_id", "ppl", F.col("bucket").alias("ppl_bucket")
+                )
+                joined = df.join(keep, "doc_id", "left")
+                return (
+                    joined.filter(
+                        F.col("ppl_bucket").isNull()
+                        | (F.col("ppl_bucket") != cfg.drop_ppl_bucket)
+                    ),
+                    None,
+                )
 
             df, sk = self._stage("curate_lm", fp_lm, "cur_lm", _lm)
             df = record("lm_filter", df, sk)
@@ -253,11 +293,26 @@ class CurationPipeline:
                 df, "doc_id", "text", jaccard_threshold=cfg.neardup_jaccard
             )
             comp = connected_components(pairs, src="key_a", dst="key_b")
+            # minhash keys are STRING-cast ids, so cc's component is the
+            # lexicographic min — recompute the keeper as the NUMERIC min
+            # per component and cast the node back to long BEFORE the
+            # anti-join (a string=long join key would coerce both sides —
+            # under ansi=false to DOUBLE, where 64-bit ids collide above
+            # 2^53 and non-duplicates get deleted). The keeper agg is
+            # dup-mass-proportional, not corpus-proportional.
+            members = comp.select(
+                F.col("node").cast("long").alias("doc_id"), "component"
+            )
+            keepers = members.groupBy("component").agg(
+                F.min("doc_id").alias("keeper_id")
+            )
+            losers = (
+                members.join(keepers, "component")
+                .filter(F.col("doc_id") != F.col("keeper_id"))
+                .select("doc_id")
+            )
             # losers scale with the corpus' near-dup mass — AQE decides
             # whether the anti-join broadcasts (same rationale as _exact)
-            losers = comp.filter(F.col("node") != F.col("component")).select(
-                F.col("node").alias("doc_id")
-            )
             return df.join(losers, "doc_id", "left_anti"), None
 
         fp_nd = _fingerprint("curate_neardup", {"j": cfg.neardup_jaccard}, fp_lm)
@@ -271,15 +326,8 @@ class CurationPipeline:
         # shuffle (ops/curation.ngram_overlap_split, broadcast_eval).
         if eval_docs is not None:
             def _contam():
-                tagged = df.select(
-                    F.col("doc_id"), F.col("text"), F.lit(False).alias("is_eval")
-                ).unionByName(
-                    eval_docs.select(
-                        F.col("doc_id"), F.col("text"), F.lit(True).alias("is_eval")
-                    )
-                )
-                pairs = ngram_overlap_split(
-                    tagged, "doc_id", "text", F.col("is_eval"), n=cfg.contam_ngram
+                pairs = ngram_overlap_pairs(
+                    df, eval_docs, "doc_id", "text", n=cfg.contam_ngram
                 )
                 # dirty is usually tiny (docs leaking eval content) but is
                 # unbounded in the adversarial case — AQE decides

@@ -97,28 +97,6 @@ def pack_greedy(
     return df.withColumn("bucket", bucket.cast("bigint"))
 
 
-def _full_ngrams(text_col: str, n: int):
-    """array<string> of the FULL word n-grams of a text column (distinct;
-    docs shorter than n tokens yield an empty array). slice+array_join —
-    one slice per position instead of n element_at calls; partials never
-    exist, so no post-hoc re-split filter. Tokenization is the one
-    shared spelling (textstats.tokens_col) so the contamination screen
-    can never drift from q_doc_token_stats' token definition."""
-    from .textstats import tokens_col
-
-    toks = tokens_col(F.col(text_col))
-
-    def grams(tk):
-        idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
-        )
-
-    return F.when(F.size(toks) >= n, grams(toks)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def ngram_overlap_split(
     docs: DataFrame,
     id_col: str,

@@ -377,10 +377,15 @@ def remove_repeated_spans(
     counting — the contamination-screen trick); the repeated-span set is
     boilerplate-bounded and joins back as a BROADCAST anti-join; the one
     corpus-scale shuffle is the per-document reconstruction aggregation,
-    ordered by span index (explicit total order). EVERY input document
+    ordered by span index (explicit total order). Tokens in
+    ``token_windows`` mode are UNICODE letter/digit runs (``\\p{L}\\p{N}``)
+    — the rebuild is lossy (lowercased, punctuation dropped) but keeps
+    accented and non-Latin text instead of deleting it (the earlier
+    ``[a-z0-9']`` spelling reduced every CJK/Cyrillic document to empty
+    text and corrupted accented words). EVERY input document
     appears in the output: docs whose every span is boilerplate survive
     with empty text, and docs that yield no qualifying spans at all
-    (non-Latin text in token_windows mode, all-blank/empty text) survive
+    (all-blank/empty text) survive
     with empty text and zero counts via an explode_outer sentinel row —
     dropping them here would silently delete them from any pipeline that
     joins on the result (curate's span stage does exactly that).
@@ -413,7 +418,7 @@ def remove_repeated_spans(
         base = docs.select(
             F.col(id_col).alias("doc"),
             F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit("[a-z0-9']+"), 0
+                F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}']+"), 0
             ).alias("_tk"),
         )
         carrier = "_tk"
@@ -425,8 +430,8 @@ def remove_repeated_spans(
     seq = F.when(F.size(carrier) == 0, F.array().cast("array<int>")).otherwise(
         F.sequence(F.lit(0), n_spans_expr.cast("int") - 1)
     )
-    # explode_OUTER: a doc with zero qualifying spans (non-Latin text in
-    # token_windows mode, all-blank in lines mode, empty text) emits ONE
+    # explode_OUTER: a doc with zero qualifying spans (all-blank in lines
+    # mode, empty or letterless text in token_windows mode) emits ONE
     # sentinel row with idx=null instead of vanishing from the groupBy —
     # every input doc appears in the output (clean_text='', counts 0).
     spans = base.select("doc", carrier, F.explode_outer(seq).alias("idx")).select(

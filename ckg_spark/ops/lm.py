@@ -30,6 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Latin-script SCORING tokenizer (lm/dsir/classifier share it — the
+# DuckDB oracles and reference tests mirror this exact class). Scoring
+# ops never rewrite text, so non-Latin docs are simply UNSCORED (no ppl
+# row); destructive ops must not use this — remove_repeated_spans
+# tokenizes on \p{L}\p{N} so it never deletes non-Latin content, and
+# curate's LM stage left-joins so unscored docs pass through.
 TOKEN_RE = "[a-z0-9']+"
 BOS = "<s>"
 ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007 use 0.4)

@@ -13,7 +13,13 @@ Pattern notes (cross-engine contract):
 - replacement order is load-bearing: emails first (their local parts can
   contain digit runs a phone pattern would eat), then IPv4 (digit-dot
   runs also phone-shaped), then phones — each replacement token contains
-  no digits, so later passes cannot re-match earlier redactions.
+  no digits, so later passes cannot re-match earlier redactions;
+- the phone pattern requires phone STRUCTURE (a leading '+', or three
+  3-4-digit groups with single separators, or a long 0-prefixed digit
+  run) and never matches across newlines. An earlier spelling put ``\\s``
+  in its character class, which collapsed any space/newline-separated
+  run of legitimate numbers (score tables, numbered lists, date columns)
+  into a single ``<PHONE>`` — destroying non-PII content corpus-wide.
 """
 
 from __future__ import annotations
@@ -23,7 +29,16 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PHONE_RE = r"\+?[0-9][0-9()\s.-]{6,}[0-9]"
+# three RE2-safe alternatives, each demanding real phone structure:
+#   1. international: leading '+' then 7-20 digits with (), space, ., -
+#   2. grouped local: three 3-4 digit groups, ONE separator char between
+#      each (space/./-), optional parens on the first group
+#   3. contiguous national: 0-prefixed 10-15 digit run (word-bounded)
+PHONE_RE = (
+    r"\+[0-9][0-9 ().-]{5,18}[0-9]"
+    r"|\(?[0-9]{3,4}\)?[ .-][0-9]{3,4}[ .-][0-9]{3,4}"
+    r"|\b0[0-9]{9,14}\b"
+)
 
 _PASSES = [(EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>")]
 

@@ -23,6 +23,20 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
+def stopword_profile(lang: str | None) -> list[str]:
+    """The stopword list a quality statistic scores against. ``None`` is
+    the multilingual profile — the sorted union of every per-language
+    list — for corpora that keep all languages (curate's ``lang=None``
+    contract: scoring such a corpus against English-only stopwords
+    zeroes stopword_ratio for every non-English document and silently
+    fails any quality threshold above the punctuation term alone).
+    Unknown language codes raise (fail loudly; callers that accept
+    arbitrary codes map them to ``None`` first)."""
+    if lang is None:
+        return sorted({w for ws in STOPWORDS.values() for w in ws})
+    return STOPWORDS[lang]
+
+
 def tokens_col(text_col: Column) -> Column:
     """Whitespace tokenization of lowercased text (empty-safe)."""
     return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit(""))
@@ -43,8 +57,8 @@ def bpe_ish_token_count(text_col: Column) -> Column:
     )
 
 
-def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
-    words = STOPWORDS[lang]
+def stopword_ratio(text_col: Column, lang: str | None = "en") -> Column:
+    words = stopword_profile(lang)
     toks = tokens_col(text_col)
     hits = F.size(F.filter(toks, lambda t: t.isin(words)))
     return hits / F.greatest(F.size(toks), F.lit(1))
@@ -79,7 +93,7 @@ def quality_score(text_col: Column) -> Column:
 def with_quality_stats(
     df: DataFrame,
     text_col: str = "text",
-    lang: str = "en",
+    lang: str | None = "en",
     n_tokens_col: str = "n_tokens",
     quality_col: str = "quality",
     extras: bool = False,
@@ -98,7 +112,7 @@ def with_quality_stats(
     versions — the arithmetic and rounding order are unchanged.
     """
     t = F.col(text_col)
-    words = STOPWORDS[lang]
+    words = stopword_profile(lang)
     toks, n_c, hits_c, wl_c = "__qs_toks", "__qs_n", "__qs_hits", "__qs_wl"
     out = df.withColumn(toks, tokens_col(t))
     tk = F.col(toks)
@@ -128,7 +142,7 @@ def with_quality_stats(
 
 
 def quality_keep(
-    text_col: Column, min_tokens: int, min_quality: float, lang: str = "en"
+    text_col: Column, min_tokens: int, min_quality: float, lang: str | None = "en"
 ) -> Column:
     """One-pass keep predicate, row-for-row equal to
     ``(token_count(t) >= min_tokens) & (quality_score(t) >= min_quality)``.
@@ -141,7 +155,7 @@ def quality_keep(
     a single split + single array pass per row wherever the optimizer moves
     it. Arithmetic and rounding match quality_score exactly.
     """
-    words = STOPWORDS[lang]
+    words = stopword_profile(lang)
     toks = tokens_col(text_col)
     zero = F.struct(
         F.lit(0).alias("n"), F.lit(0).alias("hits"), F.lit(0).alias("wl")

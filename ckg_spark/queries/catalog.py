@@ -4949,7 +4949,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_span_dedup",
     """
     WITH tk AS (
-      SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9'']+') AS tk
+      SELECT doc_id AS doc, regexp_extract_all(lower(text), '[\\p{L}\\p{N}'']+') AS tk
       FROM documents
     ),
     sp AS (
@@ -5019,14 +5019,17 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s1
     )
     SELECT doc,
-           regexp_replace(t2, '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '<PHONE>', 'g')
+           regexp_replace(t2,
+             '\\+[0-9][0-9 ().-]{5,18}[0-9]|\\(?[0-9]{3,4}\\)?[ .-][0-9]{3,4}[ .-][0-9]{3,4}|\\b0[0-9]{9,14}\\b',
+             '<PHONE>', 'g')
              AS clean_text,
            CAST(len(regexp_extract_all(text,
              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(t1,
              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
            CAST(len(regexp_extract_all(t2,
-             '\\+?[0-9][0-9()\\s.-]{6,}[0-9]')) AS BIGINT) AS n_phones
+             '\\+[0-9][0-9 ().-]{5,18}[0-9]|\\(?[0-9]{3,4}\\)?[ .-][0-9]{3,4}[ .-][0-9]{3,4}|\\b0[0-9]{9,14}\\b'
+           )) AS BIGINT) AS n_phones
     FROM s2
     """,
     family="curation",

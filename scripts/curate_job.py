@@ -33,6 +33,12 @@ def main() -> None:
         "normally the master comes from spark-submit)",
     )
     args = ap.parse_args()
+    if args.dsir_target and args.dsir_k is None:
+        ap.error(
+            "--dsir-target requires --dsir-k: without k the selection "
+            "stage is skipped and the target corpus would be read for "
+            "nothing (CurationPipeline.run also rejects this)"
+        )
 
     import time
 

@@ -99,9 +99,60 @@ def test_curation_config_change_invalidates_suffix(spark, tmp_path, cfg):
     CurationPipeline(spark, root, cfg).run(docs)
     cfg2 = CurationConfig(**{**cfg.__dict__, "pack_budget": 32})
     stats = CurationPipeline(spark, root, cfg2).run(docs)
-    # every stage's fingerprint chains from the config hash, so a config
-    # change reruns the DAG (conservative whole-config fingerprint)
+    # per-stage fingerprints carry only that stage's own knobs: changing
+    # pack_budget reruns split_pack but REUSES every upstream snapshot
+    # (a whole-config root hash would recompute url/exact/pii/span/
+    # quality/neardup over the full corpus for a packing knob)
     assert "split_pack" not in stats["skipped"]
+    assert {"exact_dedup", "span_dedup", "quality_filter", "neardup_dedup"} <= set(
+        stats["skipped"]
+    )
+
+
+def test_multilingual_corpus_survives_curation(spark, tmp_path):
+    """lang=None keeps every language: non-Latin docs must come through
+    WITH their text (the span stage's old ASCII tokenizer emptied them),
+    accented text must not be mangled, quality must score against the
+    multilingual stopword union (not English-only), and docs the Latin
+    LM tokenizer cannot score must pass the LM filter (null bucket)
+    instead of being inner-joined away."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "der schnelle braune fuchs springt über die faule straße hinweg", "de"),
+        (3, "这是 一个 完全 中文 的 文档 没有 拉丁 字母 在这里", "zh"),  # pre-segmented
+        (4, "le renard brun rapide saute par dessus le chien paresseux", "fr"),
+        (5, "a b c d e f g h i j k l m n o p q r s t", "en"),  # ppl fodder
+        (6, "word salad random glyph assortment entropy maximal nonsense chain", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from ckg_spark.lakehouse import Warehouse
+
+    cfg = CurationConfig(
+        lang=None, min_tokens=5, min_quality=0.0,
+        span_window=4, span_min_repeats=3,
+        drop_ppl_bucket=None,  # tercile membership on 6 docs is fragile
+        neardup_jaccard=0.9, pack_budget=64,
+    )
+    CurationPipeline(spark, str(tmp_path / "whml"), cfg).run(docs)
+    out = Warehouse(str(tmp_path / "whml")).table("curated_documents").read(spark)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # every language came through — nothing was emptied or inner-joined away
+    assert {1, 2, 3, 4, 5, 6} == set(got)
+    assert "中文" in got[3]["text"]
+    # accented German text intact through the span rewrite
+    assert "über" in got[2]["text"] and "straße" in got[2]["text"]
+    # the multilingual stopword profile scores de/fr stopwords as stopwords
+    assert got[2]["quality"] > 0.4 and got[4]["quality"] > 0.4
+
+    # with the LM filter ON, the unscorable (non-Latin) doc passes through
+    # with a null bucket instead of being deleted by an inner join
+    cfg_lm = CurationConfig(**{**cfg.__dict__, "drop_ppl_bucket": "tail"})
+    CurationPipeline(spark, str(tmp_path / "whml2"), cfg_lm).run(docs)
+    out2 = Warehouse(str(tmp_path / "whml2")).table("curated_documents").read(spark)
+    got2 = {r["doc_id"]: r for r in out2.collect()}
+    assert 3 in got2 and got2[3]["ppl_bucket"] is None and got2[3]["ppl"] is None
+    # ...and the tail tercile of the scorable docs was actually dropped
+    assert len([d for d in got2 if d != 3]) < 5
 
 
 def test_url_dedup_stage_engages_for_page_shaped_input(spark, tmp_path, cfg):
@@ -159,3 +210,12 @@ def test_dsir_k_without_target_raises(spark, tmp_path, cfg):
     c = CurationConfig(**{**cfg.__dict__, "dsir_k": 2})
     with pytest.raises(ValueError, match="dsir_target"):
         CurationPipeline(spark, str(tmp_path / "wh"), c).run(_docs(spark))
+
+
+def test_dsir_target_without_k_raises(spark, tmp_path, cfg):
+    """A target frame with no k would silently skip selection — reject."""
+    target = spark.createDataFrame([(100, "some target text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="dsir_k"):
+        CurationPipeline(spark, str(tmp_path / "wh"), cfg).run(
+            _docs(spark), dsir_target=target
+        )

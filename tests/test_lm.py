@@ -164,24 +164,25 @@ def test_token_window_mode_removes_shared_prefix_in_order(spark):
 
 
 def test_docs_with_no_qualifying_spans_survive(spark):
-    """A doc that yields ZERO spans (non-Latin text in token_windows mode,
-    all-blank text in lines mode, empty text) must still appear in the
-    output — dropping it silently deletes the doc from any pipeline that
-    joins on the result (curate's span stage does exactly that)."""
+    """A doc that yields ZERO spans (empty/all-blank text) must still
+    appear in the output — dropping it silently deletes the doc from any
+    pipeline that joins on the result (curate's span stage does exactly
+    that). Non-Latin text must SURVIVE WITH ITS TEXT: the tokenizer is
+    Unicode (``[\\p{L}\\p{N}']``), so a CJK doc is a real token run, not
+    an empty doc (the old ASCII class deleted every CJK document)."""
     from ckg_spark.ops.dedup import remove_repeated_spans
 
     docs = spark.createDataFrame(
         [
             (1, "normal ascii words right here"),
-            (2, "这是一个完全中文的文档没有拉丁字母"),  # no [a-z0-9'] tokens
+            (2, "这是一个完全中文的文档没有拉丁字母"),  # one \p{L} run
             (3, ""),
             (4, "   \n   \n  "),
+            (5, "zürich über straße naïve café words here"),  # accents kept
         ],
         "doc_id long, text string",
     )
-    # lines mode: the CJK doc has one real (non-blank) line; token_windows
-    # mode tokenizes on [a-z0-9'] so it yields nothing there
-    empties = {"token_windows": (2, 3, 4), "lines": (3, 4)}
+    empties = {"token_windows": (3, 4), "lines": (3, 4)}
     for mode, zero_docs in empties.items():
         out = {
             r["doc"]: r
@@ -189,8 +190,15 @@ def test_docs_with_no_qualifying_spans_survive(spark):
                 docs, "text", "doc_id", mode=mode, window=4, min_repeats=2
             ).collect()
         }
-        assert set(out) == {1, 2, 3, 4}, mode
+        assert set(out) == {1, 2, 3, 4, 5}, mode
         for d in zero_docs:
             assert out[d]["clean_text"] == "", (mode, d)
             assert out[d]["n_spans"] == 0 and out[d]["n_removed"] == 0, (mode, d)
         assert out[1]["n_spans"] > 0 and out[1]["n_removed"] == 0
+        # the CJK doc keeps its text in BOTH modes now
+        assert out[2]["clean_text"] == "这是一个完全中文的文档没有拉丁字母", mode
+        assert out[2]["n_spans"] == 1 and out[2]["n_removed"] == 0, mode
+        # accented words survive intact (lowercased), not mangled to
+        # 'z rich ber stra e'
+        assert "zürich" in out[5]["clean_text"] and "straße" in out[5]["clean_text"], mode
+        assert "naïve" in out[5]["clean_text"] and "café" in out[5]["clean_text"], mode

@@ -95,6 +95,14 @@ def test_pii_scrub_redacts_and_counts(spark):
             (5, "nothing sensitive here at all"),
             # email local part with digits must NOT also count as a phone
             (6, "reach 12345678@mail.com now"),
+            # legitimate number runs must NOT be glommed into one <PHONE>:
+            # space-separated scores, newline-separated list numbering,
+            # year ranges (the old \s-in-class pattern ate all of these)
+            (7, "scores: 10 21 34 2019 and done"),
+            (8, "1.\n2.\n3.\n4.\n5. end of list"),
+            (9, "the 2019-2021 seasons, version 10.21.34 shipped"),
+            # international + contiguous national formats still redact
+            (10, "ring +49 30 901820 or 01711234567 now"),
         ],
         "doc_id long, text string",
     )
@@ -109,3 +117,11 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[5]["clean_text"] == "nothing sensitive here at all"
     assert (out[6]["n_emails"], out[6]["n_phones"]) == (1, 0)
     assert out[6]["clean_text"] == "reach <EMAIL> now"
+    assert out[7]["clean_text"] == "scores: 10 21 34 2019 and done"
+    assert out[7]["n_phones"] == 0
+    assert out[8]["clean_text"] == "1.\n2.\n3.\n4.\n5. end of list"
+    assert out[8]["n_phones"] == 0
+    assert out[9]["clean_text"] == "the 2019-2021 seasons, version 10.21.34 shipped"
+    assert out[9]["n_phones"] == 0
+    assert out[10]["clean_text"] == "ring <PHONE> or <PHONE> now"
+    assert out[10]["n_phones"] == 2
