@@ -139,18 +139,39 @@ def lm_perplexity(
 
 def perplexity_buckets(scored: DataFrame) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2019 §4.3): exact
-    perplexity terciles computed as ONE tiny aggregate broadcast back —
-    not a global-order window, which would single-partition the corpus.
-    Ties at a cutpoint go to the lower bucket (deterministic: buckets
-    compare the already-rounded ppl both engines share).
+    tercile cutpoints as ORDER STATISTICS over the (ppl, count)
+    frequency table — c_p is the smallest ppl whose cumulative count
+    reaches p*n. Ties at a cutpoint go to the lower bucket
+    (deterministic: buckets compare the already-rounded ppl both
+    engines share; the DuckDB oracle computes the identical freq/cum
+    spelling).
+
+    Scale shape: the frequency aggregation shrinks the corpus to its
+    DISTINCT rounded-ppl values with map-side combine, and the
+    cumulative window over that table is sort-based (single ordered
+    partition, but it streams and spills). The previous spelling used
+    the exact ``percentile`` aggregate, whose merge buffer holds a hash
+    map of every distinct ppl value on ONE task — ppl is unbounded
+    above, so at crawl scale that one buffer OOMs where a sorted
+    window merely spills.
 
     Exact terciles need two passes over ``scored`` (cutpoints, then the
     bucket column); at production scale persist the scored frame first —
     or derive the cutpoints from a deterministic split_u sample — instead
     of replaying the scoring plan (CCNet itself is two-phase here)."""
-    cuts = scored.agg(
-        F.expr("percentile(ppl, 0.3333333333333333)").alias("c1"),
-        F.expr("percentile(ppl, 0.6666666666666666)").alias("c2"),
+    from pyspark.sql.window import Window
+
+    freq = scored.groupBy("ppl").agg(F.count(F.lit(1)).alias("w"))
+    wspec = Window.orderBy("ppl").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = freq.select("ppl", F.sum("w").over(wspec).alias("cum"))
+    n = freq.agg(F.sum("w").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(F.when(F.col("cum") >= F.col("n") / 3.0, F.col("ppl"))).alias("c1"),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") * 2.0 / 3.0, F.col("ppl"))
+        ).alias("c2"),
     )
     return scored.crossJoin(F.broadcast(cuts)).select(
         "doc",

@@ -4752,10 +4752,13 @@ def q_wgcna_module_trait(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (SELECT doc, COUNT(*) AS n, AVG(lp) AS alp FROM sc GROUP BY doc),
     pp AS (SELECT doc, n, alp, ROUND(EXP(-alp), 4) AS ppl FROM agg),
+    freq AS (SELECT ppl, COUNT(*) AS w FROM pp GROUP BY ppl),
+    cum AS (SELECT ppl, SUM(w) OVER (ORDER BY ppl) AS cum FROM freq),
+    nn AS (SELECT SUM(w) AS n FROM freq),
     cuts AS (
-      SELECT quantile_cont(ppl, 0.3333333333333333) AS c1,
-             quantile_cont(ppl, 0.6666666666666666) AS c2
-      FROM pp
+      SELECT MIN(CASE WHEN cum >= n / 3.0 THEN ppl END) AS c1,
+             MIN(CASE WHEN cum >= n * 2.0 / 3.0 THEN ppl END) AS c2
+      FROM cum, nn
     )
     SELECT doc, CAST(n AS BIGINT) AS n_tokens,
            CAST(ROUND(alp, 6) AS DOUBLE) AS avg_logprob,

@@ -212,6 +212,22 @@ def test_dsir_k_without_target_raises(spark, tmp_path, cfg):
         CurationPipeline(spark, str(tmp_path / "wh"), c).run(_docs(spark))
 
 
+def test_stages_release_their_checkpoint_blocks(spark, tmp_path, cfg):
+    """Every block pinned DURING a stage (MinHash pins, LM scored frame,
+    cc pins) must be unpersisted once the stage's snapshot commits —
+    localCheckpoint blocks are never auto-released, and a session running
+    several pipelines otherwise accumulates corpus-sized blocks until the
+    block manager thrashes (the documented mid-suite slowdown)."""
+    def pinned_ids():
+        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+
+    before = pinned_ids()
+    c = CurationConfig(**{**cfg.__dict__, "drop_ppl_bucket": "tail"})
+    CurationPipeline(spark, str(tmp_path / "whrel"), c).run(_docs(spark))
+    leaked = pinned_ids() - before
+    assert not leaked, f"stages leaked pinned RDD blocks: {leaked}"
+
+
 def test_dsir_target_without_k_raises(spark, tmp_path, cfg):
     """A target frame with no k would silently skip selection — reject."""
     target = spark.createDataFrame([(100, "some target text")], "doc_id long, text string")
