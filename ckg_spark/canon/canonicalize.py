@@ -40,12 +40,22 @@ _SEP = "\x00"
 
 
 def _alias_norms(terms: DataFrame) -> DataFrame:
-    """(id, entity_type, norm) for every surface (name + synonyms)."""
+    """(id, entity_type, norm) for every surface (name + synonyms).
+    NULL synonyms arrays coalesce to empty: concat is null-intolerant,
+    so without the guard such a term would lose its NAME surface too and
+    the distributed path would miss merges the driver path
+    (_driver_merge_pairs, which guards with ``or []``) finds — exactly
+    on the big external vocabularies where only this path runs."""
     return (
         terms.select(
             "id",
             "entity_type",
-            F.explode(F.concat(F.array("name"), "synonyms")).alias("surface"),
+            F.explode(
+                F.concat(
+                    F.array("name"),
+                    F.coalesce(F.col("synonyms"), F.array().cast("array<string>")),
+                )
+            ).alias("surface"),
         )
         .select("id", "entity_type", with_normalized(F.col("surface")).alias("norm"))
         .distinct()

@@ -142,6 +142,18 @@ def lsh_candidate_pairs(
     (vocab canonicalization); corpus-scale dedup must leave it False.
     """
     n = bands * rows_per_band
+    # eager bounds probe (one narrow limit-1 job): a banding config that
+    # disagrees with the signature length would otherwise surface as an
+    # opaque ANSI INVALID_ARRAY_INDEX executor failure mid-join (this
+    # session runs ANSI mode) — or, worse, silently band a PREFIX of the
+    # signature if the length were larger than bands*rows_per_band
+    probe = signatures.select(F.size("signature").alias("_n")).head(1)
+    if probe and probe[0]["_n"] != n:
+        raise ValueError(
+            f"signature length {probe[0]['_n']} != bands*rows_per_band = "
+            f"{bands}*{rows_per_band} = {n}: rebuild signatures with "
+            f"num_hashes={n} or adjust the banding"
+        )
     band_cols = [
         F.xxhash64(
             F.lit(b), *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
@@ -164,5 +176,4 @@ def lsh_candidate_pairs(
         .select(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
         .distinct()
     )
-    _ = n
     return pairs

@@ -83,40 +83,17 @@ class CurationPipeline:
         # harness reads these to attribute the 1-vs-4-core gap to a stage
         self.stage_seconds: dict[str, float] = {}
 
-    def _pinned(self) -> dict:
-        """id -> JavaRDD of every block currently pinned in executor
-        storage (cache / localCheckpoint). Best-effort: an empty dict on
-        a py4j surface change just disables the stage-scoped release."""
-        try:
-            return dict(self.spark.sparkContext._jsc.getPersistentRDDs())
-        except Exception:
-            return {}
-
     def _stage(self, name, fp, table, compute):
         t0 = time.perf_counter()
         # tag every job with the curation stage so event logs / the UI can
-        # attribute task time to a stage (the scaling harness reads this)
+        # attribute task time to a stage (the scaling harness reads this).
+        # Stage-pinned checkpoint blocks are released by run_stage itself
+        # (shared with KGPipeline) once the snapshot commits.
         self.spark.sparkContext.setJobGroup(name, name)
-        before = set(self._pinned())
         try:
             out = run_stage(self.spark, self.wh, self.ckpt, name, fp, table, compute)
         finally:
             self.spark.sparkContext.setJobGroup("", "")
-            # release every block pinned DURING the stage (MinHash key/
-            # signature/candidate pins, the LM scored frame, cc's edge
-            # pins): run_stage returns a fresh read of the COMMITTED
-            # snapshot, so nothing downstream references them, and
-            # localCheckpoint blocks are never auto-unpersisted — without
-            # this a multi-stage run (or a suite sharing one session)
-            # accumulates corpus-sized blocks until the block manager
-            # thrashes. Blocks pinned BEFORE the stage (a caller's input
-            # frame) are left alone.
-            for rid, jrdd in self._pinned().items():
-                if rid not in before:
-                    try:
-                        jrdd.unpersist()
-                    except Exception:
-                        pass
         self.stage_seconds[name] = round(time.perf_counter() - t0, 3)
         return out
 

@@ -11,7 +11,8 @@ Everything here is JVM column math (regexp_replace chains) — no Python
 in the hot path — and the rules are frozen, documented normalizations
 so canonical ids are deterministic and reproducible across runs:
 
-1. lowercase scheme and host (ONLY those — path/query stay case-exact);
+1. lowercase scheme and host[:port] (ONLY those — userinfo, path and
+   query stay case-exact; credentials are case-sensitive);
 2. strip the fragment (#...);
 3. strip known tracking params (utm_*, fbclid, gclid, msclkid, mc_eid,
    ref, referrer) wherever they appear in the query string;
@@ -35,10 +36,23 @@ _TRACKING = "(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref|referrer)"
 def canonical_url(url: Column) -> Column:
     """The canonicalization chain, entirely in JVM regexp/string ops."""
     u = F.trim(url)
-    # 1. lowercase scheme://host[:port] prefix, leave the rest alone
-    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    # 1. lowercase scheme and host[:port] ONLY — userinfo (user:pass@)
+    #    stays case-exact like path/query: credentials are case-sensitive,
+    #    so lowercasing them would collapse distinct resources into one
+    #    canonical id and dedup would silently drop a capture. userinfo =
+    #    authority up to the LAST '@' (greedy), host:port = the remainder.
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(auth, r"^(.*)@[^@]*$", 1)
+    hostport = F.lower(F.regexp_extract(auth, r"([^@]*)$", 1))
+    head = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(userinfo == "", F.lit("")).otherwise(F.concat(userinfo, F.lit("@"))),
+        hostport,
+    )
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    u = F.when(head == "", u).otherwise(F.concat(head, rest))
+    u = F.when(scheme == "", u).otherwise(F.concat(head, rest))
     # 2. fragment
     u = F.regexp_replace(u, r"#.*$", "")
     # 3. tracking params: the lookbehind keeps the preceding delimiter OUT

@@ -107,13 +107,23 @@ class Table:
         # (a filter stage that dropped everything) writes zero parquet
         # files, and schema inference over no files would fail the re-read
         schema_json = (snaps[sid].get("meta") or {}).get("_schema")
+        reader = spark.read
         if schema_json:
             from pyspark.sql.types import StructType
 
-            return spark.read.schema(StructType.fromJson(json.loads(schema_json))).parquet(
-                *dirs
-            )
-        return spark.read.parquet(*dirs)
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        if len(dirs) == 1:
+            return reader.parquet(dirs[0])
+        # multi-snapshot read: each data dir is read as its OWN root and
+        # the scans union. Passing several PARTITIONED roots to one
+        # .parquet(...) call makes partition discovery infer a different
+        # base per root and raise CONFLICTING_DIRECTORY_STRUCTURES (the
+        # first non-empty incremental merge into a partitioned table hits
+        # this). Per-root scans keep partition pruning: a pred/label
+        # filter pushes into every branch of the union.
+        from functools import reduce
+
+        return reduce(DataFrame.unionByName, (reader.parquet(d) for d in dirs))
 
     # -- write ------------------------------------------------------------
     def _write_data(self, df: DataFrame, partition_by: list[str] | None) -> tuple[str, str]:
@@ -210,8 +220,32 @@ class Table:
         an incremental load of one ``pred`` no longer rescans a 100×-grown
         table's every partition for its anti-join. Requires
         ``prune_on ⊆ key_cols`` (same key ⇒ same prune value, so dropping
-        other partitions cannot lose a match)."""
-        staged = df if assume_unique else df.dropDuplicates(key_cols)
+        other partitions cannot lose a match).
+
+        Staging dedup is DETERMINISTIC: duplicate keys keep the row whose
+        non-key struct is the lexicographic minimum (dropDuplicates keeps
+        whichever row the shuffle delivers first — the surviving values
+        would vary run to run, violating the engine's explicit-total-order
+        rule). Same shuffle count as dropDuplicates (one hash agg with
+        map-side combine); non-key columns must be orderable (arrays are,
+        maps are not — such tables should pass ``assume_unique``)."""
+        if assume_unique:
+            staged = df
+        else:
+            other = [c for c in df.columns if c not in key_cols]
+            if other:
+                from pyspark.sql import functions as F
+
+                staged = (
+                    df.groupBy(*key_cols)
+                    .agg(F.min(F.struct(*other)).alias("_r"))
+                    .select(
+                        *key_cols, *[F.col(f"_r.{c}").alias(c) for c in other]
+                    )
+                    .select(*df.columns)
+                )
+            else:
+                staged = df.distinct()
         cached = None
         if self.exists():
             if prune_on:

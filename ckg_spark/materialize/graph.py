@@ -48,8 +48,16 @@ def build_nodes(
     t = terms.join(
         F.broadcast(canonical_map), terms["id"] == canonical_map["term_id"], "inner"
     )
+    # coalesce: concat is null-intolerant — a NULL synonyms array would
+    # otherwise drop the term's NAME from the cluster surfaces too
     surfaces = t.select(
-        "node_id", F.explode(F.concat(F.array("name"), "synonyms")).alias("surface")
+        "node_id",
+        F.explode(
+            F.concat(
+                F.array("name"),
+                F.coalesce(F.col("synonyms"), F.array().cast("array<string>")),
+            )
+        ).alias("surface"),
     )
     syn_agg = surfaces.groupBy("node_id").agg(
         F.array_sort(F.collect_set("surface")).alias("synonyms")
@@ -150,7 +158,15 @@ def materialize_graph(
         assume_unique=True,
         prune_on=["pred"],
     )
-    quarantine_t.append(orphan)
+    # MERGE (not append) so the quarantine honors the same 're-loads are
+    # no-ops' contract as nodes/edges: a crash between the edges merge and
+    # the pipeline's checkpoint mark re-runs this function, and an append
+    # would duplicate the identical orphan set (inflating the lineage
+    # orphan counts). Orphans inherit the link stage's per-(subj,pred,obj)
+    # uniqueness, so the staging dedup shuffle is skipped.
+    quarantine_t.merge_insert_absent(
+        spark, orphan, ["subj", "pred", "obj"], assume_unique=True
+    )
     n_orphan = quarantine_t.snapshots()[-1].rows_written
 
     stats = {

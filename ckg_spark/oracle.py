@@ -122,7 +122,13 @@ def run_oracle(v: Vocab, pages_cfg: PagesConfig) -> OracleResult:
     doc_tokens: dict[str, int] = {}
     doc_nodes: dict[str, set[str]] = defaultdict(set)
 
-    for page in iter_pages(pages_cfg, iter(range(pages_cfg.n_docs))):
+    # id_offset must match generate_pages_df (corpus/pages.py): ids run
+    # offset..offset+n_docs-1 — a 0-based range on an offset fixture would
+    # make the oracle grade a disjoint corpus
+    for page in iter_pages(
+        pages_cfg,
+        iter(range(pages_cfg.id_offset, pages_cfg.id_offset + pages_cfg.n_docs)),
+    ):
         text = extract_text(page["html"])
         res.text_by_url[page["url"]] = text
         if page["lang"] != "en":

@@ -48,6 +48,37 @@ def _fingerprint(stage: str, cfg: Any, *upstream: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _input_identity(df: DataFrame) -> dict:
+    """Fingerprint payload for an EXTERNALLY supplied input frame. Without
+    this, resume against the same warehouse with a different corpus would
+    silently reuse the previous corpus' snapshots (the config fingerprint
+    alone cannot see the input change). File-backed inputs (the
+    spark-submit deployment path reads parquet) are identified by a
+    digest of their file listing — driver-side metadata, no data scan;
+    in-memory frames fall back to the canonicalized-plan hash."""
+    ident: dict = {"schema": df.schema.simpleString()}
+    files = sorted(df.inputFiles())
+    if files:
+        ident["files"] = hashlib.sha256("\n".join(files).encode()).hexdigest()
+        ident["n_files"] = len(files)
+    else:
+        try:
+            ident["plan"] = df.semanticHash()
+        except Exception:
+            pass  # best-effort: schema-only identity for exotic frames
+    return ident
+
+
+def _pinned_rdds(spark: SparkSession) -> dict:
+    """id -> JavaRDD of every block pinned in executor storage (cache /
+    localCheckpoint). Best-effort: empty on a py4j surface change, which
+    just disables the stage-scoped release."""
+    try:
+        return dict(spark.sparkContext._jsc.getPersistentRDDs())
+    except Exception:
+        return {}
+
+
 class Checkpoints:
     def __init__(self, wh: Warehouse):
         self.path = os.path.join(wh.root, "_checkpoints.json")
@@ -91,8 +122,24 @@ def run_stage(
     import time as _time
 
     t0 = _time.perf_counter()
-    df, partition_by = compute()
-    snap = t.overwrite(df, partition_by=partition_by, meta={"stage": name, "fp": fp})
+    before = set(_pinned_rdds(spark))
+    try:
+        df, partition_by = compute()
+        snap = t.overwrite(df, partition_by=partition_by, meta={"stage": name, "fp": fp})
+    finally:
+        # release every block the stage pinned (link's per_url frame,
+        # canon/MinHash signature pins, LM scored frames): the snapshot is
+        # committed and the caller gets a fresh read of it, so nothing
+        # references them — and localCheckpoint blocks are never
+        # auto-unpersisted, so a session running several builds/pipelines
+        # would otherwise accumulate corpus-sized blocks for its lifetime.
+        # Blocks pinned BEFORE the stage (caller-owned frames) are kept.
+        for rid, jrdd in _pinned_rdds(spark).items():
+            if rid not in before:
+                try:
+                    jrdd.unpersist()
+                except Exception:
+                    pass
     elapsed = round(_time.perf_counter() - t0, 3)
     rows = sum(f["rows"] or 0 for f in t.snapshots()[-1].files)
     wh.log_metric(
@@ -144,17 +191,25 @@ class KGPipeline:
         spark = self.spark
         stats: dict[str, Any] = {"skipped": []}
 
-        # vocab tables (dimension-sized; always cheap to recreate)
-        terms, aliases, blocklist = vocab_dataframes(spark, self.vocab)
+        # vocab tables (dimension-sized; always cheap to recreate).
+        # The aliases frame is unused here: the tag stage builds its
+        # automaton from the driver-side self.vocab.aliases list.
+        terms, _aliases, blocklist = vocab_dataframes(spark, self.vocab)
 
-        # stage 1: corpus (generated unless an external pages df is supplied)
-        fp_pages = _fingerprint("pages", asdict(self.pages_cfg))
+        # stage 1: corpus (generated unless an external pages df is
+        # supplied). An EXTERNAL corpus enters the fingerprint chain by
+        # its own identity (file-listing digest): pointing the same
+        # warehouse at a different corpus invalidates tag and everything
+        # downstream instead of silently reusing the old mentions.
         if pages is None:
+            fp_pages = _fingerprint("pages", asdict(self.pages_cfg))
             pages, skipped = self._stage(
                 "pages", fp_pages, "pages", lambda: (generate_pages_df(spark, self.pages_cfg), None)
             )
             if skipped:
                 stats["skipped"].append("pages")
+        else:
+            fp_pages = _fingerprint("pages_external", _input_identity(pages))
 
         # stage 2 (+3): extraction (fills text; byte-identical per url) and
         # tagging (broadcast automaton; lang filter; blocklist). Both are
@@ -233,7 +288,11 @@ class KGPipeline:
 
         # stage 6: materialize nodes/edges with MERGE + FK quarantine
         fp_mat = _fingerprint("materialize", {}, fp_link)
-        if self.ckpt.done("materialize", fp_mat) and self.wh.table("edges").exists():
+        if (
+            self.ckpt.done("materialize", fp_mat)
+            and self.wh.table("edges").exists()
+            and self.wh.table("nodes").exists()  # both outputs must exist
+        ):
             stats["skipped"].append("materialize")
         else:
             mention_urls = triples.filter("pred = 'MENTIONED_IN_PUBLICATION'").select(

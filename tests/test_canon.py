@@ -31,6 +31,42 @@ def test_merge_pairs_lsh_equals_exact(spark, vocab):
     assert len(exact) >= len(vocab.expected_merges)
 
 
+def test_null_synonyms_terms_still_merge(spark):
+    """Two same-named terms whose synonyms arrays are NULL must merge in
+    the DISTRIBUTED path: concat(array(name), synonyms) is null-intolerant,
+    so without a coalesce guard such terms lose ALL alias norms (name
+    included) and the merge is missed — exactly the divergence from the
+    driver union-find path, which guards with `synonyms or []`."""
+    terms = spark.createDataFrame(
+        [
+            ("T1", "Disease", "Acute Gastric Cancer", "d1", None),
+            ("T2", "Disease", "acute gastric-cancer", "d2", None),
+            ("T3", "Disease", "unrelated disorder", "d3", None),
+        ],
+        "id string, entity_type string, name string, description string, synonyms array<string>",
+    )
+    for mode in ("exact", "lsh"):
+        pairs = {(r["src"], r["dst"]) for r in merge_pairs(terms, mode=mode).collect()}
+        assert ("T1", "T2") in pairs, mode
+        assert not any("T3" in p for p in pairs), mode
+
+
+def test_lsh_banding_mismatch_raises(spark):
+    """bands*rows_per_band must equal the signature length — a mismatch
+    fails loudly instead of an ANSI INVALID_ARRAY_INDEX mid-join (or a
+    silent prefix-only banding)."""
+    import pytest
+
+    from ckg_spark.canon.lsh import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame(
+        [("a", list(range(16))), ("b", list(range(16)))],
+        "key string, signature array<long>",
+    )
+    with pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)  # expects 32
+
+
 def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("x", "y"), ("z", "y"), ("q", "q2")],

@@ -174,6 +174,116 @@ def test_crash_mid_pipeline_resumes_from_last_snapshot(spark, tmp_path, monkeypa
     assert got == exp
 
 
+def test_external_pages_change_invalidates_resume(spark, tmp_path):
+    """An externally supplied corpus enters the fingerprint chain: the
+    same warehouse pointed at a DIFFERENT corpus must rerun tag/link
+    (merging the new corpus' triples in) instead of silently reusing the
+    previous corpus' mentions; re-running with the SAME files resumes."""
+    vocab_cfg = VocabConfig(seed=7, terms_per_type=20)
+    vocab = generate_vocab(vocab_cfg)
+    cfg_a = config_from_vocab(vocab, n_docs=60, seed=42, partitions=2)
+    cfg_b = config_from_vocab(vocab, n_docs=60, seed=42, partitions=2, id_offset=500)
+    from ckg_spark.corpus.pages import generate_pages_df
+
+    path_a, path_b = str(tmp_path / "pages_a"), str(tmp_path / "pages_b")
+    generate_pages_df(spark, cfg_a).write.parquet(path_a)
+    generate_pages_df(spark, cfg_b).write.parquet(path_b)
+
+    wh = str(tmp_path / "wh_ext")
+    pipe = KGPipeline(spark, wh, vocab_cfg=vocab_cfg, pages_cfg=cfg_a)
+    stats1 = pipe.run(pages=spark.read.parquet(path_a))
+    # same files again -> full resume
+    stats1b = KGPipeline(spark, wh, vocab_cfg=vocab_cfg, pages_cfg=cfg_a).run(
+        pages=spark.read.parquet(path_a)
+    )
+    assert {"tag", "canon", "link"} <= set(stats1b["skipped"])
+    # different corpus, same warehouse -> tag/link rerun, graph grows
+    stats2 = KGPipeline(spark, wh, vocab_cfg=vocab_cfg, pages_cfg=cfg_b).run(
+        pages=spark.read.parquet(path_b)
+    )
+    assert "tag" not in stats2["skipped"] and "link" not in stats2["skipped"]
+    assert stats2["n_triples"] > stats1["n_triples"]
+
+
+def test_oracle_honors_id_offset(spark, tmp_path):
+    """P/R == 1.0 on an id_offset fixture: the oracle must generate the
+    SAME doc-id range as generate_pages_df, not 0..n_docs-1."""
+    vocab_cfg = VocabConfig(seed=7, terms_per_type=20)
+    vocab = generate_vocab(vocab_cfg)
+    pages_cfg = config_from_vocab(vocab, n_docs=80, seed=42, partitions=2, id_offset=80)
+    pipe = KGPipeline(
+        spark, str(tmp_path / "wh_off"), vocab_cfg=vocab_cfg, pages_cfg=pages_cfg
+    )
+    pipe.run()
+    oracle = run_oracle(vocab, pages_cfg)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipe.wh.table("edges").read(spark).collect()
+    }
+    p, r = precision_recall(got, oracle.triples)
+    assert (p, r) == (1.0, 1.0)
+    # the oracle really graded the offset corpus (urls derive from doc ids)
+    assert any("80" in u for u in oracle.text_by_url)
+
+
+def test_quarantine_merge_is_idempotent(spark, tmp_path):
+    """Re-running materialize after a crash-before-checkpoint must not
+    duplicate quarantine rows (same MERGE contract as nodes/edges)."""
+    from ckg_spark.lakehouse import Warehouse
+    from ckg_spark.materialize.graph import materialize_graph
+
+    wh = Warehouse(str(tmp_path / "wh_q"))
+    nodes = spark.createDataFrame(
+        [("T1", "Disease", "alpha", None, "Disease", ["alpha"])],
+        "id string, label string, name string, description string, type string, synonyms array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("T1", "ASSOCIATED_WITH", "T_MISSING", 1.0),  # orphan obj
+            ("T1", "MENTIONED_IN_PUBLICATION", "http://x/1", 0.5),
+        ],
+        "subj string, pred string, obj string, score double",
+    )
+    s1 = materialize_graph(spark, wh, nodes, edges)
+    s2 = materialize_graph(spark, wh, nodes, edges)  # crash-replay
+    q = wh.table("edges_quarantine").read(spark)
+    assert q.count() == 1
+    assert s1["orphan_edges"] == 1 and s2["orphan_edges"] == 0
+
+
+def test_merge_staging_dedup_is_deterministic(spark, tmp_path):
+    """Duplicate staged keys with DIFFERENT non-key values must keep the
+    min-struct row regardless of row order / partitioning — never
+    'whichever row the shuffle delivered first'."""
+    from ckg_spark.lakehouse import Warehouse
+
+    rows = [("a", "P", "x", 2.0), ("a", "P", "x", 1.0), ("b", "P", "y", 3.0)]
+    schema = "subj string, pred string, obj string, score double"
+    for i, order in enumerate([rows, rows[::-1]]):
+        t = Warehouse(str(tmp_path / f"whd{i}")).table("edges")
+        t.merge_insert_absent(
+            spark,
+            spark.createDataFrame(order, schema).repartition(4),
+            ["subj", "pred", "obj"],
+        )
+        got = {(r["subj"], r["obj"]): r["score"] for r in t.read(spark).collect()}
+        assert got == {("a", "x"): 1.0, ("b", "y"): 3.0}, order
+
+
+def test_build_nodes_null_synonyms_keep_name_surface(spark):
+    """A term with a NULL synonyms array must still contribute its NAME to
+    the cluster surfaces (concat is null-intolerant without the guard)."""
+    from ckg_spark.materialize.graph import build_nodes
+
+    terms = spark.createDataFrame(
+        [("T1", "Disease", "alpha", "d", None)],
+        "id string, entity_type string, name string, description string, synonyms array<string>",
+    )
+    cmap = spark.createDataFrame([("T1", "T1")], "term_id string, node_id string")
+    rows = build_nodes(terms, cmap).collect()
+    assert rows[0]["synonyms"] == ["alpha"]
+
+
 def test_comention_min_score_threshold(spark, built, tmp_path):
     """comention_min_score=2 keeps exactly the ASSOCIATED_WITH pairs with
     score >= 2 (the reference's association cutoff semantics) and leaves
