@@ -51,9 +51,12 @@ def _normalization(df: DataFrame, a: dict) -> DataFrame:
             F.round(v - F.expr(f"percentile(CAST({value} AS DOUBLE), 0.5)").over(w), 6),
         )
     if method == "l2":
+        # zero-norm guard: an all-zero sample keeps its zeros (the raw
+        # division throws DIVIDE_BY_ZERO under this session's ANSI config)
         w = Window.partitionBy(a.get("sample_col", "sample"))
+        nrm = F.sqrt(F.sum(v * v).over(w))
         return df.withColumn(
-            "value_norm", F.round(v / F.sqrt(F.sum(v * v).over(w)), 6)
+            "value_norm", F.round(F.when(nrm > 0, v / nrm).otherwise(v), 6)
         )
     if method == "quantile":
         return stats.quantile_normalize(
@@ -452,8 +455,9 @@ def _correlation_matrix(df: DataFrame, a: dict) -> DataFrame:
     c = dict(a)
     c.setdefault("correction", "fdr_bh")
     c["feature_col"] = "node1"
-    out = _maybe_correct(r.withColumnRenamed("node2", "__n2__"), c)
-    return out.withColumnRenamed("__n2__", "node2")
+    # node1 alone as the ordering key: correction keeps all columns, and
+    # ties in p get identical adjusted values regardless of tiebreak order
+    return _maybe_correct(r, c)
 
 
 def multi_correlation(frames: dict[str, DataFrame], args: dict | None = None) -> DataFrame:

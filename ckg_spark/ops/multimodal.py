@@ -119,11 +119,15 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Video frame-sampling as a JVM-side explode of frame indices —
     the per-frame decode would then be a mapInPandas over this plan.
-    (media_id, frame_idx); one row per sampled frame."""
-    idxs = F.sequence(
-        F.lit(0), F.greatest(F.col(nframes_col) - 1, F.lit(0)), F.lit(every_n)
+    (media_id, frame_idx); one row per sampled frame. Zero-frame media
+    emit NO rows (filtered before the sequence: clamping the bound to 0
+    instead would fabricate a phantom frame 0 the decode cannot read,
+    and an unclamped sequence(0, -1) is an ANSI error)."""
+    idxs = F.sequence(F.lit(0), F.col(nframes_col) - 1, F.lit(every_n))
+    return (
+        media.filter(F.col(nframes_col) >= 1)
+        .select(F.col(id_col), F.explode(idxs).alias("frame_idx"))
     )
-    return media.select(F.col(id_col), F.explode(idxs).alias("frame_idx"))
 
 
 def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -34,7 +34,11 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 
 def _cosine_col(vec_col, query: list[float]):
     """JVM-side cosine similarity between an array<float> column and a
-    literal query vector (zip_with product + aggregate sum + norms)."""
+    literal query vector (zip_with product + aggregate sum + norms).
+    Zero-norm convention: cosine with an all-zero vector (or query) is
+    0.0 — the unguarded division would throw DIVIDE_BY_ZERO under this
+    session's ANSI config on the first padding/empty-doc embedding (the
+    driver-side twin _probe_cells guards the same way)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     dot = F.aggregate(
         F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
@@ -45,7 +49,8 @@ def _cosine_col(vec_col, query: list[float]):
         F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
     qn = float(np.sqrt(np.dot(query, query)))
-    return dot / (norm_v * F.lit(qn))
+    denom = norm_v * F.lit(qn)
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -220,12 +225,16 @@ def cosine_self_pairs(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
+    denom = norm(F.col("va")) * norm(F.col("vb"))
     return (
         a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cosine"),
+            # zero-norm pairs score 0.0 (ANSI: the raw division throws)
+            F.round(
+                F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -279,7 +288,18 @@ def srp_bands(
     band rows carry IDS ONLY — vector payloads never enter the shuffle."""
     assert n_planes % bands == 0, "n_planes must divide evenly into bands"
     r = n_planes // bands
-    dim = len(embeddings.select(vec_col).first()[0])
+    # dimension probe: one narrow limit-1 job. An EMPTY frame (a corpus
+    # partition with no embeddings yet) returns zero band rows instead of
+    # crashing on first()[0]; a null first vector is rejected loudly.
+    probe = embeddings.select(F.col(vec_col).alias("__v__")).head(1)
+    if not probe:
+        id_type = dict(embeddings.dtypes)[id_col]
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, band_id int, band_val int"
+        )
+    if probe[0]["__v__"] is None:
+        raise ValueError(f"{vec_col!r} of the first row is NULL — cannot infer dim")
+    dim = len(probe[0]["__v__"])
     signs = _srp_signs(n_planes, dim, seed)
     v = F.col("__v__")
     projected = embeddings.select(F.col(id_col), F.col(vec_col).alias("__v__"))
@@ -349,13 +369,17 @@ def srp_self_pairs(
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
+    denom = norm(F.col("va")) * norm(F.col("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("cosine"),
+            # zero-norm pairs score 0.0 (ANSI: the raw division throws)
+            F.round(
+                F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

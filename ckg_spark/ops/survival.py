@@ -153,10 +153,20 @@ def logrank_statistic(
         F.sum("n_event").cast("double").alias("o_g"),
         F.sum(expected).alias("e_g"),
     )
+    # e_g == 0 guard: a group fully censored before the first pooled event
+    # time has zero at-risk mass at every event time, so o_g = e_g = 0 and
+    # the unguarded 0/0 would throw under ANSI (DuckDB's IEEE division
+    # silently yields NaN — the oracle carries the identical CASE). Such a
+    # group contributes nothing to the statistic, per the usual convention.
     st = per_group.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.sum(
-            (F.col("o_g") - F.col("e_g")) * (F.col("o_g") - F.col("e_g")) / F.col("e_g")
+            F.when(
+                F.col("e_g") > 0,
+                (F.col("o_g") - F.col("e_g"))
+                * (F.col("o_g") - F.col("e_g"))
+                / F.col("e_g"),
+            ).otherwise(F.lit(0.0))
         ).alias("chi2_raw"),
     )
     dof = (F.col("n_groups") - F.lit(1)).cast("double")

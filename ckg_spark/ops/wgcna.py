@@ -150,7 +150,14 @@ def wgcna_modules(
     deterministic under repartitioning."""
     adj = wgcna_adjacency(df, sample_col, feature_col, value_col, power, min_n, corr=corr)
     tom = tom_similarity(adj)
-    edges = tom.filter(F.col("tom") >= F.lit(float(tom_cutoff)))
+    # nodes cast to STRING before CC: the features frame below is
+    # string-cast, and a numeric feature_col would otherwise make
+    # coalesce(bigint component, string feature) and the GREY relabel
+    # CASE type-mismatch at plan time
+    edges = tom.filter(F.col("tom") >= F.lit(float(tom_cutoff))).select(
+        F.col("node1").cast("string").alias("node1"),
+        F.col("node2").cast("string").alias("node2"),
+    )
     cc = connected_components(edges, "node1", "node2")
     feats = df.select(F.col(feature_col).cast("string").alias("feature")).distinct()
     labeled = feats.join(
@@ -403,6 +410,11 @@ def module_eigengenes(
         corr = feature_correlation_matrix(
             df, sample_col, feature_col, value_col, min_n=min_n
         )
+    # string-cast the correlation keys to match the string-cast module
+    # frame (numeric feature ids would join bigint = string otherwise)
+    corr = corr.withColumn("node1", F.col("node1").cast("string")).withColumn(
+        "node2", F.col("node2").cast("string")
+    )
     m1 = mods.select(F.col("feature").alias("node1"), "module")
     m2 = mods.select(F.col("feature").alias("node2"), F.col("module").alias("module2"))
     medges = (

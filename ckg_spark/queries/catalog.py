@@ -2129,7 +2129,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     st AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-             SUM((o_g - e_g) * (o_g - e_g) / e_g) AS chi2_raw
+             SUM(CASE WHEN e_g > 0
+                      THEN (o_g - e_g) * (o_g - e_g) / e_g
+                      ELSE 0.0 END) AS chi2_raw
       FROM pg
     )
     SELECT n_groups, CAST(n_groups - 1 AS BIGINT) AS dof,

@@ -93,10 +93,19 @@ def run_query(
     wh = Warehouse(warehouse) if isinstance(warehouse, str) else warehouse
     q = read_knowledge_queries(path)[query_id]
     sql = q["query"]
-    # longest key first: a key that prefixes another (ENTITYID/ENTITYID2)
-    # must not clobber the longer placeholder mid-token
-    for key in sorted(replacements or {}, key=len, reverse=True):
-        sql = sql.replace(key, _safe_value(key, (replacements or {})[key]))
+    # ONE regex pass with longest-first alternation: sequential .replace
+    # calls rescan already-substituted VALUES, so a shorter key occurring
+    # inside an earlier replacement's value (ID inside 'MONDO:ID123')
+    # would silently corrupt it; a single pass only ever sees the
+    # original template text. Longest-first ordering keeps a key that
+    # prefixes another (ENTITYID/ENTITYID2) from clobbering it mid-token.
+    reps = replacements or {}
+    if reps:
+        import re as _re
+
+        keys = sorted(reps, key=len, reverse=True)
+        pat = _re.compile("|".join(_re.escape(k) for k in keys))
+        sql = pat.sub(lambda m: _safe_value(m.group(0), reps[m.group(0)]), sql)
     wh.table("nodes").read(spark).createOrReplaceTempView("nodes")
     wh.table("edges").read(spark).createOrReplaceTempView("edges")
     return spark.sql(sql)

@@ -70,9 +70,18 @@ def prepare_processed(
     No-op when the config doesn't ask for prep or ``processed`` exists."""
     if "processed" in frames or "measurements" not in frames or not args:
         return frames
-    method = {"distribution": "downshift", "mixed": "mixed", "knn": "knn"}.get(
-        str(args.get("imputation_method", "mixed")).lower(), "mixed"
-    )
+    raw_method = str(args.get("imputation_method", "mixed")).lower()
+    _METHODS = {"distribution": "downshift", "mixed": "mixed", "knn": "knn"}
+    if raw_method not in _METHODS:
+        # fail loudly: silently falling back to 'mixed' would switch
+        # imputation semantics on a config typo and change the regulated
+        # hit lists with no signal (analysis.py raises for unknown
+        # normalization/correction names; prep must too)
+        raise ValueError(
+            f"unknown imputation_method {raw_method!r}: "
+            f"expected one of {sorted(_METHODS)}"
+        )
+    method = _METHODS[raw_method]
     group_col = args.get("group_col", "group")
     sample_col = args.get("sample_col", "sample")
     feature_col = args.get("feature_col", "identifier")
@@ -190,8 +199,15 @@ def generate_report(
                     if analysis_type in _REGULATION_ANALYSES:
                         reg = _regulated_subset(data, result, sub_args)
                         if reg is not None:
+                            # fixed keys = reference parity (dataset.py:
+                            # 254-261; last regulation analysis wins there
+                            # too). The subsection-prefixed copies keep a
+                            # config with SEVERAL regulation subsections
+                            # from silently losing the earlier results.
                             _store("regulated", reg)
                             _store("regulation table", result)
+                            _store(f"{subsection}_regulated", reg)
+                            _store(f"{subsection}_regulation_table", result)
                     else:
                         _store(key, result)
             report.pipeline.append(step)

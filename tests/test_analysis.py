@@ -1014,3 +1014,18 @@ def test_correlation_matrix_dispatch(spark):
     )
     r = run_analysis(df, "correlation_matrix", {}).collect()
     assert len(r) == 1 and r[0]["weight"] == -1.0
+
+
+def test_l2_normalization_zero_sample_kept(spark):
+    """An all-zero sample keeps its zeros (the unguarded division threw
+    DIVIDE_BY_ZERO under this session's ANSI config)."""
+    from ckg_spark.analysis import run_analysis
+
+    df = spark.createDataFrame(
+        [("s1", "f1", 0.0), ("s1", "f2", 0.0), ("s2", "f1", 3.0), ("s2", "f2", 4.0)],
+        "sample string, identifier string, value double",
+    )
+    out = run_analysis(df, "normalization", {"method": "l2"})
+    vals = {(r["sample"], r["identifier"]): r["value_norm"] for r in out.collect()}
+    assert vals[("s1", "f1")] == 0.0 and vals[("s1", "f2")] == 0.0
+    assert vals[("s2", "f1")] == pytest.approx(0.6) and vals[("s2", "f2")] == pytest.approx(0.8)

@@ -1239,3 +1239,44 @@ def test_graph_summary_matches_python(spark):
     assert abs(got["density"] - 2.0 * m / (n * (n - 1))) < 1e-6
     assert abs(got["transitivity"] - 3.0 * tri / wedges) < 1e-6
     assert abs(got["assortativity"] - exp_assort) < 1e-6
+
+
+def test_frame_sample_plan_zero_frames_emit_no_rows(spark):
+    """n_frames=0 media must emit NO rows — the old greatest(n-1, 0)
+    clamp fabricated a phantom frame 0 the decode cannot read."""
+    media = spark.createDataFrame(
+        [("v1", 100), ("v0", 0), ("v2", 1)], ["media_id", "n_frames"]
+    )
+    rows = multimodal.frame_sample_plan(media, every_n=30).collect()
+    got = sorted((r["media_id"], r["frame_idx"]) for r in rows)
+    assert got == [("v1", 0), ("v1", 30), ("v1", 60), ("v1", 90), ("v2", 0)]
+
+
+def test_zero_norm_vectors_score_zero_not_crash(spark):
+    """All-zero embeddings (padding/empty-doc rows) score cosine 0.0 —
+    the unguarded division threw DIVIDE_BY_ZERO under ANSI."""
+    from pyspark.sql import functions as F
+
+    from ckg_spark.ops import simsearch
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    top = simsearch.brute_force_topk(emb, [1.0, 0.0], k=3).collect()
+    assert top[0]["vec_id"] == 2
+    assert {r["vec_id"]: r["cosine"] for r in top}[1] == 0.0
+    pairs = simsearch.cosine_self_pairs(
+        emb.withColumn("label", F.lit("x")), threshold=0.0, block_col="label"
+    ).collect()
+    zero_pairs = [p for p in pairs if 1 in (p["id_a"], p["id_b"])]
+    assert zero_pairs and all(p["cosine"] == 0.0 for p in zero_pairs)
+
+
+def test_srp_pairs_empty_frame_returns_empty(spark):
+    """An empty embeddings frame yields zero candidates instead of a
+    TypeError from first()[0] during the dimension probe."""
+    from ckg_spark.ops import simsearch
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert simsearch.srp_self_pairs(emb).count() == 0

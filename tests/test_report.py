@@ -152,3 +152,43 @@ def test_report_persists_to_warehouse(spark, long_data, tmp_path):
     assert stored.count() == 8
     reg = wh.table("report_proteomics_regulated").read(spark)
     assert {r["identifier"] for r in reg.collect()} == {"f0", "f1"}
+
+
+def test_unknown_imputation_method_raises(spark, long_data):
+    """A typo'd imputation_method must fail loudly, not silently fall
+    back to 'mixed' and change the regulated hit lists."""
+    cfg = {
+        "args": {"imputation_method": "down-shift", "group_a": "A", "group_b": "B"},
+        "overview": {
+            "s": {"data": "processed", "analyses": ["summary"], "args": {}}
+        },
+    }
+    with pytest.raises(ValueError, match="imputation_method"):
+        generate_report("p", {"measurements": long_data}, cfg)
+
+
+def test_two_regulation_subsections_both_survive(spark, long_data):
+    """The fixed 'regulated' keys keep reference parity (last wins), but
+    each subsection's results also store under unique prefixed keys so
+    nothing is silently lost."""
+    cfg = {
+        "args": {"group_a": "A", "group_b": "B"},
+        "regulation": {
+            "reg one": {
+                "data": "processed", "analyses": ["ttest"],
+                "store_analysis": True,
+                "args": {"correction": "fdr_bh", "alpha": 0.05},
+            },
+            "reg two": {
+                "data": "processed", "analyses": ["ttest"],
+                "store_analysis": True,
+                "args": {"correction": "fdr_bh", "alpha": 0.9},
+            },
+        },
+    }
+    report = generate_report("p2", {"processed": long_data}, cfg)
+    assert "reg one_regulated" in report.stored
+    assert "reg two_regulated" in report.stored
+    assert "regulated" in report.stored  # parity key = last subsection
+    n_last = report.stored["reg two_regulated"].count()
+    assert report.stored["regulated"].count() == n_last

@@ -464,3 +464,26 @@ def test_t_tail_at_zero_is_one_both_backends(spark):
     # F tail at f = 0 hits the same x == 1 edge
     f0 = df.select(special.f_sf_spark(F.lit(0.0), F.lit(3.0), F.col("dof")).alias("p")).collect()
     assert [r["p"] for r in f0] == [1.0, 1.0]
+
+
+def test_logrank_fully_censored_group_contributes_zero(spark):
+    """A group whose every subject is censored BEFORE the first pooled
+    event time has e_g = 0 — its (O-E)^2/e term must contribute 0, not
+    throw DIVIDE_BY_ZERO under ANSI."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ckg_spark.ops.survival import logrank_statistic
+
+    rows = [
+        ("a", 1, False), ("a", 2, False),       # all censored, pre-event
+        ("b", 5, True), ("b", 6, True), ("b", 7, False),
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "t", "ev"])
+    got = logrank_statistic(
+        spark.createDataFrame(pdf), "t", F.col("ev"), "grp"
+    ).collect()[0]
+    # group b is the only one at risk at its own events: O == E, chi2 = 0
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert got["p_value"] == pytest.approx(1.0, abs=1e-9)

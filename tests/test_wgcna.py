@@ -303,3 +303,28 @@ def test_wgcna_dispatch_matches_direct(spark, planted):
         ).collect()
     }
     assert via_dispatch == direct
+
+
+def test_wgcna_numeric_feature_ids(spark):
+    """Integer feature ids must work end-to-end: CC labels and the corr
+    join keys are string-cast to match the string-cast feature frame
+    (mixed bigint/string coalesce was a plan-time type mismatch)."""
+    cols = _planted_matrix()
+    remap = {f: i for i, f in enumerate(sorted(cols))}  # A0..A3,B0..B3,C0 -> 0..8
+    rows = [
+        (f"s{s:03d}", remap[f], float(v[s]))
+        for f, v in cols.items()
+        for s in range(N_SAMPLES)
+    ]
+    df = spark.createDataFrame(rows, "sample string, feature long, value double")
+    mods = wgcna.wgcna_modules(
+        df, "sample", "feature", "value", power=6, tom_cutoff=0.05, min_module_size=2
+    )
+    got = {r["feature"]: r["module"] for r in mods.collect()}
+    a = {str(remap[f]) for f in cols if f.startswith("A")}
+    b = {str(remap[f]) for f in cols if f.startswith("B")}
+    assert {got[f] for f in a} == {min(a)}
+    assert {got[f] for f in b} == {min(b)}
+    assert got[str(remap["C0"])] == wgcna.GREY
+    eg = wgcna.module_eigengenes(df, mods, "sample", "feature", "value")
+    assert eg.count() > 0

@@ -138,3 +138,25 @@ def test_every_catalog_query_runs(spark, graph_wh):
         if qid in needs_rows:
             assert len(rows) >= 1, f"{qid} returned no rows"
     assert nodes.count() > 0
+
+
+def test_substitution_never_rescans_substituted_values(spark, graph_wh, tmp_path):
+    """Single-pass substitution: a key occurring INSIDE another key's
+    replacement value must not be rewritten (sequential .replace turned
+    'MONDO:ID123' into 'MONDO:42123' when ID=42 followed DISEASEID)."""
+    yml = tmp_path / "q.yml"
+    yml.write_text(
+        "probe:\n"
+        "  name: substitution probe\n"
+        "  description: value-corruption regression\n"
+        "  involved_nodes: []\n"
+        "  involved_rels: []\n"
+        "  query: >\n"
+        "    SELECT 'DISEASEID' AS a, ID AS b FROM nodes LIMIT 1\n"
+    )
+    row = run_query(
+        spark, graph_wh, "probe",
+        {"DISEASEID": "MONDO:ID123", "ID": 42},
+        path=str(yml),
+    ).collect()[0]
+    assert row["a"] == "MONDO:ID123" and row["b"] == 42
