@@ -23,6 +23,17 @@ from pyspark.sql.window import Window
 from . import special
 
 
+def _nz(c) -> F.Column:
+    """NULL instead of an ANSI DIVIDE_BY_ZERO for denominators that are
+    legitimately zero on degenerate inputs (zero-variance features,
+    singleton groups). The NULL statistic/p-value then flows the
+    documented 'untestable feature' path (:func:`_split_valid_p` —
+    p_adj NULL, rejected 0) instead of aborting the whole job; this
+    matches pingouin/pandas, where these cases come back NaN and are
+    dropped, not raised. Non-degenerate rows are bitwise unchanged."""
+    return F.nullif(c, F.lit(0.0))
+
+
 def summary_stats(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
     """Per-group n / mean / stddev / min / max / exact median
     (get_summary_data_matrix, analytics_factory 'summary')."""
@@ -71,8 +82,10 @@ def welch_ttest(
         "m1",
         "m2",
     )
-    t_raw = (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se1") + F.col("se2"))
-    dof_raw = ((F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))) / (
+    # zero variance in BOTH groups: t and the Welch-Satterthwaite dof are
+    # 0/0 (pingouin returns NaN) — NULL here, absorbed by _split_valid_p.
+    t_raw = (F.col("m1") - F.col("m2")) / _nz(F.sqrt(F.col("se1") + F.col("se2")))
+    dof_raw = ((F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))) / _nz(
         (F.col("se1") * F.col("se1")) / (F.col("n1") - 1)
         + (F.col("se2") * F.col("se2")) / (F.col("n2") - 1)
     )
@@ -231,7 +244,12 @@ def anova_oneway(
         (F.col("sum_gr") - (F.col("grand_s") * F.col("grand_s")) / F.col("n")).alias("ssb"),
         (F.col("ss_tot") - F.col("sum_gr")).alias("ssw"),
     )
-    f_raw = (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k")))
+    # ssw == 0 (every group internally constant — guaranteed by levene_bf
+    # whenever all groups have exactly 2 observations): F is untestable
+    # here, not a job abort — NULL, absorbed by _split_valid_p.
+    f_raw = (F.col("ssb") / (F.col("k") - 1)) / _nz(
+        F.col("ssw") / (F.col("n") - F.col("k"))
+    )
     f2 = f.select(feature_col, "k", "n", f_raw.alias("f_raw"))
     d1 = F.col("k").cast("double") - F.lit(1.0)
     d2 = F.col("n").cast("double") - F.col("k").cast("double")
@@ -275,10 +293,12 @@ def effect_sizes(
     n1 = F.col("n1").cast("double")
     n2 = F.col("n2").cast("double")
     diff = F.col("m1") - F.col("m2")
-    d_raw = diff / F.sqrt(
-        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    # zero pooled/concatenated variance → effect size undefined (NULL),
+    # not an ANSI abort (the reference's numpy divisions yield inf/nan).
+    d_raw = diff / _nz(
+        F.sqrt(((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2))
     )
-    g_core = diff / F.sqrt(F.col("vp"))
+    g_core = diff / _nz(F.sqrt(F.col("vp")))
     g_raw = F.when(
         (n1 + n2) < 50,
         g_core * ((n1 + n2 - 3) / (n1 + n2 - 2.25)) * F.sqrt((n1 + n2 - 2) / (n1 + n2)),
@@ -380,8 +400,12 @@ def mann_whitney_u(
         (n1 + n2).alias("n"),
         (F.col("r1") - ((n1 * (n1 + 1)) / F.lit(2.0))).alias("u1"),
     )
+    # n == 1 (a feature with a single observation) makes n*(n-1) zero —
+    # the var_u > 0 filter below evaluates this expression, so it must
+    # yield NULL (row dropped: NULL > 0 is not true), not abort.
     var_u = (F.col("n1n2") / 12.0) * (
-        (F.col("n") + 1.0) - (F.col("tie_term") / (F.col("n") * (F.col("n") - 1.0)))
+        (F.col("n") + 1.0)
+        - (F.col("tie_term") / _nz(F.col("n") * (F.col("n") - 1.0)))
     )
     bigu = F.greatest(F.col("u1"), F.col("n1n2") - F.col("u1"))
     vfr = u.select(
@@ -639,9 +663,10 @@ def zscore(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
     analytics.py:392-414): adds ``value_norm``."""
     w = Window.partitionBy(*group_cols)
     v = F.col(value_col).cast("double")
+    # constant group: stddev 0 → NULL z (pandas yields NaN), not an abort.
     return df.withColumn(
         "value_norm",
-        F.round((v - F.avg(v).over(w)) / F.stddev_samp(v).over(w), 6),
+        F.round((v - F.avg(v).over(w)) / _nz(F.stddev_samp(v).over(w)), 6),
     )
 
 
@@ -733,8 +758,11 @@ def normality_test(
         feature_col,
         group_col,
         "nn",
-        (m3 / F.sqrt(m2 * m2 * m2)).alias("g1"),
-        (m4 / (m2 * m2)).alias("g2"),
+        # constant group (m2 == 0): skewness/kurtosis undefined — NULL
+        # (the very case the isNotNull filter below exists to drop),
+        # not an ANSI DIVIDE_BY_ZERO abort.
+        (m3 / _nz(F.sqrt(m2 * m2 * m2))).alias("g1"),
+        (m4 / _nz(m2 * m2)).alias("g2"),
     ).filter(F.col("g1").isNotNull() & ~F.isnan("g1"))
     k2 = special.normaltest_k2_spark(F.col("nn"), F.col("g1"), F.col("g2"))
     w = g.select(feature_col, group_col, "nn", k2.alias("k2"))

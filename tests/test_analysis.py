@@ -1029,3 +1029,67 @@ def test_l2_normalization_zero_sample_kept(spark):
     vals = {(r["sample"], r["identifier"]): r["value_norm"] for r in out.collect()}
     assert vals[("s1", "f1")] == 0.0 and vals[("s1", "f2")] == 0.0
     assert vals[("s2", "f1")] == pytest.approx(0.6) and vals[("s2", "f2")] == pytest.approx(0.8)
+
+
+def test_degenerate_inputs_yield_null_not_ansi_abort(spark):
+    """Zero-variance / singleton inputs must flow the documented
+    'untestable feature' path (NULL statistic, row absorbed by
+    _split_valid_p or the op's own isNotNull filter) instead of killing
+    the whole job with SparkArithmeticException DIVIDE_BY_ZERO under
+    this session's ANSI config. Each case below crashed before the
+    _nz guards landed (seventh review batch)."""
+    from ckg_spark.ops.stats import (
+        anova_oneway,
+        effect_sizes,
+        levene_bf,
+        mann_whitney_u,
+        normality_test,
+        welch_ttest,
+        zscore,
+    )
+
+    # constant in BOTH groups: t, dof, d, g are all 0/0.
+    flat = spark.createDataFrame(
+        [("f1", "A", 1.0), ("f1", "A", 1.0), ("f1", "B", 2.0), ("f1", "B", 2.0)],
+        "feature string, grp string, value double",
+    )
+    t = welch_ttest(flat, "feature", "grp", "value", "A", "B").collect()
+    assert len(t) == 1 and t[0]["t_stat"] is None and t[0]["p_value"] is None
+    e = effect_sizes(flat, "feature", "grp", "value", "A", "B").collect()
+    assert len(e) == 1 and e[0]["cohen_d"] is None
+
+    # every group internally constant -> ssw == 0 -> F undefined;
+    # levene_bf GUARANTEES this whenever every group has exactly 2 rows.
+    a = anova_oneway(flat, "feature", "grp", "value").collect()
+    assert len(a) == 1 and a[0]["f_stat"] is None and a[0]["p_value"] is None
+    lv = levene_bf(flat, "feature", "grp", "value").collect()
+    assert len(lv) == 1 and lv[0]["w_stat"] is None
+
+    # constant group: z-score NULL for that group, exact elsewhere.
+    z = zscore(
+        spark.createDataFrame(
+            [("g1", 5.0), ("g1", 5.0), ("g2", 1.0), ("g2", 3.0)],
+            "grp string, value double",
+        ),
+        "value",
+        ["grp"],
+    ).collect()
+    by_grp = {}
+    for r in z:
+        by_grp.setdefault(r["grp"], []).append(r["value_norm"])
+    assert by_grp["g1"] == [None, None]
+    assert sorted(by_grp["g2"]) == [pytest.approx(-0.707107), pytest.approx(0.707107)]
+
+    # single-observation feature: n*(n-1)==0 inside var_u; the var_u>0
+    # filter must DROP the row (NULL>0 is not true), not evaluate-abort.
+    single = spark.createDataFrame(
+        [("f1", "A", 1.0)], "feature string, grp string, value double"
+    )
+    assert mann_whitney_u(single, "feature", "grp", "value", "A", "B").count() == 0
+
+    # constant group: skewness/kurtosis 0/0 -> row dropped by the
+    # existing isNotNull filter rather than aborting at its evaluation.
+    flat8 = spark.createDataFrame(
+        [("f1", "A", 3.0)] * 8, "feature string, grp string, value double"
+    )
+    assert normality_test(flat8, "feature", "grp", "value").count() == 0
