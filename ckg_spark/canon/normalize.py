@@ -21,9 +21,15 @@ from pyspark.sql import functions as F
 
 _PUNCT_RE = re.compile(r"[-_/,.]+")
 
+# Java regex \s (the JVM twin's split class) is ASCII-only: [ \t\n\x0B\f\r].
+# Python str.split() splits on ALL Unicode whitespace (NBSP, ideographic
+# space, ...), which would make the two paths disagree on e.g. 'vitamin\xa0C'
+# — so the Python twin splits on exactly the Java class.
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
 
 def normalize_surface(s: str) -> str:
-    toks = _PUNCT_RE.sub(" ", s.lower()).split()
+    toks = [t for t in _WS_RE.split(_PUNCT_RE.sub(" ", s.lower())) if t]
     return " ".join(sorted(toks))
 
 

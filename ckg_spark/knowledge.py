@@ -112,7 +112,10 @@ def knowledge_from_annotations(
     """(feature, annotation) rows — e.g. enrichment output — become
     'is_annotated' edges (generate_knowledge_from_annotations :176-190).
     Weight is fixed at 1.0: the reference emits none and downstream
-    styling uses mapData over |weight|."""
+    styling uses mapData over |weight|. The reference keeps a row only
+    when BOTH endpoints are in the filter (:184 `row['identifier'] not
+    in filter or row['annotation'] not in filter` -> skip), so the
+    filter semi-joins subj AND obj."""
     e = annotations.select(
         F.col(id_col).cast("string").alias("subj"),
         F.col(annotation_col).cast("string").alias("obj"),
@@ -122,6 +125,7 @@ def knowledge_from_annotations(
             F.col(node_filter.columns[0]).cast("string").alias("__k__")
         ).distinct()
         e = e.join(F.broadcast(keep), e["subj"] == keep["__k__"], "left_semi")
+        e = e.join(F.broadcast(keep), e["obj"] == keep["__k__"], "left_semi")
     edges = e.distinct().select(
         "subj", F.lit("is_annotated").alias("pred"), "obj", F.lit(1.0).alias("weight")
     )

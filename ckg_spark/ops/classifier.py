@@ -35,17 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .curation import split_u
-from .lm import TOKEN_RE
+from .lm import _tokens
 
 Z_CLAMP = 500.0
 
 
 def doc_token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, tok, c) unigram counts — in-partition explode, map-side
-    combined; the shuffle carries (doc, tok) counts, never text."""
-    toks = docs.withColumn(
-        "_tk", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    ).filter(F.size("_tk") >= 1)
+    combined; the shuffle carries (doc, tok) counts, never text.
+    Tokenization is lm._tokens so the quality triad (perplexity LM,
+    DSIR, this classifier) scores one definitionally-identical token
+    stream. Token-less docs contribute no rows — scoring/training
+    re-attach them with empty features."""
+    toks = _tokens(docs, text_col)
     return (
         toks.select(F.col(id_col).alias("doc"), F.explode("_tk").alias("tok"))
         .groupBy("doc", "tok")
@@ -83,9 +85,11 @@ def train_logreg(
         w_t  -= lr/n * sum_d e_d x_dt ;  b -= lr/n * sum_d e_d
 
     Zero init, fixed ``iters``; vocabulary = tokens of the labeled docs
-    (out-of-vocabulary tokens score with weight 0). Returns
-    (sorted [(tok, w)], bias). Sums run in sorted (doc, tok) order so
-    the recurrence is reproducible run-to-run."""
+    (out-of-vocabulary tokens score with weight 0). EVERY labeled doc
+    participates — a token-less doc has empty features, so it still
+    drives the bias through e_d = sigmoid(b) - y_d and counts in n.
+    Returns (sorted [(tok, w)], bias). Sums run in sorted (doc, tok)
+    order so the recurrence is reproducible run-to-run."""
     feats = _l2_features(doc_token_counts(labeled, text_col, id_col))
     lab = labeled.select(
         F.col(id_col).alias("doc"), F.col(label_col).cast("double").alias("y")
@@ -95,10 +99,12 @@ def train_logreg(
         for r in feats.join(lab.select("doc"), "doc", "left_semi").collect()
     )
     ys = {r["doc"]: r["y"] for r in lab.collect()}
+    if not ys:
+        raise ValueError("train_logreg: labeled sample is empty — nothing to fit")
     by_doc: dict = {}
     for d, t, x in rows:
         by_doc.setdefault(d, []).append((t, x))
-    docs = sorted(by_doc)
+    docs = sorted(ys)
     vocab = sorted({t for _d, t, _x in rows})
     n = float(len(docs))
     w = {t: 0.0 for t in vocab}
@@ -107,9 +113,9 @@ def train_logreg(
         grad_w = {t: 0.0 for t in vocab}
         grad_b = 0.0
         for d in docs:
-            z = sum(w[t] * x for t, x in by_doc[d]) + b
+            z = sum(w[t] * x for t, x in by_doc.get(d, ())) + b
             e = _sigmoid(z) - ys[d]
-            for t, x in by_doc[d]:
+            for t, x in by_doc.get(d, ()):
                 grad_w[t] += e * x
             grad_b += e
         for t in vocab:
@@ -125,31 +131,38 @@ def score_quality(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(doc, score, kept): sigmoid(w . x + b) per document, plus the
-    LLaMA-style stochastic keep — u(doc) < score with the deterministic
-    lowbias32 uniform. Weight table broadcast; one agg pass."""
+    """(doc, score, kept) for EVERY input document: sigmoid(w . x + b),
+    plus the LLaMA-style stochastic keep — u(doc) < score with the
+    deterministic lowbias32 uniform. Weight table broadcast; one agg
+    pass over (doc, tok) counts, then a left join back onto the id set
+    so token-less docs score sigmoid(bias) instead of silently missing
+    (a downstream 'drop where not kept' must see them)."""
     spark = docs.sparkSession
     wdf = spark.createDataFrame(weights, "tok string, w double")
     feats = _l2_features(doc_token_counts(docs, text_col, id_col))
-    z = (
+    zz = (
         feats.join(F.broadcast(wdf), "tok", "left")
         .groupBy("doc")
         .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("zz"))
-        .select(
-            "doc",
-            (
+    )
+    ids = docs.select(F.col(id_col).alias("doc"))
+    z = ids.join(zz, "doc", "left").select(
+        "doc",
+        (
+            F.lit(1.0)
+            / (
                 F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(
-                        -F.greatest(
-                            F.lit(-Z_CLAMP),
-                            F.least(F.lit(Z_CLAMP), F.col("zz") + F.lit(float(bias))),
-                        )
+                + F.exp(
+                    -F.greatest(
+                        F.lit(-Z_CLAMP),
+                        F.least(
+                            F.lit(Z_CLAMP),
+                            F.coalesce(F.col("zz"), F.lit(0.0)) + F.lit(float(bias)),
+                        ),
                     )
                 )
-            ).alias("score"),
-        )
+            )
+        ).alias("score"),
     )
     return z.select(
         "doc", "score", (split_u(F.col("doc")) < F.col("score")).alias("kept")

@@ -38,6 +38,12 @@ def pca_project(
     means_row = df.agg(
         *[F.avg(F.col(c).cast("double")).alias(c) for c in feature_cols]
     ).first()
+    degenerate = [c for c in feature_cols if means_row[c] is None]
+    if degenerate:
+        raise ValueError(
+            "pca_project: no non-null values to center on for feature column(s) "
+            f"{degenerate} (empty input or all-null column)"
+        )
     centered = df.select(
         *(id_cols or []),
         *[

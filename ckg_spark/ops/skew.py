@@ -31,12 +31,16 @@ SALT_COL = "__salt"
 
 def top_heavy_keys(df: DataFrame, key: str, min_share: float = 0.01) -> DataFrame:
     """Keys holding more than ``min_share`` of all rows: (key, n_rows).
-    One aggregation pass (partial agg absorbs the hot key map-side)."""
+    One aggregation pass (partial agg absorbs the hot key map-side).
+
+    Strictly greater-than, un-floored: ``int(min_share * total)`` with ``>=``
+    would report EVERY key (threshold 1, or even 0) on small inputs and the
+    caller would salt the whole table."""
     total = df.count()
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .filter(F.col("n_rows") >= F.lit(int(min_share * total)))
+        .filter(F.col("n_rows") > F.lit(float(min_share * total)))
     )
 
 

@@ -211,18 +211,25 @@ def langid_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return scored.withColumn("pred_lang", pred)
 
 
-def fingerprint(text_col: Column) -> Column:
-    """Canonical content fingerprint: md5 of the normalized token stream
-    (lowercase, punctuation stripped, single-spaced). Stable under
-    whitespace/case/punctuation noise — the key for exact-dedup at scale."""
-    normalized = F.array_join(
+def normalized_token_stream(text_col: Column) -> Column:
+    """Lowercased, punctuation-stripped, single-spaced token stream —
+    the pre-image of :func:`fingerprint`. Empty string when the doc has
+    no [a-z0-9] tokens (callers that must distinguish 'no content
+    evidence' — e.g. ingest dedup — test for that before hashing)."""
+    return F.array_join(
         F.filter(
             F.split(F.regexp_replace(F.lower(text_col), r"[^a-z0-9\s]", " "), r"\s+"),
             lambda t: t != F.lit(""),
         ),
         " ",
     )
-    return F.md5(normalized)
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Canonical content fingerprint: md5 of the normalized token stream
+    (lowercase, punctuation stripped, single-spaced). Stable under
+    whitespace/case/punctuation noise — the key for exact-dedup at scale."""
+    return F.md5(normalized_token_stream(text_col))
 
 
 def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

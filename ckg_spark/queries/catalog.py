@@ -4885,7 +4885,7 @@ def _logreg_oracle_sql(iters: int = 20, lr: float = 1.0) -> str:
       FROM documents WHERE doc_id % 5 = 0
     ),
     xl AS MATERIALIZED (SELECT x.doc, x.tok, x.x FROM x JOIN lab USING (doc)),
-    nn AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT doc) AS DOUBLE) AS n FROM xl),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
     w0 AS MATERIALIZED (SELECT DISTINCT tok, 0.0 AS w FROM xl),
     b0 AS MATERIALIZED (SELECT 0.0 AS b)"""
     steps = []
@@ -4893,12 +4893,13 @@ def _logreg_oracle_sql(iters: int = 20, lr: float = 1.0) -> str:
         p = i - 1
         steps.append(f""",
     m{i} AS MATERIALIZED (
-      SELECT g.doc,
+      SELECT l.doc,
              1.0 / (1.0 + EXP(-GREATEST(-500.0, LEAST(500.0,
-               g.z + (SELECT b FROM b{p}))))) - l.y AS e
-      FROM (SELECT xl.doc, SUM(COALESCE(w.w, 0.0) * xl.x) AS z
+               COALESCE(g.z, 0.0) + (SELECT b FROM b{p}))))) - l.y AS e
+      FROM lab l LEFT JOIN
+           (SELECT xl.doc, SUM(COALESCE(w.w, 0.0) * xl.x) AS z
             FROM xl LEFT JOIN w{p} w USING (tok) GROUP BY xl.doc) g
-      JOIN lab l USING (doc)
+      USING (doc)
     ),
     w{i} AS MATERIALIZED (
       SELECT w.tok, w.w - {lr} / (SELECT n FROM nn) * COALESCE(gr.g, 0.0) AS w
@@ -4917,8 +4918,11 @@ def _logreg_oracle_sql(iters: int = 20, lr: float = 1.0) -> str:
     )
     tail = f""",
     zf AS MATERIALIZED (
-      SELECT x.doc, SUM(COALESCE(w.w, 0.0) * x.x) AS z
-      FROM x LEFT JOIN w{iters} w USING (tok) GROUP BY x.doc
+      SELECT d.doc, COALESCE(s.z, 0.0) AS z
+      FROM (SELECT doc_id AS doc FROM documents) d
+      LEFT JOIN (SELECT x.doc, SUM(COALESCE(w.w, 0.0) * x.x) AS z
+                 FROM x LEFT JOIN w{iters} w USING (tok) GROUP BY x.doc) s
+      USING (doc)
     )
     SELECT zf.doc AS doc,
            CAST(ROUND({sig}, 6) AS DOUBLE) AS score,

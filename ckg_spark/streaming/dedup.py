@@ -34,11 +34,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..ops.textstats import fingerprint
+from ..ops.textstats import fingerprint, normalized_token_stream
 
 
 def _with_fingerprint(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    """Content fingerprint, NULL when the doc has no [a-z0-9] tokens.
+
+    textstats.fingerprint maps every token-less document (CJK-only,
+    punctuation-only, empty, null text) to the one constant md5('') —
+    fine for reporting dup GROUPS, catastrophic for ingest dedup, where
+    it would silently drop every such document but the first. A NULL
+    fingerprint marks 'no content evidence' and both twins pass those
+    rows through undeduplicated."""
+    t = F.col(text_col)
+    return docs.withColumn(
+        "fingerprint",
+        F.when(F.length(normalized_token_stream(t)) > 0, fingerprint(t)),
+    )
 
 
 def batch_first_per_fingerprint(
@@ -47,18 +59,23 @@ def batch_first_per_fingerprint(
     text_col: str = "text",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Batch twin: the earliest (ts, id) row per content fingerprint."""
+    """Batch twin: the earliest (ts, id) row per content fingerprint;
+    rows with a NULL fingerprint (no tokens) pass through undeduplicated."""
     d = _with_fingerprint(docs, text_col)
-    keyed = d.groupBy("fingerprint").agg(
-        F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__k__")
+    keyed = (
+        d.filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__k__"))
     )
-    return (
-        keyed.select(
-            "fingerprint",
-            F.col(f"__k__.{ts_col}").alias(ts_col),
-            F.col(f"__k__.{id_col}").alias(id_col),
-        )
+    deduped = keyed.select(
+        "fingerprint",
+        F.col(f"__k__.{ts_col}").alias(ts_col),
+        F.col(f"__k__.{id_col}").alias(id_col),
     )
+    passthrough = d.filter(F.col("fingerprint").isNull()).select(
+        "fingerprint", ts_col, id_col
+    )
+    return deduped.unionByName(passthrough)
 
 
 def streaming_first_per_fingerprint(
@@ -70,8 +87,15 @@ def streaming_first_per_fingerprint(
 ) -> DataFrame:
     """readStream frame -> deduplicated stream (fingerprint, ts, id):
     one surviving row per content fingerprint within the watermark
-    horizon. Append-mode sink-ready."""
+    horizon; token-less rows (NULL fingerprint) bypass the stateful
+    operator entirely — no state, no drops. Append-mode sink-ready."""
     d = _with_fingerprint(stream, text_col).withWatermark(ts_col, horizon)
-    return d.dropDuplicatesWithinWatermark(["fingerprint"]).select(
+    deduped = (
+        d.filter(F.col("fingerprint").isNotNull())
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint", ts_col, id_col)
+    )
+    passthrough = d.filter(F.col("fingerprint").isNull()).select(
         "fingerprint", ts_col, id_col
     )
+    return deduped.unionByName(passthrough)

@@ -58,15 +58,28 @@ def test_generators_match_reference_semantics(spark, report_frames):
     assert got == {("P1", "P2"): 0.9, ("P1", "P3"): -0.7}
     assert {r["node_id"] for r in n_cor.collect()} == {"P1", "P2", "P3"}
 
-    n_ann, e_ann = knowledge_from_annotations(
-        annotations, "Protein", "Pathway", node_filter=regulated
+    # the reference keeps a row only when BOTH endpoints are in the filter
+    # (knowledge.py:184) — so the caller's filter carries annotation terms too
+    ann_filter = regulated.unionByName(
+        spark.createDataFrame([("GO:1",)], ["identifier"])
     )
+    n_ann, e_ann = knowledge_from_annotations(
+        annotations, "Protein", "Pathway", node_filter=ann_filter
+    )
+    # P9 row dropped (subj not in filter); GO:2 row dropped (obj not in filter)
     assert {(r["subj"], r["obj"]) for r in e_ann.collect()} == {
         ("P1", "GO:1"),
         ("P2", "GO:1"),
     }
     types = {r["node_id"]: r["node_type"] for r in n_ann.collect()}
     assert types == {"P1": "Protein", "P2": "Protein", "GO:1": "Pathway"}
+
+    # a filter with no annotation terms drops every row — both-endpoint
+    # semantics, not subj-only
+    _n, e_subj_only = knowledge_from_annotations(
+        annotations, "Protein", "Pathway", node_filter=regulated
+    )
+    assert e_subj_only.count() == 0
 
     n_sim, e_sim = knowledge_from_similarity(similar)
     assert [tuple(r) for r in e_sim.collect()] == [
@@ -79,13 +92,16 @@ def test_build_knowledge_graph_merges_and_types_deterministically(
     spark, report_frames
 ):
     regulated, correlations, annotations, similar = report_frames
+    ann_filter = regulated.unionByName(
+        spark.createDataFrame([("GO:1",)], ["identifier"])
+    )
     parts = [
         knowledge_from_regulation(regulated, "Protein"),
         knowledge_from_correlation(
             correlations, "Protein", "Protein", cutoff=0.5, node_filter=regulated
         ),
         knowledge_from_annotations(
-            annotations, "Protein", "Pathway", node_filter=regulated
+            annotations, "Protein", "Pathway", node_filter=ann_filter
         ),
         knowledge_from_similarity(similar),
     ]
