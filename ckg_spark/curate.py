@@ -44,7 +44,7 @@ from .ops.dedup import exact_dup_groups, minhash_dup_candidates, remove_repeated
 from .ops.dsir import dsir_select, importance_weights
 from .ops.scrub import pii_columns
 from .ops.textstats import quality_keep, with_quality_stats
-from .pipeline import Checkpoints, _fingerprint, run_stage
+from .pipeline import Checkpoints, _fingerprint, _input_identity, run_stage
 
 
 @dataclass
@@ -112,9 +112,12 @@ class CurationPipeline:
         (chained through the upstream fingerprints), so changing e.g.
         pack_budget reruns only split_pack and reuses every upstream
         snapshot — a whole-config root hash would recompute the full
-        corpus DAG for a packing knob. Like the input corpus, the
-        eval/target frames themselves are the caller's identity concern —
-        point the pipeline at a fresh warehouse when they change."""
+        corpus DAG for a packing knob. The INPUT frames enter the chain
+        by their own identity (file-listing digest for parquet-backed
+        frames, plan hash otherwise — pipeline._input_identity, same as
+        KGPipeline's external-corpus rule): pointing the same warehouse
+        at a different corpus, eval set, or DSIR target invalidates the
+        affected stages instead of silently reusing stale snapshots."""
         cfg = self.cfg
         if cfg.dsir_k is not None and dsir_target is None:
             raise ValueError("cfg.dsir_k is set but no dsir_target frame was passed")
@@ -132,10 +135,11 @@ class CurationPipeline:
             stats["rows"][name] = df.count()
             return df
 
-        # root fingerprint carries NO config: every knob is threaded into
-        # exactly the stage(s) that read it, so a knob change invalidates
-        # only its own stage + downstream
-        fp0 = _fingerprint("curate_input", {})
+        # root fingerprint carries the INPUT's identity but no config:
+        # every knob is threaded into exactly the stage(s) that read it,
+        # so a knob change invalidates only its own stage + downstream,
+        # while a different corpus invalidates everything
+        fp0 = _fingerprint("curate_input", _input_identity(docs))
 
         # 1. url dedup (earliest capture wins) — only for page-shaped input
         if "url" in docs.columns and "warc_ts" in docs.columns:
@@ -342,7 +346,11 @@ class CurationPipeline:
 
             fp_ct = _fingerprint(
                 "curate_contam",
-                {"n": cfg.contam_ngram, "min_shared": cfg.contam_min_shared},
+                {
+                    "n": cfg.contam_ngram,
+                    "min_shared": cfg.contam_min_shared,
+                    "eval": _input_identity(eval_docs),
+                },
                 fp_prev2,
             )
             df, sk = self._stage("curate_contam", fp_ct, "cur_contam", _contam)
@@ -369,7 +377,11 @@ class CurationPipeline:
 
             fp_ds = _fingerprint(
                 "curate_dsir",
-                {"k": cfg.dsir_k, "buckets": cfg.dsir_buckets},
+                {
+                    "k": cfg.dsir_k,
+                    "buckets": cfg.dsir_buckets,
+                    "target": _input_identity(dsir_target),
+                },
                 fp_prev2,
             )
             df, sk = self._stage("curate_dsir", fp_ds, "cur_dsir", _dsir)

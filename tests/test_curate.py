@@ -109,6 +109,28 @@ def test_curation_config_change_invalidates_suffix(spark, tmp_path, cfg):
     )
 
 
+def test_curation_different_corpus_invalidates_chain(spark, tmp_path, cfg):
+    """Pointing the SAME warehouse at a DIFFERENT corpus must rerun the
+    stages (the input's identity is part of the fingerprint chain —
+    pipeline._input_identity), not silently serve the old corpus'
+    snapshots. The output must reflect the new input."""
+    root = str(tmp_path / "wh_swap")
+    CurationPipeline(spark, root, cfg).run(_docs(spark))
+    other = spark.createDataFrame(
+        [
+            (21, "completely fresh corpus document about rivers and mountains today", "en"),
+            (22, "another fresh corpus document describing forests and valleys nearby", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    stats = CurationPipeline(spark, root, cfg).run(other)
+    assert stats["skipped"] == []
+    from ckg_spark.lakehouse import Warehouse
+
+    out = Warehouse(root).table("curated_documents").read(spark)
+    assert {r["doc_id"] for r in out.collect()} == {21, 22}
+
+
 def test_multilingual_corpus_survives_curation(spark, tmp_path):
     """lang=None keeps every language: non-Latin docs must come through
     WITH their text (the span stage's old ASCII tokenizer emptied them),
