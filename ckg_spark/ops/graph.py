@@ -562,6 +562,107 @@ def pagerank_oracle_sql(edges_cte: str, damping: float = 0.85, iters: int = 15) 
     )
 
 
+def betweenness_oracle_sql(
+    pairs_cte: str, iters: int = 8, node_sql: str = "term_id"
+) -> str:
+    """Unrolled DuckDB twin of weighted, normalized
+    :func:`betweenness_centrality` — Brandes re-expressed as three
+    fixed-depth iterative table constructions (each level MATERIALIZED;
+    the multiply-referenced-CTE inlining trap documented on
+    eigenvector_oracle_sql):
+
+    1. distances: Bellman-Ford relaxation — ``dd{i}`` holds the min
+       weight of any path of <= i edges, exact after ``iters`` >= the
+       max EDGE COUNT of any weighted shortest path (n-1 always works);
+    2. sigma: the shortest-path DAG (edges where dist(u)+w == dist(v) —
+       exact float equality, the same tie rule as the Spark Dijkstra;
+       integer-valued weights make it engine-exact) is path-counted by
+       level: ``pc{i}`` = #DAG paths of exactly i edges, sigma = sum;
+    3. delta: the dependency back-accumulation as a Jacobi iteration —
+       each round recomputes every node's delta from its DAG successors'
+       previous-round values, exact after ``iters`` >= the DAG height.
+
+    ``pairs_cte`` must define ``pairs(s, d, w)`` — one row per
+    undirected edge (either direction), w > 0. Scaling mirrors the
+    Spark operator: x0.5 for the both-endpoint double count, then the
+    nx normalization 2/((n-1)(n-2)) when n > 2."""
+    parts = [
+        pairs_cte,
+        """sym AS MATERIALIZED (
+      SELECT s, d, MIN(w) AS w FROM (
+        SELECT s, d, w FROM pairs UNION ALL SELECT d AS s, s AS d, w FROM pairs
+      ) WHERE s <> d GROUP BY s, d
+    )""",
+        "gnodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM sym)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM gnodes)",
+        "dd0 AS MATERIALIZED "
+        "(SELECT node AS src, node AS dst, CAST(0.0 AS DOUBLE) AS dist FROM gnodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""dd{i + 1} AS MATERIALIZED (
+      SELECT src, dst, MIN(dist) AS dist FROM (
+        SELECT src, dst, dist FROM dd{i}
+        UNION ALL
+        SELECT p.src, e.d AS dst, p.dist + e.w AS dist
+        FROM dd{i} p JOIN sym e ON p.dst = e.s
+      ) GROUP BY src, dst
+    )"""
+        )
+    parts.append(
+        f"""dag AS MATERIALIZED (
+      SELECT du.src, e.s AS u, e.d AS v
+      FROM sym e
+      JOIN dd{iters} du ON du.dst = e.s
+      JOIN dd{iters} dv ON dv.src = du.src AND dv.dst = e.d
+      WHERE du.dist + e.w = dv.dist
+    )"""
+    )
+    parts.append(
+        "pc0 AS MATERIALIZED "
+        "(SELECT node AS src, node AS v, CAST(1.0 AS DOUBLE) AS cnt FROM gnodes)"
+    )
+    for i in range(iters):
+        parts.append(
+            f"""pc{i + 1} AS MATERIALIZED (
+      SELECT g.src, g.v, SUM(p.cnt) AS cnt
+      FROM pc{i} p JOIN dag g ON g.src = p.src AND g.u = p.v
+      GROUP BY g.src, g.v
+    )"""
+        )
+    union_pc = " UNION ALL ".join(
+        f"SELECT src, v, cnt FROM pc{i}" for i in range(iters + 1)
+    )
+    parts.append(
+        f"sig AS MATERIALIZED (SELECT src, v, SUM(cnt) AS sigma FROM ({union_pc}) GROUP BY src, v)"
+    )
+    parts.append(
+        "dl0 AS MATERIALIZED (SELECT src, v, CAST(0.0 AS DOUBLE) AS delta FROM sig)"
+    )
+    for i in range(iters):
+        parts.append(
+            f"""dl{i + 1} AS MATERIALIZED (
+      SELECT r.src, r.v,
+             COALESCE(SUM((r.sigma / sw.sigma) * (1.0 + dl.delta)), 0.0) AS delta
+      FROM sig r
+      LEFT JOIN dag g ON g.src = r.src AND g.u = r.v
+      LEFT JOIN sig sw ON sw.src = g.src AND sw.v = g.v
+      LEFT JOIN dl{i} dl ON dl.src = g.src AND dl.v = g.v
+      GROUP BY r.src, r.v, r.sigma
+    )"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+    SELECT g.node AS {node_sql},
+           CAST(ROUND(COALESCE(b.bsum, 0.0) * 0.5 *
+                (CASE WHEN nn.n > 2.0 THEN 2.0 / ((nn.n - 1.0) * (nn.n - 2.0))
+                      ELSE 1.0 END), 6) AS DOUBLE) AS betweenness
+    FROM gnodes g
+    LEFT JOIN (SELECT v, SUM(delta) AS bsum FROM dl{iters} WHERE src <> v GROUP BY v) b
+      ON b.v = g.node, nn
+    ORDER BY {node_sql}"""
+
+
 def canonical_undirected(
     edges: DataFrame, src: str = "subj", dst: str = "obj", pin: bool = True
 ) -> DataFrame:

@@ -4391,6 +4391,19 @@ def q_wordcloud_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _betweenness_oracle() -> str:
+    from ..ops.graph import betweenness_oracle_sql
+
+    pairs_cte = f"""{_mentions_cte()},
+    pairs AS (
+      SELECT a.term_id AS s, b.term_id AS d, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM mentions a JOIN mentions b
+        ON a.doc_id = b.doc_id AND a.term_id < b.term_id
+      GROUP BY a.term_id, b.term_id
+    )"""
+    return betweenness_oracle_sql(pairs_cte, iters=8, node_sql="term_id")
+
+
 @register("q_kg_betweenness", None, family="graph")
 def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Betweenness centrality over the co-mention graph — the third
@@ -4398,10 +4411,14 @@ def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     viz/viz.py:1127-1131: nx.betweenness_centrality(weight='width')
     alongside degree and eigenvector centrality; the reference computes
     it after the score cutoff on graphs it deems small enough). The
-    n_docs co-mention count plays the 'width' weight role (integer-valued
-    — float-exact tie arithmetic). Non-SQL (per-source shortest-path
-    DAGs); verified against an independent all-shortest-paths-enumeration
-    oracle plus closed-form star/path anchors in tests/test_ops.py."""
+    n_docs co-mention count plays the 'width' weight role — integer-
+    valued, so shortest-path tie arithmetic is float-exact on both
+    engines, and the per-source Brandes passes hash-match an unrolled
+    DuckDB twin (relaxed distances → shortest-path-DAG path counting →
+    Jacobi dependency back-accumulation, ops/graph.py::
+    betweenness_oracle_sql). Also verified against an independent
+    all-shortest-paths-enumeration oracle plus closed-form star/path
+    anchors in tests/test_ops.py."""
     from ..ops.graph import betweenness_centrality
 
     pairs = q_kg_comention(spark, sf_dir)
@@ -4410,6 +4427,9 @@ def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("term_id"), F.round("betweenness", 6).alias("betweenness"))
         .orderBy("term_id")
     )
+
+
+CATALOG["q_kg_betweenness"].sql = _betweenness_oracle()
 
 
 @register(
