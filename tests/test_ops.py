@@ -895,6 +895,33 @@ def test_betweenness_weighted_matches_oracle(spark):
         assert abs(got[v] - exp[v]) < 1e-12, (v, got[v], exp[v])
 
 
+def test_betweenness_oracle_sql_matches_spark_on_tie_graph(spark):
+    """The unrolled DuckDB Brandes twin (betweenness_oracle_sql — the
+    q_kg_betweenness hash gate) on a weighted graph with sigma > 1: the
+    2+2-vs-4 tie splits path counts, exercising the DAG path-counting
+    and dependency-split machinery the catalog fixture may not."""
+    import duckdb
+
+    from ckg_spark.ops.graph import betweenness_centrality, betweenness_oracle_sql
+
+    edges = [
+        ("a", "b", 4.0), ("a", "x", 2.0), ("x", "b", 2.0),
+        ("b", "c", 1.0), ("c", "d", 3.0), ("b", "d", 5.0),
+        ("d", "e", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: round(r["betweenness"], 6)
+        for r in betweenness_centrality(df, weight="w").collect()
+    }
+    values = ", ".join(f"('{s}', '{d}', CAST({w} AS DOUBLE))" for s, d, w in edges)
+    sql = betweenness_oracle_sql(
+        f"pairs(s, d, w) AS (VALUES {values})", iters=6, node_sql="node"
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want
+
+
 def test_betweenness_sampled_deterministic_and_exact_when_full(spark):
     from ckg_spark.ops.graph import betweenness_centrality
 
