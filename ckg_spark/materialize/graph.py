@@ -23,6 +23,8 @@ partitions' keys.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -116,6 +118,7 @@ def materialize_graph(
       just to avoid one extra columnar read. Orphan counts come from the
       quarantine write's manifest (no count job).
     """
+    t0 = time.perf_counter()
     nodes_t = wh.table("nodes")
     edges_t = wh.table("edges")
     quarantine_t = wh.table("edges_quarantine")
@@ -173,6 +176,9 @@ def materialize_graph(
         "nodes_snapshot": nodes_t.current_snapshot(),
         "edges_snapshot": edges_t.current_snapshot(),
         "orphan_edges": n_orphan,
+        # same key the run_stage timer uses, so bench.py's per-stage table
+        # (and run_scaling's speedup table) pick materialize up too
+        "seconds": round(time.perf_counter() - t0, 3),
     }
     wh.log_metric("materialize", **stats)
     return stats
