@@ -50,10 +50,18 @@ def build_nodes(
     t = terms.join(
         F.broadcast(canonical_map), terms["id"] == canonical_map["term_id"], "inner"
     )
+    # One shuffle for both the representative and the synonym set: explode
+    # the surfaces first (array("name") keeps >=1 element per term even for
+    # a NULL name, so no term row is ever dropped), then a single
+    # groupBy(node_id) computes min(rep-struct) — duplication by surface
+    # cannot change a min — alongside collect_set(surface). Replaces the
+    # previous two-aggregate + join plan (two shuffles and a join of two
+    # dimension-sized frames) with one hash aggregate.
     # coalesce: concat is null-intolerant — a NULL synonyms array would
     # otherwise drop the term's NAME from the cluster surfaces too
-    surfaces = t.select(
+    exploded = t.select(
         "node_id",
+        F.struct("id", "entity_type", "name", "description").alias("cand"),
         F.explode(
             F.concat(
                 F.array("name"),
@@ -61,13 +69,11 @@ def build_nodes(
             )
         ).alias("surface"),
     )
-    syn_agg = surfaces.groupBy("node_id").agg(
-        F.array_sort(F.collect_set("surface")).alias("synonyms")
-    )
-    rep = (
-        t.groupBy("node_id")
+    entity_nodes = (
+        exploded.groupBy("node_id")
         .agg(
-            F.min(F.struct("id", "entity_type", "name", "description")).alias("rep")
+            F.min("cand").alias("rep"),
+            F.array_sort(F.collect_set("surface")).alias("synonyms"),
         )
         .select(
             F.col("node_id").alias("id"),
@@ -75,10 +81,8 @@ def build_nodes(
             F.col("rep.name").alias("name"),
             F.col("rep.description").alias("description"),
             F.col("rep.entity_type").alias("type"),
+            "synonyms",
         )
-    )
-    entity_nodes = rep.join(syn_agg, rep["id"] == syn_agg["node_id"], "left").select(
-        "id", "label", "name", "description", "type", "synonyms"
     )
     if mention_urls is None:
         return entity_nodes
@@ -99,6 +103,7 @@ def materialize_graph(
     nodes: DataFrame,
     edges: DataFrame,
     url_obj_preds: tuple[str, ...] = ("MENTIONED_IN_PUBLICATION",),
+    total_edges: int | None = None,
 ) -> dict:
     """MERGE nodes + FK-validated edges; quarantine orphans; log metrics.
 
@@ -117,6 +122,14 @@ def materialize_graph(
       checkpoint would WRITE the whole corpus-scale edge set once more
       just to avoid one extra columnar read. Orphan counts come from the
       quarantine write's manifest (no count job).
+    - zero-orphan shortcut: when ``total_edges`` (the staged edge count,
+      free from the triples table's manifest) is supplied AND the edges
+      table was empty before the merge, the merge manifest's rows_written
+      equals the FK-valid count — if it equals ``total_edges``, the orphan
+      set is PROVABLY empty and the second corpus-scale scan is replaced
+      by an empty-snapshot commit. The common case (clean build, zero
+      orphans) pays ONE scan of the edge set, not two; any mismatch, and
+      any incremental re-merge, falls back to the real orphan scan.
     """
     t0 = time.perf_counter()
     nodes_t = wh.table("nodes")
@@ -150,6 +163,7 @@ def materialize_graph(
     valid = annotated.filter("__valid").drop("__valid")
     orphan = annotated.filter("NOT __valid").drop("__valid")
 
+    edges_rows_before = edges_t.row_count() if edges_t.exists() else 0
     # the link stage emits each (subj, pred, obj) exactly once (groupBy /
     # distinct per branch, disjoint preds across branches) -> skip the
     # staging dedup shuffle
@@ -167,6 +181,15 @@ def materialize_graph(
     # would duplicate the identical orphan set (inflating the lineage
     # orphan counts). Orphans inherit the link stage's per-(subj,pred,obj)
     # uniqueness, so the staging dedup shuffle is skipped.
+    valid_written = edges_t.snapshots()[-1].rows_written
+    if (
+        total_edges is not None
+        and edges_rows_before == 0
+        and valid_written == total_edges
+    ):
+        # zero-orphan shortcut (docstring): provably-empty orphan set ->
+        # commit the empty snapshot, skip the second corpus-scale scan
+        orphan = spark.createDataFrame([], orphan.schema)
     quarantine_t.merge_insert_absent(
         spark, orphan, ["subj", "pred", "obj"], assume_unique=True
     )

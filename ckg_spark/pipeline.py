@@ -299,7 +299,13 @@ class KGPipeline:
                 triples["obj"].alias("url")
             )
             nodes = build_nodes(terms, cmap, mention_urls=mention_urls)
-            mat_stats = materialize_graph(spark, self.wh, nodes, triples)
+            # staged-edge count is free from the triples manifest; it arms
+            # materialize_graph's zero-orphan shortcut (skip the second
+            # corpus-scale FK scan when the merge manifest proves no orphans)
+            mat_stats = materialize_graph(
+                spark, self.wh, nodes, triples,
+                total_edges=self.wh.table("triples").row_count(),
+            )
             stats.update(mat_stats)
             self.ckpt.mark("materialize", fp_mat, **mat_stats)
 

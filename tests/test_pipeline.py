@@ -226,6 +226,50 @@ def test_oracle_honors_id_offset(spark, tmp_path):
     assert any("80" in u for u in oracle.text_by_url)
 
 
+def test_zero_orphan_shortcut_proof_and_fallback(spark, tmp_path):
+    """With the staged-edge-count hint, a clean build commits an EMPTY
+    quarantine snapshot without a second corpus scan — but the proof is
+    manifest arithmetic, so a real orphan must still defeat the shortcut
+    and land in quarantine."""
+    from ckg_spark.lakehouse import Warehouse
+    from ckg_spark.materialize.graph import materialize_graph
+
+    nodes = spark.createDataFrame(
+        [
+            ("T1", "Disease", "alpha", None, "Disease", ["alpha"]),
+            ("T2", "Gene", "beta", None, "Gene", ["beta"]),
+        ],
+        "id string, label string, name string, description string, type string, synonyms array<string>",
+    )
+    clean = spark.createDataFrame(
+        [
+            ("T1", "ASSOCIATED_WITH", "T2", 1.0),
+            ("T1", "MENTIONED_IN_PUBLICATION", "http://x/1", 0.5),
+        ],
+        "subj string, pred string, obj string, score double",
+    )
+    wh = Warehouse(str(tmp_path / "wh_clean"))
+    s = materialize_graph(spark, wh, nodes, clean, total_edges=2)
+    assert s["orphan_edges"] == 0
+    q = wh.table("edges_quarantine").read(spark)
+    assert q.count() == 0
+    assert q.columns == clean.columns  # empty snapshot keeps the schema
+
+    dirty = clean.union(
+        spark.createDataFrame(
+            [("T1", "ASSOCIATED_WITH", "T_MISSING", 1.0)],
+            clean.schema,
+        )
+    )
+    wh2 = Warehouse(str(tmp_path / "wh_dirty"))
+    # hint reflects the true staged count (3): written valid rows (2) differ,
+    # so the shortcut must NOT fire and the orphan must be quarantined
+    s2 = materialize_graph(spark, wh2, nodes, dirty, total_edges=3)
+    assert s2["orphan_edges"] == 1
+    got = wh2.table("edges_quarantine").read(spark).collect()
+    assert [(r["subj"], r["obj"]) for r in got] == [("T1", "T_MISSING")]
+
+
 def test_quarantine_merge_is_idempotent(spark, tmp_path):
     """Re-running materialize after a crash-before-checkpoint must not
     duplicate quarantine rows (same MERGE contract as nodes/edges)."""
