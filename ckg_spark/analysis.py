@@ -123,6 +123,33 @@ def _pca(df: DataFrame, a: dict) -> DataFrame:
     return projected
 
 
+def _tsne(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.tsne import tsne_embed
+
+    return tsne_embed(
+        df,
+        a["feature_cols"],
+        id_cols=a.get("id_cols", []),
+        components=a.get("components", 2),
+        perplexity=a.get("perplexity", 40.0),
+        n_iter=a.get("n_iter", 1000),
+    )
+
+
+def _umap(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.tsne import umap_embed
+
+    return umap_embed(
+        df,
+        a["feature_cols"],
+        id_cols=a.get("id_cols", []),
+        components=a.get("components", 2),
+        n_neighbors=a.get("n_neighbors", 10),
+        min_dist=a.get("min_dist", 0.3),
+        metric=a.get("metric", "cosine"),
+    )
+
+
 def _maybe_correct(r: DataFrame, a: dict) -> DataFrame:
     """Apply the requested p-value correction; 'none' skips, anything
     other than the supported methods RAISES — a typo'd correction name
@@ -519,6 +546,8 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "triangles": _triangles,
     "kcore": _kcore,
     "wgcna": _wgcna,
+    "tsne": _tsne,
+    "umap": _umap,
 }
 
 

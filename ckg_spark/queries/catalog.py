@@ -1960,6 +1960,30 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected
 
 
+@register("q_tsne_embeddings", None, family="stats")
+def q_tsne_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-SNE layout of a deterministic slice of the embeddings table
+    (run_tsne, analytics.py:749-797; non-SQL — 300 gradient-descent
+    iterations). Driver-side by design (SURVEY §2.8): the distributed
+    part is the PCA reduction; the affinity/layout math runs on the
+    dimension-sized slice. Deterministic (PCA init, full-batch descent)
+    — planted-cluster purity + bitwise-reproducibility oracles in
+    tests/test_tsne.py."""
+    from ..ops.tsne import tsne_embed
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    dims = 16
+    feats = [f"e{j}" for j in range(dims)]
+    wide = emb.select(
+        "vec_id",
+        *[
+            F.try_element_at(F.col("embedding"), F.lit(j + 1)).cast("double").alias(f)
+            for j, f in enumerate(feats)
+        ],
+    )
+    return tsne_embed(wide, feats, ["vec_id"], perplexity=30.0, n_iter=300)
+
+
 @register("q_kg_communities", None, family="graph")
 def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the co-mention graph by deterministic

@@ -236,7 +236,7 @@ def test_analysis_container_and_unknown_type(spark, lineitem):
     res = a.generate_result()
     assert "ttest" in res and "p_adj" in res["ttest"].columns
     with pytest.raises(ValueError, match="unsupported analysis_type"):
-        run_analysis(lineitem, "tsne", {})
+        run_analysis(lineitem, "snf", {})
 
 
 # ----------------------------------------------------------------------
