@@ -1,0 +1,370 @@
+"""Randomized differential tests: seeded-random inputs swept through the
+distributed operators and through INDEPENDENT pure-Python references.
+
+The catalog's DuckDB oracles mirror each implementation's arithmetic on
+fixed fixtures, and the unit oracles run on handcrafted cases — neither
+explores the input space. These sweeps generate adversarial-but-valid
+random inputs (ties, NULL/NaN, singleton and constant groups, duplicate
+/ self-loop / bidirectional edges) with a fixed numpy seed
+(deterministic, reproducible failures) and assert parity against
+references built from different machinery (dict ranking, brute-force
+enumeration, direct product-limit recursion, Simpson integration)."""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ckg_spark.ops.graph import k_core, triangle_stats
+from ckg_spark.ops.stats import bh_adjust, mann_whitney_u, pvalue_correction, welch_ttest
+from ckg_spark.ops.survival import kaplan_meier
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test on random frames (t, dof checked exactly; p vs Simpson)
+# ---------------------------------------------------------------------------
+
+
+def _t_sf_simpson(t: float, dof: float) -> float:
+    """Two-sided Student-t tail by direct numerical integration of the
+    density — no shared code with ops/special.py's incomplete-beta tail.
+    Substitution x = a + u/(1-u) maps [a, ∞) onto [0, 1): a TRUNCATED
+    interval is not enough here — at dof ≈ 1 the fat tail carries ~1e-2
+    of mass beyond a+60 (a truncation bug this test itself caught)."""
+    if t == 0.0:
+        return 1.0
+    a = abs(t)
+    lc = math.lgamma((dof + 1) / 2) - math.lgamma(dof / 2) - 0.5 * math.log(dof * math.pi)
+
+    def dens(x):
+        return math.exp(lc - ((dof + 1) / 2) * math.log1p(x * x / dof))
+
+    n = 20000
+    h = 1.0 / n
+    s = 0.0
+    for i in range(n):
+        u = (i + 0.5) * h
+        x = a + u / (1 - u)
+        s += dens(x) / (1 - u) ** 2 * h
+    return min(1.0, 2.0 * s)
+
+
+def _random_long_frame(rng, n_features=5):
+    rows = []
+    for f in range(n_features):
+        shape = rng.integers(0, 4)
+        for g in ("a", "b"):
+            n = int(rng.integers(0, 8)) if shape == 0 else int(rng.integers(2, 12))
+            base = float(rng.normal(0, 3))
+            for _ in range(n):
+                if shape == 1:  # heavy ties: integer values
+                    v = float(rng.integers(-2, 3))
+                elif shape == 2 and rng.random() < 0.25:
+                    v = None  # NULLs sprinkled in
+                elif shape == 3:
+                    v = base  # constant group (zero variance)
+                else:
+                    v = float(np.round(rng.normal(base, 1.5), 3))
+                rows.append((f"f{f}", g, v))
+    return rows
+
+
+def test_welch_ttest_random_frames(spark):
+    rng = np.random.default_rng(20260821)
+    for trial in range(4):
+        rows = _random_long_frame(rng)
+        df = spark.createDataFrame(rows, schema="feature string, grp string, val double")
+        got = {
+            r["feature"]: r
+            for r in welch_ttest(df, "feature", "grp", "val", "a", "b").collect()
+        }
+        by_feat = {}
+        for f, g, v in rows:
+            if v is not None:
+                by_feat.setdefault(f, {"a": [], "b": []})[g].append(v)
+        for f, d in by_feat.items():
+            xa, xb = d["a"], d["b"]
+            if len(xa) < 2 or len(xb) < 2:
+                assert f not in got, f"trial {trial}: {f} untestable but emitted"
+                continue
+            assert f in got, f"trial {trial}: {f} missing"
+            m1, m2 = np.mean(xa), np.mean(xb)
+            # exact zero for constant groups: np.var leaves ~1e-30 float
+            # dust there (mean subtraction inexact), which would turn an
+            # untestable feature into t ~ 1e15; Spark's incremental
+            # var_samp is exactly 0 for constant input, and NULLing the
+            # stat is the behavior under test.
+            v1 = 0.0 if min(xa) == max(xa) else np.var(xa, ddof=1)
+            v2 = 0.0 if min(xb) == max(xb) else np.var(xb, ddof=1)
+            se1, se2 = v1 / len(xa), v2 / len(xb)
+            se = se1 + se2
+            r = got[f]
+            if se == 0:  # both groups constant -> untestable (NULL stat)
+                assert r["t_stat"] is None
+                continue
+            t = (m1 - m2) / math.sqrt(se)
+            dof = se * se / (se1**2 / (len(xa) - 1) + se2**2 / (len(xb) - 1))
+            assert r["n1"] == len(xa) and r["n2"] == len(xb)
+            assert r["t_stat"] == pytest.approx(t, abs=2e-6)
+            assert r["dof"] == pytest.approx(dof, abs=2e-6)
+            assert r["p_value"] == pytest.approx(_t_sf_simpson(t, dof), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# p-value corrections on random vectors (incl. NaN / None / exact ties)
+# ---------------------------------------------------------------------------
+
+
+def _py_bh(items, alpha=0.05):
+    """items: [(key, p)] valid only -> {key: (p_adj, rejected)} via the
+    textbook sort-descending running-min, not window SQL."""
+    m = len(items)
+    ordered = sorted(items, key=lambda kp: (kp[1], kp[0]))
+    out, run = {}, 1.0
+    for i in range(m - 1, -1, -1):
+        k, p = ordered[i]
+        run = min(run, p * m / (i + 1))
+        out[k] = (min(run, 1.0), 1 if run <= alpha else 0)
+    return out
+
+
+def _random_pvec(rng, n):
+    ps = []
+    for i in range(n):
+        u = rng.random()
+        if u < 0.1:
+            ps.append(None)
+        elif u < 0.2:
+            ps.append(float("nan"))
+        elif u < 0.45:
+            ps.append(float(rng.choice([0.01, 0.04, 0.05, 0.5])))  # ties
+        else:
+            ps.append(float(np.round(rng.random(), 4)))
+    return ps
+
+
+def test_bh_adjust_random_pvectors(spark):
+    rng = np.random.default_rng(99)
+    for n in (1, 7, 40):
+        ps = _random_pvec(rng, n)
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", p) for i, p in enumerate(ps)],
+            schema="feature string, p_value double",
+        )
+        got = {r["feature"]: r for r in bh_adjust(df, "p_value", ["feature"]).collect()}
+        valid = [
+            (f"k{i:03d}", p)
+            for i, p in enumerate(ps)
+            if p is not None and not math.isnan(p)
+        ]
+        ref = _py_bh(valid)
+        assert len(got) == n
+        for i, p in enumerate(ps):
+            k = f"k{i:03d}"
+            if k in ref:
+                assert got[k]["p_adj"] == pytest.approx(ref[k][0], abs=2e-9)
+                assert got[k]["rejected"] == ref[k][1]
+            else:
+                assert got[k]["p_adj"] is None and got[k]["rejected"] == 0
+
+
+def _py_corrections(items, method, alpha=0.05):
+    m = len(items)
+    if method in ("bonferroni", "sidak"):
+        out = {}
+        for k, p in items:
+            pa = min(1.0, p * m) if method == "bonferroni" else 1 - (1 - p) ** m
+            out[k] = (pa, 1 if pa <= alpha else 0)
+        return out
+    ordered = sorted(items, key=lambda kp: (kp[1], kp[0]))  # holm
+    out, run = {}, 0.0
+    for i, (k, p) in enumerate(ordered):
+        run = max(run, (m - i) * p)
+        pa = min(1.0, run)
+        out[k] = (pa, 1 if pa <= alpha else 0)
+    return out
+
+
+@pytest.mark.parametrize("method", ["bonferroni", "sidak", "holm"])
+def test_pvalue_correction_random_pvectors(spark, method):
+    rng = np.random.default_rng(hash(method) % 2**31)
+    ps = _random_pvec(rng, 25)
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", p) for i, p in enumerate(ps)],
+        schema="feature string, p_value double",
+    )
+    got = {
+        r["feature"]: r
+        for r in pvalue_correction(df, "p_value", ["feature"], method=method).collect()
+    }
+    valid = [
+        (f"k{i:03d}", p) for i, p in enumerate(ps) if p is not None and not math.isnan(p)
+    ]
+    ref = _py_corrections(valid, method)
+    for k, (pa, rej) in ref.items():
+        assert got[k]["p_adj"] == pytest.approx(pa, abs=2e-9), (method, k)
+        assert got[k]["rejected"] == rej
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U on random tied integer data
+# ---------------------------------------------------------------------------
+
+
+def _py_mwu(xa, xb):
+    vals = [(v, "a") for v in xa] + [(v, "b") for v in xb]
+    vals.sort(key=lambda t: t[0])
+    ranks, i = {}, 0
+    out_ranks = [0.0] * len(vals)
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        r = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            out_ranks[t] = r
+        ranks[vals[i][0]] = j - i
+        i = j
+    ra = sum(out_ranks[t] for t in range(len(vals)) if vals[t][1] == "a")
+    n1, n2 = len(xa), len(xb)
+    u1 = ra - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    tie_term = sum(c**3 - c for c in ranks.values())
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+    if var <= 0:
+        return u1, None, None
+    mu = n1 * n2 / 2.0
+    z = (u1 - mu - (0.5 if u1 > mu else -0.5 if u1 < mu else 0.0)) / math.sqrt(var)
+    p = min(1.0, math.erfc(abs(z) / math.sqrt(2.0)))
+    return u1, z, p
+
+
+def test_mann_whitney_random_tied_frames(spark):
+    rng = np.random.default_rng(4242)
+    rows = []
+    for f in range(6):
+        for g in ("a", "b"):
+            for _ in range(int(rng.integers(2, 15))):
+                rows.append((f"f{f}", g, float(rng.integers(0, 5))))
+    df = spark.createDataFrame(rows, schema="feature string, grp string, val double")
+    got = {
+        r["feature"]: r
+        for r in mann_whitney_u(df, "feature", "grp", "val", "a", "b").collect()
+    }
+    for f in {r[0] for r in rows}:
+        xa = [v for ff, g, v in rows if ff == f and g == "a"]
+        xb = [v for ff, g, v in rows if ff == f and g == "b"]
+        u1, z, p = _py_mwu(xa, xb)
+        assert got[f]["u_stat"] == pytest.approx(u1, abs=1e-9)
+        if p is None:
+            assert got[f]["p_value"] is None
+        else:
+            assert got[f]["p_value"] == pytest.approx(p, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts / clustering coefficient on random graphs
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_random_graphs(spark):
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        n = int(rng.integers(6, 13))
+        und = {
+            (f"n{i}", f"n{j}")
+            for i, j in combinations(range(n), 2)
+            if rng.random() < 0.4
+        }
+        # messy input: duplicates, reversed copies, self loops
+        rows = list(und) + [(b, a) for a, b in und if rng.random() < 0.5]
+        rows += [(a, a) for a, _ in list(und)[:2]]
+        df = spark.createDataFrame(rows, schema="subj string, obj string")
+        got = {r["node"]: r for r in triangle_stats(df).collect()}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for v, nbrs in adj.items():
+            tri = sum(
+                1 for x, y in combinations(sorted(nbrs), 2) if y in adj.get(x, ())
+            )
+            deg = len(nbrs)
+            cc = 2.0 * tri / (deg * (deg - 1)) if deg > 1 else 0.0
+            assert got[v]["triangles"] == tri, (trial, v)
+            assert float(got[v]["clustering"]) == pytest.approx(cc, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# k-core on random graphs
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(und, k):
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_k_core_random_graphs(spark):
+    rng = np.random.default_rng(555)
+    for k in (2, 3):
+        n = int(rng.integers(8, 14))
+        und = {
+            (f"n{i}", f"n{j}")
+            for i, j in combinations(range(n), 2)
+            if rng.random() < 0.35
+        }
+        if not und:
+            continue
+        df = spark.createDataFrame(list(und), schema="subj string, obj string")
+        got = {r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()}
+        assert got == _py_kcore(und, k), f"k={k}"
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit on random censored samples
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_random_samples(spark):
+    rng = np.random.default_rng(31337)
+    rows = [
+        (g, float(rng.integers(1, 10)), int(rng.random() < 0.7))
+        for g in ("x", "y")
+        for _ in range(int(rng.integers(5, 25)))
+    ]
+    df = spark.createDataFrame(rows, schema="grp string, dur double, event int")
+    got = {
+        (r["grp"], r["dur"]): r
+        for r in kaplan_meier(df, "dur", F.col("event") == 1, ["grp"]).collect()
+    }
+    for g in ("x", "y"):
+        sample = sorted((d, e) for gg, d, e in rows if gg == g)
+        times = sorted({d for d, _ in sample})
+        at_risk = len(sample)
+        s = 1.0
+        for t in times:
+            d_t = sum(1 for d, e in sample if d == t and e == 1)
+            c_t = sum(1 for d, e in sample if d == t and e == 0)
+            if d_t:
+                s *= 1.0 - d_t / at_risk
+            r = got[(g, t)]
+            assert r["n_risk"] == at_risk and r["n_event"] == d_t
+            assert r["n_censored"] == c_t
+            assert float(r["survival"]) == pytest.approx(s, abs=1e-6), (g, t)
+            at_risk -= d_t + c_t
