@@ -368,3 +368,125 @@ def test_kaplan_meier_random_samples(spark):
             assert r["n_censored"] == c_t
             assert float(r["survival"]) == pytest.approx(s, abs=1e-6), (g, t)
             at_risk -= d_t + c_t
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA on random frames (F checked exactly; p vs integrated density)
+# ---------------------------------------------------------------------------
+
+
+def _f_sf_subst(f: float, d1: float, d2: float) -> float:
+    """Upper F tail by substitution-integration of the density over
+    [f, ∞) — independent of ops/special.py's incomplete-beta route."""
+    lc = (
+        math.lgamma((d1 + d2) / 2)
+        - math.lgamma(d1 / 2)
+        - math.lgamma(d2 / 2)
+        + (d1 / 2) * math.log(d1 / d2)
+    )
+
+    def dens(x):
+        return math.exp(
+            lc + (d1 / 2 - 1) * math.log(x) - ((d1 + d2) / 2) * math.log1p(d1 * x / d2)
+        )
+
+    n = 20000
+    h = 1.0 / n
+    s = 0.0
+    for i in range(n):
+        u = (i + 0.5) * h
+        x = f + u / (1 - u)
+        s += dens(x) / (1 - u) ** 2 * h
+    return min(1.0, s)
+
+
+def test_anova_oneway_random_frames(spark):
+    from ckg_spark.ops.stats import anova_oneway
+
+    rng = np.random.default_rng(808)
+    rows = []
+    for f in range(5):
+        k = int(rng.integers(2, 5))
+        for gi in range(k):
+            base = float(rng.normal(0, 2))
+            for _ in range(int(rng.integers(2, 10))):
+                v = None if rng.random() < 0.1 else float(np.round(rng.normal(base, 1), 3))
+                rows.append((f"f{f}", f"g{gi}", v))
+    df = spark.createDataFrame(rows, schema="feature string, grp string, val double")
+    got = {r["feature"]: r for r in anova_oneway(df, "feature", "grp", "val").collect()}
+    by_feat = {}
+    for f, g, v in rows:
+        if v is not None:
+            by_feat.setdefault(f, {}).setdefault(g, []).append(v)
+    for f, groups in by_feat.items():
+        groups = {g: xs for g, xs in groups.items() if xs}
+        k, n = len(groups), sum(len(xs) for xs in groups.values())
+        if k < 2 or n <= k:
+            assert f not in got
+            continue
+        allv = [v for xs in groups.values() for v in xs]
+        gm = np.mean(allv)
+        ssb = sum(len(xs) * (np.mean(xs) - gm) ** 2 for xs in groups.values())
+        ssw = sum(sum((v - np.mean(xs)) ** 2 for v in xs) for xs in groups.values())
+        fstat = (ssb / (k - 1)) / (ssw / (n - k))
+        r = got[f]
+        assert r["n_groups"] == k and r["n_obs"] == n
+        assert r["f_stat"] == pytest.approx(fstat, abs=2e-5)
+        assert r["p_value"] == pytest.approx(_f_sf_subst(fstat, k - 1, n - k), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Multivariate log-rank on random censored samples (chi2 + gamma-tail p)
+# ---------------------------------------------------------------------------
+
+
+def _chi2_sf_subst(x: float, dof: float) -> float:
+    lc = -math.lgamma(dof / 2) - (dof / 2) * math.log(2.0)
+
+    def dens(t):
+        return math.exp(lc + (dof / 2 - 1) * math.log(t) - t / 2)
+
+    n = 20000
+    h = 1.0 / n
+    s = 0.0
+    for i in range(n):
+        u = (i + 0.5) * h
+        t = x + u / (1 - u)
+        s += dens(t) / (1 - u) ** 2 * h
+    return min(1.0, s)
+
+
+def _py_logrank(rows):
+    """Subject-level multivariate log-rank: rows = [(grp, dur, event)].
+    Observed vs expected per group over the pooled event-time grid."""
+    groups = sorted({g for g, _, _ in rows})
+    times = sorted({d for _, d, e in rows if e})
+    obs = {g: 0.0 for g in groups}
+    exp = {g: 0.0 for g in groups}
+    for t in times:
+        at_risk = {g: sum(1 for gg, d, _ in rows if gg == g and d >= t) for g in groups}
+        n_t = sum(at_risk.values())
+        d_t = sum(1 for _, d, e in rows if e and d == t)
+        for g in groups:
+            obs[g] += sum(1 for gg, d, e in rows if gg == g and e and d == t)
+            exp[g] += d_t * at_risk[g] / n_t
+    chi2 = sum((obs[g] - exp[g]) ** 2 / exp[g] for g in groups if exp[g] > 0)
+    return chi2, len(groups) - 1
+
+
+def test_logrank_random_samples(spark):
+    from ckg_spark.ops.survival import logrank_statistic
+
+    rng = np.random.default_rng(616)
+    for trial, n_groups in enumerate((2, 3)):
+        rows = [
+            (f"g{gi}", float(rng.integers(1, 12)), bool(rng.random() < 0.65))
+            for gi in range(n_groups)
+            for _ in range(int(rng.integers(8, 25)))
+        ]
+        df = spark.createDataFrame(rows, schema="grp string, dur double, event boolean")
+        r = logrank_statistic(df, "dur", F.col("event"), "grp").collect()[0]
+        chi2, dof = _py_logrank(rows)
+        assert r["n_groups"] == n_groups and r["dof"] == dof
+        assert r["chi2"] == pytest.approx(chi2, abs=2e-6), f"trial {trial}"
+        assert r["p_value"] == pytest.approx(_chi2_sf_subst(chi2, dof), abs=1e-6)
