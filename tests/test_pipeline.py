@@ -359,3 +359,32 @@ def test_comention_min_score_threshold(spark, built, tmp_path):
             got.filter(f"pred = '{pred}'").count()
             == base.filter(f"pred = '{pred}'").count()
         )
+
+
+@pytest.mark.parametrize("vseed,pseed", [(11, 101), (23, 202), (31, 303)])
+def test_triples_match_oracle_across_random_corpora(spark, tmp_path, vseed, pseed):
+    """Seed sweep for the headline claim: P/R == 1.0 and bit-exact scores
+    must hold for ANY (vocab, corpus) draw, not just the fixture seeds the
+    suite was developed against — three fresh vocabularies x corpora,
+    each built end-to-end and compared against the single-process oracle."""
+    vocab_cfg = VocabConfig(seed=vseed, terms_per_type=25)
+    vocab = generate_vocab(vocab_cfg)
+    pages_cfg = config_from_vocab(vocab, n_docs=120, seed=pseed, partitions=4)
+    pipe = KGPipeline(
+        spark,
+        str(tmp_path / f"wh_{vseed}_{pseed}"),
+        vocab_cfg=vocab_cfg,
+        pages_cfg=pages_cfg,
+    )
+    pipe.run()
+    oracle = run_oracle(vocab, pages_cfg)
+    edges = pipe.wh.table("edges").read(spark)
+    got = {(r["subj"], r["pred"], r["obj"]): r["score"] for r in edges.collect()}
+    p, r = precision_recall(set(got), oracle.triples)
+    assert (p, r) == (1.0, 1.0), (
+        f"seed=({vseed},{pseed}) P={p:.4f} R={r:.4f}; "
+        f"spurious={sorted(set(got) - oracle.triples)[:5]} "
+        f"missing={sorted(oracle.triples - set(got))[:5]}"
+    )
+    for key, score in got.items():
+        assert math.isclose(score, oracle.scores[key], abs_tol=1e-9), (key, score)
