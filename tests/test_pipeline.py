@@ -388,3 +388,70 @@ def test_triples_match_oracle_across_random_corpora(spark, tmp_path, vseed, psee
     )
     for key, score in got.items():
         assert math.isclose(score, oracle.scores[key], abs_tol=1e-9), (key, score)
+
+
+def test_export_neo4j_bulk_roundtrip(spark, built, tmp_path):
+    """Bulk-import TSV export (ontologies_controller.py:140-158 headers,
+    loader.py LOAD CSV consumption): exact header shape, QUOTE_ALL data
+    rows, comma-joined synonyms, one directory per label/pred, and a full
+    read-back equal to the warehouse tables."""
+    import csv
+    import glob
+
+    from ckg_spark.materialize.export import export_neo4j_bulk
+
+    pipe, stats, oracle = built
+    out = str(tmp_path / "bulk")
+    res = export_neo4j_bulk(spark, pipe.wh, out)
+
+    node_parts = glob.glob(f"{out}/nodes/_label=*/*.csv")
+    edge_parts = glob.glob(f"{out}/edges/_type=*/*.csv")
+    assert node_parts and edge_parts
+    labels = {p.split("_label=")[1].split("/")[0] for p in node_parts}
+    assert "Publication" in labels and len(labels) > 1
+
+    with open(sorted(node_parts)[0], encoding="utf-8") as f:
+        raw_header = f.readline().rstrip("\n")
+        header = next(csv.reader([raw_header], delimiter="\t", quotechar='"'))
+        assert header == ["ID", ":LABEL", "name", "description", "type", "synonyms"]
+        # QUOTE_ALL parity: every field quoted, header included —
+        # exactly what the reference's csv.QUOTE_ALL writers emit
+        assert raw_header.startswith('"') and raw_header.endswith('"')
+        for line in list(f)[:5]:
+            assert all(
+                fld == "" or (fld.startswith('"') and fld.endswith('"'))
+                for fld in line.rstrip("\n").split("\t")
+            ), line
+
+    with open(sorted(edge_parts)[0], encoding="utf-8") as f:
+        eh = next(csv.reader([f.readline()], delimiter="\t", quotechar='"'))
+        assert eh[:3] == ["START_ID", "END_ID", "TYPE"] and "score" in eh
+
+    # full read-back == warehouse content (python csv with the same
+    # dialect the reference's writers use)
+    def read_all(parts):
+        rows = []
+        for p in sorted(parts):
+            with open(p, encoding="utf-8") as f:
+                rd = csv.reader(f, delimiter="\t", escapechar="\\", quotechar='"')
+                hdr = next(rd)
+                rows.extend(dict(zip(hdr, r)) for r in rd)
+        return rows
+
+    got_edges = {
+        (r["START_ID"], r["TYPE"], r["END_ID"]) for r in read_all(edge_parts)
+    }
+    edges_tbl = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in pipe.wh.table("edges").read(spark).collect()
+    }
+    assert got_edges == edges_tbl
+    assert len(read_all(node_parts)) == res["n_nodes"]
+
+    # synonyms come back comma-joined (reference's ",".join, :145)
+    syn = [
+        r["synonyms"]
+        for r in read_all(node_parts)
+        if r[":LABEL"] != "Publication" and "," in r["synonyms"]
+    ]
+    assert syn, "expected at least one multi-synonym cluster"
