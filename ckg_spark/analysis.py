@@ -123,6 +123,33 @@ def _pca(df: DataFrame, a: dict) -> DataFrame:
     return projected
 
 
+def _anova_twoway(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.stats import anova_twoway
+
+    return anova_twoway(
+        df,
+        a["factor_a"],
+        a["factor_b"],
+        a["value_col"],
+        order_cols=a["order_cols"],
+        balance=a.get("balance", True),
+    )
+
+
+def _rm_anova(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.stats import rm_anova
+
+    return rm_anova(df, a["subject_col"], a["condition_col"], a["value_col"])
+
+
+def _enrichment(df: DataFrame, a: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .ops.stats import fisher_enrichment
+
+    return fisher_enrichment(df, a["term_col"], F.expr(a["foreground"]))
+
+
 def _tsne(df: DataFrame, a: dict) -> DataFrame:
     from .ops.tsne import tsne_embed
 
@@ -548,6 +575,14 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "wgcna": _wgcna,
     "tsne": _tsne,
     "umap": _umap,
+    # the reference factory's literal type strings for these analyses
+    # (analytics_factory.py:221,233,324) plus snake_case aliases
+    "2-way anova": _anova_twoway,
+    "anova_twoway": _anova_twoway,
+    "repeated_measurements_anova": _rm_anova,
+    "rm_anova": _rm_anova,
+    "regulation_enrichment": _enrichment,
+    "enrichment": _enrichment,
 }
 
 

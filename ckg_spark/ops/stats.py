@@ -1065,3 +1065,237 @@ def feature_correlation_matrix(
         F.round("r", 6).alias("weight"),
         p_val.alias("p_value"),
     )
+
+
+def anova_twoway(
+    df: DataFrame,
+    factor_a: str,
+    factor_b: str,
+    value_col: str,
+    order_cols: list[str],
+    balance: bool = True,
+) -> DataFrame:
+    """Two-way ANOVA with interaction — the generic spelling of
+    q_anova_twoway (run_two_way_anova, analytics.py:2390-2429;
+    statsmodels typ=2 over a crossed design, balanced closed form where
+    Type I/II/III coincide). ``order_cols`` is the explicit total order
+    used to trim every (a × b) cell to the global minimum cell count
+    when ``balance`` (the engine's no-implicit-order rule); pass
+    ``balance=False`` only for designs already balanced by construction.
+    Output: one row per source (factor_a / factor_b / interaction) with
+    f_stat, p_value (F tail), eta_sq, omega_sq."""
+    w = Window.partitionBy(factor_a, factor_b).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    cellr = df.select(
+        F.col(factor_a).alias("fa"),
+        F.col(factor_b).alias("fb"),
+        F.col(value_col).cast("double").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    if balance:
+        mn = cellr.groupBy("fa", "fb").count().agg(
+            F.min("count").cast("bigint").alias("n")
+        )
+        bal = (
+            cellr.crossJoin(F.broadcast(mn))
+            .filter(F.col("rn") <= F.col("n"))
+            .select("fa", "fb", "v")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        mn = cellr.groupBy("fa", "fb").count().agg(
+            F.min("count").cast("bigint").alias("n")
+        )
+        bal = cellr.select("fa", "fb", "v").localCheckpoint(eager=True)
+    ca = bal.groupBy("fa").agg(F.sum("v").alias("s_a"))
+    cb = bal.groupBy("fb").agg(F.sum("v").alias("s_b"))
+    cab = bal.groupBy("fa", "fb").agg(F.sum("v").alias("s_ab"))
+    tot = bal.agg(
+        F.sum("v").alias("g"),
+        F.sum(F.col("v") * F.col("v")).alias("ssq"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    sums = (
+        tot.crossJoin(F.broadcast(ca.agg(F.sum(F.col("s_a") * F.col("s_a")).alias("sum_a2"))))
+        .crossJoin(F.broadcast(cb.agg(F.sum(F.col("s_b") * F.col("s_b")).alias("sum_b2"))))
+        .crossJoin(F.broadcast(cab.agg(F.sum(F.col("s_ab") * F.col("s_ab")).alias("sum_ab2"))))
+        .crossJoin(F.broadcast(ca.agg(F.count(F.lit(1)).cast("bigint").alias("p"))))
+        .crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).cast("bigint").alias("q"))))
+        .crossJoin(F.broadcast(mn))
+    )
+    cf = (F.col("g") * F.col("g")) / F.col("nt")
+    ss = sums.select(
+        "p", "q", "n",
+        ((F.col("sum_a2") / (F.col("q") * F.col("n"))) - cf).alias("ss_a"),
+        ((F.col("sum_b2") / (F.col("p") * F.col("n"))) - cf).alias("ss_b"),
+        ((F.col("sum_ab2") / F.col("n")) - cf).alias("ss_cells"),
+        (F.col("ssq") - cf).alias("ss_tot"),
+    )
+    ss2 = ss.select(
+        "p", "q", "n", "ss_a", "ss_b", "ss_tot",
+        (F.col("ss_cells") - F.col("ss_a") - F.col("ss_b")).alias("ss_ab"),
+        (F.col("ss_tot") - F.col("ss_cells")).alias("ss_err"),
+        (F.col("p") * F.col("q") * (F.col("n") - 1)).cast("double").alias("df_err"),
+    )
+    rows_ = (
+        ss2.select(
+            F.lit("factor_a").alias("source"),
+            F.col("ss_a").alias("ss_eff"),
+            (F.col("p") - 1).cast("double").alias("df_eff"),
+            "ss_err", "df_err", "ss_tot",
+        )
+        .unionByName(
+            ss2.select(
+                F.lit("factor_b").alias("source"),
+                F.col("ss_b").alias("ss_eff"),
+                (F.col("q") - 1).cast("double").alias("df_eff"),
+                "ss_err", "df_err", "ss_tot",
+            )
+        )
+        .unionByName(
+            ss2.select(
+                F.lit("interaction").alias("source"),
+                F.col("ss_ab").alias("ss_eff"),
+                ((F.col("p") - 1) * (F.col("q") - 1)).cast("double").alias("df_eff"),
+                "ss_err", "df_err", "ss_tot",
+            )
+        )
+    )
+    ms_err = F.col("ss_err") / F.col("df_err")
+    f_raw = (F.col("ss_eff") / F.col("df_eff")) / _nz(ms_err)
+    fr = rows_.select("source", "ss_eff", "df_eff", "ss_err", "df_err", "ss_tot", f_raw.alias("f_raw"))
+    return fr.select(
+        "source",
+        F.round("f_raw", 6).alias("f_stat"),
+        F.round(
+            special.f_sf_spark(F.col("f_raw"), F.col("df_eff"), F.col("df_err")), 9
+        ).alias("p_value"),
+        F.round(F.col("ss_eff") / F.col("ss_tot"), 6).alias("eta_sq"),
+        F.round(
+            (F.col("ss_eff") - F.col("df_eff") * (F.col("ss_err") / F.col("df_err")))
+            / (F.col("ss_tot") + (F.col("ss_err") / F.col("df_err"))),
+            6,
+        ).alias("omega_sq"),
+    )
+
+
+def rm_anova(
+    df: DataFrame, subject_col: str, condition_col: str, value_col: str
+) -> DataFrame:
+    """One-way repeated-measures ANOVA — generic q_rm_anova
+    (calculate_repeated_measures_anova, analytics.py:1424-1438; pingouin
+    rm_anova's uncorrected F) over the (subject × condition) cell-mean
+    matrix; subjects missing any condition are dropped to keep the
+    design balanced. Output: (n_subjects, n_conditions, f_stat,
+    p_value)."""
+    cell = df.groupBy(subject_col, condition_col).agg(
+        F.avg(F.col(value_col).cast("double")).alias("x")
+    )
+    kk = cell.agg(F.countDistinct(condition_col).cast("bigint").alias("k"))
+    cnt = cell.groupBy(subject_col).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = (
+        cell.join(cnt, subject_col)
+        .crossJoin(F.broadcast(kk))
+        .filter(F.col("c") == F.col("k"))
+        .select(subject_col, condition_col, "x")
+    )
+    subj = b.groupBy(subject_col).agg(F.sum("x").alias("p_i"))
+    cond = b.groupBy(condition_col).agg(F.sum("x").alias("t_j"))
+    s1 = subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("p_i") * F.col("p_i")).alias("sum_p2"),
+        F.sum("p_i").alias("g"),
+    )
+    s2 = cond.agg(F.sum(F.col("t_j") * F.col("t_j")).alias("sum_t2"))
+    s3 = b.agg(F.sum(F.col("x") * F.col("x")).alias("ss"))
+    sq = (
+        s1.crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(s3))
+        .crossJoin(F.broadcast(kk))
+    )
+    corr = (F.col("g") * F.col("g")) / (F.col("n") * F.col("k"))
+    sq = sq.select(
+        "n",
+        "k",
+        ((F.col("sum_t2") / F.col("n")) - corr).alias("ss_cond"),
+        ((F.col("sum_p2") / F.col("k")) - corr).alias("ss_subj"),
+        (F.col("ss") - corr).alias("ss_tot"),
+    )
+    sq2 = sq.filter((F.col("n") > 1) & (F.col("k") > 1)).select(
+        "n",
+        "k",
+        "ss_cond",
+        (F.col("ss_tot") - F.col("ss_subj") - F.col("ss_cond")).alias("ss_err"),
+    )
+    f_raw = (F.col("ss_cond") / (F.col("k") - 1)) / _nz(
+        F.col("ss_err") / ((F.col("n") - 1) * (F.col("k") - 1))
+    )
+    sq3 = sq2.select("n", "k", f_raw.alias("f_raw"))
+    d1 = F.col("k").cast("double") - F.lit(1.0)
+    d2 = (F.col("n").cast("double") - F.lit(1.0)) * (
+        F.col("k").cast("double") - F.lit(1.0)
+    )
+    return sq3.select(
+        F.col("n").alias("n_subjects"),
+        F.col("k").alias("n_conditions"),
+        F.round("f_raw", 6).alias("f_stat"),
+        F.round(special.f_sf_spark(F.col("f_raw"), d1, d2), 9).alias("p_value"),
+    )
+
+
+def fisher_enrichment(
+    df: DataFrame, term_col: str, foreground: Column
+) -> DataFrame:
+    """Fisher-exact over-representation enrichment + BH — generic
+    q_enrichment_fisher (run_site_regulation_enrichment / run_fisher,
+    analytics.py:1908-2048). ``foreground`` is a boolean Column marking
+    foreground membership; rows group into annotation terms by
+    ``term_col``. The 2×2 counts are one distributed aggregation; the
+    hypergeometric upper tail and BH sweep run on the term-sized frame.
+    Output: (term_col, fg_count, bg_count, p_value, p_adj)."""
+    ann = df.groupBy(term_col).agg(
+        F.count(F.when(foreground, 1)).alias("k"),
+        F.count(F.lit(1)).alias("cat_n"),
+    )
+    w = Window.partitionBy()
+    tot = ann.select(
+        term_col,
+        "k",
+        "cat_n",
+        F.sum("k").over(w).alias("n_fg"),
+        F.sum("cat_n").over(w).alias("n_all"),
+    )
+    pv = tot.select(
+        term_col,
+        "k",
+        "cat_n",
+        F.round(
+            F.least(
+                special.hypergeom_sf_spark(
+                    F.col("k"), F.col("cat_n"), F.col("n_fg"), F.col("n_all")
+                ),
+                F.lit(1.0),
+            ),
+            9,
+        ).alias("p_value"),
+    )
+    r = pv.select(
+        term_col,
+        "k",
+        "cat_n",
+        "p_value",
+        F.row_number().over(Window.orderBy("p_value", term_col)).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(
+        F.lit(1.0), F.min((F.col("p_value") * F.col("m")) / F.col("rn")).over(tail)
+    )
+    return r.select(
+        F.col(term_col),
+        F.col("k").alias("fg_count"),
+        F.col("cat_n").alias("bg_count"),
+        "p_value",
+        F.round(p_adj, 9).alias("p_adj"),
+    )

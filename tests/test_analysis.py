@@ -1093,3 +1093,44 @@ def test_degenerate_inputs_yield_null_not_ansi_abort(spark):
         [("f1", "A", 3.0)] * 8, "feature string, grp string, value double"
     )
     assert normality_test(flat8, "feature", "grp", "value").count() == 0
+
+
+def test_generic_anova_twoway_matches_catalog(spark, lineitem):
+    generic = run_analysis(
+        lineitem,
+        "2-way anova",
+        {
+            "factor_a": "l_returnflag",
+            "factor_b": "l_linestatus",
+            "value_col": "l_quantity",
+            "order_cols": ["l_orderkey", "l_linenumber"],
+        },
+    )
+    catalog = CATALOG["q_anova_twoway"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
+
+
+def test_generic_rm_anova_matches_catalog(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    generic = run_analysis(
+        events,
+        "repeated_measurements_anova",
+        {
+            "subject_col": "user_id",
+            "condition_col": "event_type",
+            "value_col": "value",
+        },
+    )
+    catalog = CATALOG["q_rm_anova"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
+
+
+def test_generic_enrichment_matches_catalog(spark):
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    generic = run_analysis(
+        part,
+        "regulation_enrichment",
+        {"term_col": "p_type", "foreground": "p_retailprice > 975"},
+    )
+    catalog = CATALOG["q_enrichment_fisher"].spark_fn(spark, SF_DIR)
+    assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
