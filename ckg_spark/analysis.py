@@ -123,6 +123,50 @@ def _pca(df: DataFrame, a: dict) -> DataFrame:
     return projected
 
 
+def _wide_format(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.reshape import wide_format
+
+    return wide_format(
+        df, a["index"], a["columns"], a["values"], extra=a.get("extra")
+    )
+
+
+def _long_format(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.reshape import long_format
+
+    return long_format(
+        df,
+        a.get("drop_columns", []),
+        a["group"],
+        columns=tuple(a.get("columns", ("name", "y"))),
+    )
+
+
+def _ranking_with_markers(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.reshape import ranking_with_markers
+
+    return ranking_with_markers(
+        df,
+        a["group"],
+        a.get("name_col", "name"),
+        a.get("value_col", "y"),
+        a.get("list_markers", []),
+        annotation=a.get("annotation"),
+    )
+
+
+def _cov(df: DataFrame, a: dict) -> DataFrame:
+    from .ops.reshape import coefficient_of_variation
+
+    return coefficient_of_variation(
+        df,
+        a["group"],
+        a["name_col"],
+        a["value_col"],
+        unlog2=a.get("unlog2", True),
+    )
+
+
 def _anova_twoway(df: DataFrame, a: dict) -> DataFrame:
     from .ops.stats import anova_twoway
 
@@ -583,6 +627,11 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "rm_anova": _rm_anova,
     "regulation_enrichment": _enrichment,
     "enrichment": _enrichment,
+    # format transforms and plot-prep (analytics_factory.py:61,387,389,410)
+    "wide_format": _wide_format,
+    "long_format": _long_format,
+    "ranking_with_markers": _ranking_with_markers,
+    "coefficient_of_variation": _cov,
 }
 
 

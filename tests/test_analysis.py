@@ -1134,3 +1134,64 @@ def test_generic_enrichment_matches_catalog(spark):
     )
     catalog = CATALOG["q_enrichment_fisher"].spark_fn(spark, SF_DIR)
     assert _sorted_pdf(generic).equals(_sorted_pdf(catalog))
+
+
+def test_dispatch_reshape_family(spark):
+    """wide_format / long_format round-trip + ranking markers + CV
+    (transform_into_wide_format analytics.py:90-132, _long_format
+    :133-159, get_ranking_with_markers :160-187,
+    get_coefficient_variation :493-544) — pandas-computed references."""
+    import math
+
+    long = spark.createDataFrame(
+        [
+            ("s1", "g1", "fA", 1.0), ("s1", "g1", "fB", 2.0),
+            ("s2", "g1", "fA", 3.0), ("s2", "g1", "fB", 4.0),
+            ("s3", "g2", "fA", 5.0), ("s3", "g2", "fB", 6.0),
+        ],
+        schema="sample string, grp string, name string, y double",
+    )
+    wide = run_analysis(
+        long,
+        "wide_format",
+        {"index": "sample", "columns": "name", "values": "y", "extra": ["grp"]},
+    )
+    assert set(wide.columns) == {"sample", "fA", "fB", "grp"}
+    w = {r["sample"]: r for r in wide.collect()}
+    assert w["s2"]["fA"] == 3.0 and w["s2"]["grp"] == "g1" and len(w) == 3
+
+    back = run_analysis(
+        wide, "long_format", {"drop_columns": ["sample"], "group": "grp"}
+    )
+    # melt of the pivot recovers the original (grp, name, y) multiset
+    assert sorted(map(tuple, back.collect())) == sorted(
+        (g, n, y) for _, g, n, y in long.collect()
+    )
+
+    ranked = run_analysis(
+        back,
+        "ranking_with_markers",
+        {
+            "group": "grp",
+            "list_markers": ["fA"],
+            "annotation": {"fA": "DiseaseX"},
+        },
+    )
+    rows = {(r["grp"], r["name"]): r for r in ranked.collect()}
+    m = rows[("g1", "fA marker in DiseaseX")]
+    assert (m["symbol"], m["size"]) == (17, 25)
+    nm = rows[("g1", "fB")]
+    assert (nm["symbol"], nm["size"]) == (0, 7)
+
+    cv = run_analysis(
+        long,
+        "coefficient_of_variation",
+        {"group": "grp", "name_col": "name", "value_col": "y"},
+    )
+    got = {(r["group"], r["name"]): r for r in cv.collect()}
+    # reference semantics: population std of 2^x over its mean, x100
+    xs = [2.0**1.0, 2.0**3.0]
+    mu = sum(xs) / 2
+    sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / 2)
+    assert got[("g1", "fA")]["x"] == pytest.approx(sd / mu * 100, abs=1e-6)
+    assert got[("g1", "fA")]["y"] == pytest.approx(2.0, abs=1e-9)
