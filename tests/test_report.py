@@ -96,7 +96,7 @@ def test_report_skips_missing_data_and_records_pipeline(spark, long_data):
 
 
 def test_report_unknown_analysis_raises(spark, long_data):
-    bad = {"s": {"sub": {"data": "processed", "analyses": ["umap"], "args": {}}}}
+    bad = {"s": {"sub": {"data": "processed", "analyses": ["snf"], "args": {}}}}
     with pytest.raises(ValueError, match="unsupported"):
         generate_report("x", {"processed": long_data}, bad)
 
