@@ -455,3 +455,46 @@ def test_export_neo4j_bulk_roundtrip(spark, built, tmp_path):
         if r[":LABEL"] != "Publication" and "," in r["synonyms"]
     ]
     assert syn, "expected at least one multi-synonym cluster"
+
+
+def test_pipeline_under_extreme_hub_skew(spark, tmp_path):
+    """Pathological frequent-entity skew (hub_rate=1.0: every hub surface
+    in every English document, plus a dense mention floor) — the exact
+    hub-entity skew the north rule calls out. The broadcast canonical
+    map and in-array co-mention expansion must hold P/R == 1.0 with
+    bit-exact scores; no per-entity hot key ever becomes a shuffle key
+    in the link stage."""
+    vocab_cfg = VocabConfig(seed=13, terms_per_type=20)
+    vocab = generate_vocab(vocab_cfg)
+    pages_cfg = config_from_vocab(
+        vocab,
+        n_docs=200,
+        seed=99,
+        partitions=4,
+        hub_rate=1.0,
+        mentions_min=6,
+        mentions_max=12,
+    )
+    pipe = KGPipeline(
+        spark, str(tmp_path / "wh_skew"), vocab_cfg=vocab_cfg, pages_cfg=pages_cfg
+    )
+    stats = pipe.run()
+    oracle = run_oracle(vocab, pages_cfg)
+    edges = pipe.wh.table("edges").read(spark)
+    got = {(r["subj"], r["pred"], r["obj"]): r["score"] for r in edges.collect()}
+    p, r = precision_recall(set(got), oracle.triples)
+    assert (p, r) == (1.0, 1.0)
+    for key, score in got.items():
+        assert math.isclose(score, oracle.scores[key], abs_tol=1e-9), key
+    # skew sanity: the hubs really did dominate (each hub entity is
+    # mentioned in (almost) every English doc)
+    mention_counts = (
+        pipe.wh.table("edges")
+        .read(spark)
+        .filter("pred = 'MENTIONED_IN_PUBLICATION'")
+        .groupBy("subj")
+        .count()
+        .collect()
+    )
+    top = max(c["count"] for c in mention_counts)
+    assert top >= 0.8 * 200 * 0.95, f"expected a hub mentioned in most docs, top={top}"
