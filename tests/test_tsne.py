@@ -54,10 +54,10 @@ def test_umap_core_preserves_planted_clusters_and_is_deterministic():
     y1 = umap_core(x, 2, n_neighbors=10, metric="euclidean", n_epochs=200)
     y2 = umap_core(x, 2, n_neighbors=10, metric="euclidean", n_epochs=200)
     assert np.array_equal(y1, y2)
-    assert _nn_purity(y1, labels) >= 0.8
+    assert _nn_purity(y1, labels) >= 0.9
     # the reference's default metric is cosine (run_umap analytics.py:798)
     yc = umap_core(x, 2, n_neighbors=10, metric="cosine", n_epochs=200)
-    assert _nn_purity(yc, labels) >= 0.8
+    assert _nn_purity(yc, labels) >= 0.9
 
 
 def test_find_ab_params_matches_umap_learn_published_values():
