@@ -1307,3 +1307,60 @@ def test_srp_pairs_empty_frame_returns_empty(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert simsearch.srp_self_pairs(emb).count() == 0
+
+
+def test_betweenness_random_graph_sweep(spark):
+    """Random-graph sweep vs the path-enumeration oracle: three seeded
+    sparse graphs of different sizes/densities (disconnected components
+    included) — input-space coverage beyond the handcrafted motif
+    graphs."""
+    from ckg_spark.ops.graph import betweenness_centrality
+
+    for n, seed in ((10, 21), (14, 22), (18, 23)):
+        edges = [(a, b, 1.0) for a, b in _seeded_graph(n=n, seed=seed)]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        exp = _betweenness_path_enumeration_oracle(edges)
+        got = {
+            r["node"]: r["betweenness"] for r in betweenness_centrality(df).collect()
+        }
+        assert set(got) == set(exp), (n, seed)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-9, (n, seed, v)
+
+
+def test_closeness_random_graph_sweep(spark):
+    from collections import deque
+
+    from ckg_spark.ops.graph import closeness_centrality
+
+    for n, seed in ((12, 31), (20, 32)):
+        edges = _seeded_graph(n=n, seed=seed)
+        if not edges:
+            continue
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nn = len(adj)
+        exp = {}
+        for s in adj:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        q.append(w)
+            r, tot = len(dist), sum(dist.values())
+            exp[s] = ((r - 1) / tot) * ((r - 1) / (nn - 1)) if tot > 0 else 0.0
+        df = spark.createDataFrame(edges, ["subj", "obj"])
+        got = {
+            r["node"]: r["closeness"]
+            for r in closeness_centrality(df, "subj", "obj").collect()
+        }
+        assert set(got) == set(exp), (n, seed)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12, (n, seed, v)
