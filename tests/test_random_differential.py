@@ -490,3 +490,92 @@ def test_logrank_random_samples(spark):
         assert r["n_groups"] == n_groups and r["dof"] == dof
         assert r["chi2"] == pytest.approx(chi2, abs=2e-6), f"trial {trial}"
         assert r["p_value"] == pytest.approx(_chi2_sf_subst(chi2, dof), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization on random tied matrices
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_random_matrices(spark):
+    """Random (key × sample) grids with heavy ties: after normalization
+    every sample's value multiset must equal the cross-sample rank-mean
+    vector — checked against a pure-python sort-based reference (the
+    engine uses window ranks; the reference uses plain sorted lists)."""
+    from ckg_spark.ops.stats import quantile_normalize
+
+    rng = np.random.default_rng(1234)
+    n_keys, samples = 12, ["s1", "s2", "s3"]
+    rows = [
+        (f"k{i:02d}", s, float(rng.integers(0, 6)))
+        for i in range(n_keys)
+        for s in samples
+    ]
+    df = spark.createDataFrame(rows, schema="key string, sample string, val double")
+    got = {
+        (r["key"], r["sample"]): r["value_norm"]
+        for r in quantile_normalize(df, "sample", ["key"], "val").collect()
+    }
+    # reference: rank within each sample by (value, key) — the engine's
+    # documented id tiebreak — then mean across samples per rank
+    by_sample = {s: sorted((v, k) for k, ss, v in rows if ss == s) for s in samples}
+    rank_means = [
+        sum(by_sample[s][r][0] for s in samples) / len(samples)
+        for r in range(n_keys)
+    ]
+    for s in samples:
+        for r, (_v, k) in enumerate(by_sample[s]):
+            assert got[(k, s)] == pytest.approx(round(rank_means[r], 6), abs=1e-9), (
+                s,
+                k,
+            )
+
+
+# ---------------------------------------------------------------------------
+# Spearman correlation on random tied data
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_random_tied_frames(spark):
+    """Random integer-valued (x, y) per group — ties everywhere; rho via
+    a pure-python average-rank + direct covariance reference."""
+    from ckg_spark.ops.stats import correlation
+
+    rng = np.random.default_rng(2468)
+    rows = []
+    for g in ("g1", "g2", "g3"):
+        n = int(rng.integers(8, 20))
+        for _ in range(n):
+            x = float(rng.integers(0, 6))
+            rows.append((g, x, x + float(rng.integers(-2, 3))))
+    df = spark.createDataFrame(rows, schema="grp string, x double, y double")
+    got = {
+        r["grp"]: r
+        for r in correlation(df, "x", "y", ["grp"], method="spearman").collect()
+    }
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                ranks[order[t]] = r
+            i = j
+        return ranks
+
+    for g in ("g1", "g2", "g3"):
+        xs = [x for gg, x, _ in rows if gg == g]
+        ys = [y for gg, _, y in rows if gg == g]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        mx, my = sum(rx) / len(rx), sum(ry) / len(ry)
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        rho = cov / math.sqrt(vx * vy)
+        assert got[g]["n"] == len(xs)
+        assert got[g]["coefficient"] == pytest.approx(rho, abs=2e-6), g
