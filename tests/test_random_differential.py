@@ -579,3 +579,77 @@ def test_spearman_random_tied_frames(spark):
         rho = cov / math.sqrt(vx * vy)
         assert got[g]["n"] == len(xs)
         assert got[g]["coefficient"] == pytest.approx(rho, abs=2e-6), g
+
+
+# ---------------------------------------------------------------------------
+# KNN imputation on random sparse matrices
+# ---------------------------------------------------------------------------
+
+
+def _py_knn_impute(obs, missing, d_total, k=5):
+    """Pure-python nan-euclidean KNN imputer with the engine's documented
+    (distance, neighbor-id) tiebreak and feature-mean fallback.
+    obs: {(s, f): v}; missing: [(s, f)]."""
+    samples = sorted({s for s, _ in obs} | {s for s, _ in missing})
+    out = {}
+    for s, f in missing:
+        dists = []
+        for s2 in samples:
+            if s2 == s:
+                continue
+            shared = [
+                (obs[(s, ff)], obs[(s2, ff)])
+                for (ss, ff) in obs
+                if ss == s and (s2, ff) in obs
+            ]
+            if not shared or (s2, f) not in obs:
+                continue
+            ssd = sum((a - b) ** 2 for a, b in shared)
+            dists.append((math.sqrt(d_total * ssd / len(shared)), s2))
+        dists.sort()
+        top = [obs[(s2, f)] for _, s2 in dists[:k]]
+        if top:
+            out[(s, f)] = sum(top) / len(top)
+        else:
+            col = [v for (ss, ff), v in obs.items() if ff == f]
+            out[(s, f)] = sum(col) / len(col) if col else None
+    return out
+
+
+def test_impute_knn_random_matrices(spark):
+    """Random (sample × feature) grids, ~25% missing, tied values to
+    stress the id tiebreak; isolated samples exercise the feature-mean
+    fallback. Engine vs the pure-python imputer above.
+
+    Note the candidate rule difference is intentional and covered: the
+    engine only considers neighbors that OBSERVE the target feature via
+    the nb join, as does the reference."""
+    from ckg_spark.ops.impute import impute_knn
+
+    rng = np.random.default_rng(9090)
+    for trial in range(3):
+        n_s, n_f = int(rng.integers(6, 10)), int(rng.integers(4, 7))
+        rows, obs, missing = [], {}, []
+        for i in range(n_s):
+            for j in range(n_f):
+                v = float(rng.integers(0, 8))
+                if rng.random() < 0.25:
+                    rows.append((f"s{i:02d}", f"f{j}", None))
+                    missing.append((f"s{i:02d}", f"f{j}"))
+                else:
+                    rows.append((f"s{i:02d}", f"f{j}", v))
+                    obs[(f"s{i:02d}", f"f{j}")] = v
+        df = spark.createDataFrame(rows, schema="s string, f string, v double")
+        got = {
+            (r["s"], r["f"]): r["value_imputed"]
+            for r in impute_knn(
+                df, "s", "f", "v", F.col("v").isNull(), k=3
+            ).collect()
+        }
+        ref = _py_knn_impute(obs, missing, d_total=n_f, k=3)
+        assert set(got) == set(ref), f"trial {trial}"
+        for key, v in ref.items():
+            if v is None:
+                assert got[key] is None, (trial, key)
+            else:
+                assert got[key] == pytest.approx(round(v, 6), abs=1e-9), (trial, key)
