@@ -653,3 +653,78 @@ def test_impute_knn_random_matrices(spark):
                 assert got[key] is None, (trial, key)
             else:
                 assert got[key] == pytest.approx(round(v, 6), abs=1e-9), (trial, key)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank on random paired integer data (ties + zero diffs)
+# ---------------------------------------------------------------------------
+
+
+def _py_wsr(pairs):
+    """pairs: [(va, vb)] -> (n_nonzero, w=min(W+,W-), z, p); 'wilcox'
+    zero drop, tie-corrected variance, no continuity correction."""
+    diffs = [a - b for a, b in pairs if a != b]
+    n = len(diffs)
+    if n == 0:
+        return 0, None, None, None
+    ad = sorted((abs(d), i) for i, d in enumerate(diffs))
+    ranks = [0.0] * n
+    tie_sum, i = 0.0, 0
+    while i < n:
+        j = i
+        while j < n and ad[j][0] == ad[i][0]:
+            j += 1
+        r = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[ad[t][1]] = r
+        c = j - i
+        tie_sum += c**3 - c
+        i = j
+    w_plus = sum(r for r, d in zip(ranks, diffs) if d > 0)
+    w_minus = sum(r for r, d in zip(ranks, diffs) if d < 0)
+    w = min(w_plus, w_minus)
+    mu = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie_sum / 48.0
+    if var <= 0:
+        return n, w, None, None
+    z = (w - mu) / math.sqrt(var)
+    p = min(1.0, math.erfc(abs(z) / math.sqrt(2.0)))
+    return n, w, z, p
+
+
+def test_wilcoxon_random_paired_frames(spark):
+    from ckg_spark.ops.stats import wilcoxon_signed_rank
+
+    rng = np.random.default_rng(13579)
+    rows = []
+    ref_pairs = {}
+    for fi in range(5):
+        f = f"f{fi}"
+        ref_pairs[f] = []
+        for si in range(int(rng.integers(6, 16))):
+            va = float(rng.integers(0, 6))
+            vb = float(rng.integers(0, 6))
+            rows.append((f, f"s{si:02d}", "a", va))
+            rows.append((f, f"s{si:02d}", "b", vb))
+            ref_pairs[f].append((va, vb))
+    df = spark.createDataFrame(
+        rows, schema="feature string, subj string, grp string, val double"
+    )
+    got = {
+        r["feature"]: r
+        for r in wilcoxon_signed_rank(
+            df, "feature", "subj", "grp", "val", "a", "b"
+        ).collect()
+    }
+    for f, pairs in ref_pairs.items():
+        n, w, z, p = _py_wsr(pairs)
+        if n == 0:
+            assert f not in got
+            continue
+        r = got[f]
+        assert r["n_pairs"] == n, f
+        assert r["w_stat"] == pytest.approx(w, abs=1e-9), f
+        if p is None:
+            assert r["p_value"] is None, f
+        else:
+            assert r["p_value"] == pytest.approx(p, abs=1e-6), f
