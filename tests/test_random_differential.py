@@ -728,3 +728,42 @@ def test_wilcoxon_random_paired_frames(spark):
             assert r["p_value"] is None, f
         else:
             assert r["p_value"] == pytest.approx(p, abs=1e-6), f
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g on random frames
+# ---------------------------------------------------------------------------
+
+
+def test_effect_sizes_random_frames(spark):
+    from ckg_spark.ops.stats import effect_sizes
+
+    rng = np.random.default_rng(8642)
+    rows = []
+    for fi in range(6):
+        for g in ("a", "b"):
+            base = float(rng.normal(0, 2))
+            for _ in range(int(rng.integers(2, 30))):
+                rows.append((f"f{fi}", g, float(np.round(rng.normal(base, 1.5), 3))))
+    df = spark.createDataFrame(rows, schema="feature string, grp string, val double")
+    got = {
+        r["feature"]: r
+        for r in effect_sizes(df, "feature", "grp", "val", "a", "b").collect()
+    }
+    for fi in range(6):
+        f = f"f{fi}"
+        xa = [v for ff, g, v in rows if ff == f and g == "a"]
+        xb = [v for ff, g, v in rows if ff == f and g == "b"]
+        n1, n2 = len(xa), len(xb)
+        m1, m2 = np.mean(xa), np.mean(xb)
+        v1, v2 = np.var(xa), np.var(xb)  # population (reference ddof=0)
+        d = (m1 - m2) / math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+        gc = (m1 - m2) / np.std(xa + xb)
+        if n1 + n2 < 50:
+            gc = gc * ((n1 + n2 - 3) / (n1 + n2 - 2.25)) * math.sqrt(
+                (n1 + n2 - 2) / (n1 + n2)
+            )
+        r = got[f]
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert r["cohen_d"] == pytest.approx(d, abs=2e-6), f
+        assert r["hedges_g"] == pytest.approx(gc, abs=2e-6), f
