@@ -454,3 +454,65 @@ def test_crash_mid_drain_over_batch_populated_table_no_duplicates(
         spark, d, ac, table, ckpt, blocklist=blocklist, max_files_per_trigger=1
     )
     assert _mention_rows(table.read(spark)) == expected
+
+
+def test_streaming_sessions_random_stream_equivalence(spark, tmp_path):
+    """Randomized stream==batch equivalence: 80 events, 5 users, random
+    sub-second offsets (the µs-arithmetic path), arriving as two
+    arbitrary file drops — every session the stream closes must equal
+    the batch twin's provably-closed set under the global-watermark
+    rule."""
+    import datetime as dt
+    import random as pyrandom
+
+    from ckg_spark.streaming.sessions import batch_sessions, streaming_sessions
+
+    rng = pyrandom.Random(424242)
+    base = dt.datetime(2024, 3, 1)
+    GAP = 600
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    events = []
+    for eid in range(80):
+        user = rng.randint(1, 5)
+        # bursts with occasional large jumps -> multiple sessions/user
+        minutes = rng.randint(0, 300)
+        micros = rng.randint(0, 999999)
+        ts = base + dt.timedelta(minutes=minutes, microseconds=micros)
+        events.append((eid, ts, user, "click", float(rng.randint(1, 9)), "{}"))
+    split = rng.randint(20, 60)
+    events.sort(key=lambda e: e[1])
+    d = str(tmp_path / "evt_rand")
+    spark.createDataFrame(events[:split], cols).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    out: list[tuple] = []
+    ckpt = str(tmp_path / "ck_rand")
+
+    def drain():
+        q = (
+            streaming_sessions(stream, gap_seconds=GAP)
+            .writeStream.foreachBatch(
+                lambda df, _e: out.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    spark.createDataFrame(events[split:], cols).write.mode("append").parquet(d)
+    drain()
+
+    all_events = spark.read.parquet(d)
+    full = batch_sessions(all_events, gap_seconds=GAP)
+    global_max = all_events.agg(F.max("ts")).first()[0]
+    closed_expected = sorted(
+        tuple(r)
+        for r in full.collect()
+        if (global_max - r["session_end"]).total_seconds() > GAP
+    )
+    assert sorted(out) == closed_expected
+    assert len(closed_expected) > 3  # the random draw produced real sessions
