@@ -257,3 +257,31 @@ def test_dsir_target_without_k_raises(spark, tmp_path, cfg):
         CurationPipeline(spark, str(tmp_path / "wh"), cfg).run(
             _docs(spark), dsir_target=target
         )
+
+
+def test_pack_greedy_random_sweep(spark):
+    """Random token counts through pack_greedy vs a plain python
+    cumulative loop (bucket = floor(preceding-cum/budget), per stratum
+    in explicit order)."""
+    import numpy as np
+
+    from ckg_spark.ops.curation import pack_greedy
+
+    rng = np.random.default_rng(777)
+    rows = [
+        (f"s{rng.integers(0, 3)}", int(i), int(rng.integers(1, 40)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, schema="stratum string, ord int, toks int")
+    got = {
+        (r["stratum"], r["ord"]): r["bucket"]
+        for r in pack_greedy(df, "stratum", "ord", "toks", budget=64).collect()
+    }
+    by_stratum = {}
+    for s, o, t in rows:
+        by_stratum.setdefault(s, []).append((o, t))
+    for s, items in by_stratum.items():
+        cum = 0
+        for o, t in sorted(items):
+            assert got[(s, o)] == cum // 64, (s, o)
+            cum += t
