@@ -214,3 +214,49 @@ def test_regex_engine_equals_aho_hypothesis():
         assert sorted(hsh.find(text)) == exp, repr(text)
 
     check()
+
+
+def test_engines_equal_on_metacharacter_aliases():
+    """Aliases containing regex metacharacters and non-ASCII ('c++',
+    'il-6(v2)', 'p.v600e', 'tnf-α', 'a+b'): the regex engine must
+    escape every literal, and the boundary guards must agree with the
+    trie engines when a surface starts/ends in punctuation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ckg_spark.tag import build_automaton
+
+    rows = [
+        {"canonical_id": "A", "alias": "c++"},
+        {"canonical_id": "B", "alias": "il-6(v2)"},
+        {"canonical_id": "C", "alias": "p.v600e"},
+        {"canonical_id": "D", "alias": "tnf-α"},
+        {"canonical_id": "E", "alias": "a+b"},
+        {"canonical_id": "F", "alias": "il-6"},
+    ]
+    aho = build_automaton(rows, engine="aho")
+    rx = build_automaton(rows, engine="regex")
+    hsh = build_automaton(rows, engine="hash")
+
+    cases = [
+        "the c++ compiler and il-6(v2) assay",
+        "p.v600e mutation; tnf-α level",
+        "a+b = c, not a+bc",
+        "il-6 vs il-6(v2) vs xil-6",
+        "c+++ and c++x",
+    ]
+    for text in cases:
+        exp = sorted(aho.find(text))
+        assert sorted(rx.find(text)) == exp, text
+        assert sorted(hsh.find(text)) == exp, text
+
+    alphabet = st.sampled_from(list("abcilv+-().α62 pe"))
+
+    @given(st.text(alphabet=alphabet, max_size=50))
+    @settings(max_examples=300, deadline=None)
+    def check(text):
+        exp = sorted(aho.find(text))
+        assert sorted(rx.find(text)) == exp, repr(text)
+        assert sorted(hsh.find(text)) == exp, repr(text)
+
+    check()
