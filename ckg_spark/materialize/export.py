@@ -48,13 +48,30 @@ def _write_partitioned(df: DataFrame, dir_col: str, out_dir: str) -> None:
     df.write.mode("overwrite").partitionBy(dir_col).options(**_CSV_OPTS).csv(out_dir)
 
 
-def export_neo4j_bulk(spark: SparkSession, wh: Warehouse, out_dir: str) -> dict:
+def export_neo4j_bulk(
+    spark: SparkSession,
+    wh: Warehouse,
+    out_dir: str,
+    labels: list[str] | None = None,
+    preds: list[str] | None = None,
+) -> dict:
     """Write ``out_dir/nodes/_label=<label>/*.csv`` and
     ``out_dir/edges/_type=<pred>/*.csv`` in the reference's bulk-import
     shape. Returns per-kind row counts (≙ the reference's per-file
-    import stats, builder/importer.py:169-265)."""
+    import stats, builder/importer.py:169-265).
+
+    ``labels`` / ``preds`` select entity/relationship subsets — the
+    reference's partial build (builder/builder.py:69-123
+    ``--import_types``/``--load_entities`` restricts which entity files
+    are produced/loaded). Because nodes partition by label and edges by
+    pred, the filters prune at the scan: a one-pred partial export reads
+    exactly that pred's files, never the 100×-grown rest of the table."""
     nodes = wh.table("nodes").read(spark)
     edges = wh.table("edges").read(spark)
+    if labels is not None:
+        nodes = nodes.filter(F.col("label").isin(*labels))
+    if preds is not None:
+        edges = edges.filter(F.col("pred").isin(*preds))
 
     node_rows = nodes.select(
         F.col("id").alias("ID"),
@@ -82,8 +99,10 @@ def export_neo4j_bulk(spark: SparkSession, wh: Warehouse, out_dir: str) -> dict:
     _write_partitioned(edge_rows, "_type", os.path.join(out_dir, "edges"))
 
     stats = {
-        "n_nodes": wh.table("nodes").row_count(),
-        "n_edges": wh.table("edges").row_count(),
+        # full export: manifest counts are free; partial export: count the
+        # pruned scans (cheap — they read only the selected partitions)
+        "n_nodes": wh.table("nodes").row_count() if labels is None else nodes.count(),
+        "n_edges": wh.table("edges").row_count() if preds is None else edges.count(),
         "out_dir": out_dir,
     }
     wh.log_metric("export_neo4j_bulk", **stats)

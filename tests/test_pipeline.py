@@ -498,3 +498,51 @@ def test_pipeline_under_extreme_hub_skew(spark, tmp_path):
     )
     top = max(c["count"] for c in mention_counts)
     assert top >= 0.8 * 200 * 0.95, f"expected a hub mentioned in most docs, top={top}"
+
+
+def test_export_neo4j_partial_is_pruned(spark, built, tmp_path):
+    """Partial export (the reference's --load_entities subset,
+    builder.py:69-123): only the selected pred/label directories are
+    written, counts reflect the subset, and the edges scan prunes to the
+    selected pred partition (PartitionFilters in the plan)."""
+    import glob
+
+    from ckg_spark.materialize.export import export_neo4j_bulk
+
+    pipe, stats, oracle = built
+    out = str(tmp_path / "bulk_partial")
+    res = export_neo4j_bulk(
+        spark,
+        pipe.wh,
+        out,
+        labels=["Publication"],
+        preds=["MENTIONED_IN_PUBLICATION"],
+    )
+    edge_dirs = {p.split("_type=")[1] for p in glob.glob(f"{out}/edges/_type=*")}
+    node_dirs = {p.split("_label=")[1] for p in glob.glob(f"{out}/nodes/_label=*")}
+    assert edge_dirs == {"MENTIONED_IN_PUBLICATION"}
+    assert node_dirs == {"Publication"}
+    n_mention = (
+        pipe.wh.table("edges")
+        .read(spark)
+        .filter("pred = 'MENTIONED_IN_PUBLICATION'")
+        .count()
+    )
+    assert res["n_edges"] == n_mention
+    assert res["n_edges"] < pipe.wh.table("edges").row_count()
+
+    # the pred filter reaches the file index as a partition filter —
+    # a one-pred export scans one partition directory, not the table
+    scan = (
+        pipe.wh.table("edges")
+        .read(spark)
+        .filter("pred = 'MENTIONED_IN_PUBLICATION'")
+    )
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "pred" in pf.group(1), pf.group(0) if pf else plan[:500]
