@@ -23,6 +23,12 @@ def main() -> None:
     ap.add_argument("--terms-per-type", type=int, default=60)
     ap.add_argument("--vocab-seed", type=int, default=7)
     ap.add_argument("--canon-mode", default="lsh")
+    ap.add_argument(
+        "--export-dir",
+        default=None,
+        help="also write Neo4j bulk-import TSVs here (the reference "
+        "builder's end artifact; materialize/export.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,6 +47,10 @@ def main() -> None:
         canon_mode=args.canon_mode,
     )
     stats = pipe.run(pages=pages)
+    if args.export_dir:
+        from ckg_spark.materialize.export import export_neo4j_bulk
+
+        stats["export"] = export_neo4j_bulk(spark, pipe.wh, args.export_dir)
     print(json.dumps(stats))
     spark.stop()
 

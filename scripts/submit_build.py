@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--master", default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     ap.add_argument("--terms-per-type", type=int, default=60)
+    ap.add_argument("--export-dir", default=None)
     args = ap.parse_args()
 
     spark_submit = shutil.which("spark-submit") or os.path.join(
@@ -58,6 +59,8 @@ def main() -> None:
         "--warehouse", args.warehouse,
         "--terms-per-type", str(args.terms_per_type),
     ]
+    if args.export_dir:
+        cmd += ["--export-dir", args.export_dir]
     raise SystemExit(subprocess.run(cmd).returncode)
 
 

@@ -19,11 +19,13 @@ def test_submit_build_end_to_end(spark, vocab, tmp_path):
     generate_pages_df(spark, cfg).write.parquet(pages_dir)
 
     wh = str(tmp_path / "wh")
+    export_dir = str(tmp_path / "bulk")
     out = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "scripts", "submit_build.py"),
             "--pages", pages_dir, "--warehouse", wh,
             "--master", "local[4]", "--terms-per-type", "30",
+            "--export-dir", export_dir,
         ],
         capture_output=True, text=True, timeout=420,
     )
@@ -32,6 +34,11 @@ def test_submit_build_end_to_end(spark, vocab, tmp_path):
         [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     )
     assert stats["n_triples"] > 0 and stats["orphan_edges"] == 0
+    # the deployment path also emits the reference's bulk-import artifact
+    assert stats["export"]["n_edges"] == stats["n_triples"]
+    import glob
+
+    assert glob.glob(os.path.join(export_dir, "edges", "_type=*", "*.csv"))
     # the graph tables exist and are readable by an independent session
     edges = spark.read.parquet(*[
         os.path.join(wh, "edges", d)
