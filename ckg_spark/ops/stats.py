@@ -1093,10 +1093,9 @@ def anova_twoway(
         F.col(value_col).cast("double").alias("v"),
         F.row_number().over(w).alias("rn"),
     )
+    counts = cellr.groupBy("fa", "fb").count()
+    mn = counts.agg(F.min("count").cast("bigint").alias("n"))
     if balance:
-        mn = cellr.groupBy("fa", "fb").count().agg(
-            F.min("count").cast("bigint").alias("n")
-        )
         bal = (
             cellr.crossJoin(F.broadcast(mn))
             .filter(F.col("rn") <= F.col("n"))
@@ -1104,9 +1103,16 @@ def anova_twoway(
             .localCheckpoint(eager=True)
         )
     else:
-        mn = cellr.groupBy("fa", "fb").count().agg(
-            F.min("count").cast("bigint").alias("n")
-        )
+        # the closed-form SS partition is only valid on a balanced
+        # design; silently computing it on ragged cells would be wrong in
+        # every cell-weighted term — refuse loudly instead.
+        lo, hi = counts.agg(F.min("count"), F.max("count")).first()
+        if lo != hi:
+            raise ValueError(
+                f"anova_twoway(balance=False): design is unbalanced "
+                f"(cell counts {lo}..{hi}); pass balance=True to trim "
+                "deterministically, or balance the design upstream"
+            )
         bal = cellr.select("fa", "fb", "v").localCheckpoint(eager=True)
     ca = bal.groupBy("fa").agg(F.sum("v").alias("s_a"))
     cb = bal.groupBy("fb").agg(F.sum("v").alias("s_b"))

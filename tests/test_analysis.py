@@ -1195,3 +1195,19 @@ def test_dispatch_reshape_family(spark):
     sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / 2)
     assert got[("g1", "fA")]["x"] == pytest.approx(sd / mu * 100, abs=1e-6)
     assert got[("g1", "fA")]["y"] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_anova_twoway_unbalanced_without_balance_raises(spark, lineitem):
+    import pytest as _pytest
+
+    from ckg_spark.ops.stats import anova_twoway
+
+    with _pytest.raises(ValueError, match="unbalanced"):
+        anova_twoway(
+            lineitem,
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            order_cols=["l_orderkey", "l_linenumber"],
+            balance=False,
+        ).collect()
