@@ -45,7 +45,18 @@ _CSV_OPTS = {
 
 
 def _write_partitioned(df: DataFrame, dir_col: str, out_dir: str) -> None:
-    df.write.mode("overwrite").partitionBy(dir_col).options(**_CSV_OPTS).csv(out_dir)
+    # dynamic partition overwrite: only the partitions present in THIS
+    # batch are replaced. Under the default static mode a partial export
+    # (labels=['Tissue']) would first truncate the whole base path,
+    # deleting every previously exported label's TSVs — the opposite of
+    # the reference's accumulate-entity-files partial build.
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(dir_col)
+        .options(**_CSV_OPTS)
+        .csv(out_dir)
+    )
 
 
 def export_neo4j_bulk(

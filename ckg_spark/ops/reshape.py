@@ -32,10 +32,17 @@ def wide_format(
 ) -> DataFrame:
     """Long → wide: one row per ``index``, one column per distinct value
     of ``columns``; ``extra`` columns carried through via a distinct
-    join (transform_into_wide_format)."""
-    wide = df.groupBy(index).pivot(columns).agg(F.first(values))
+    join (transform_into_wide_format). Duplicate (index, columns) pairs
+    aggregate by MIN — an explicit total order where pandas ``.pivot``
+    (the reference) raises; ``F.first`` would be partitioning-dependent.
+    An index mapped to several distinct ``extra`` tuples fans out, as the
+    reference's ``df.join`` does (its trailing drop_duplicates, mirrored
+    here, removes only full-row duplicates)."""
+    wide = df.groupBy(index).pivot(columns).agg(F.min(values))
     if extra:
-        wide = wide.join(df.select(index, *extra).distinct(), index, "left")
+        wide = wide.join(
+            df.select(index, *extra).distinct(), index, "left"
+        ).dropDuplicates()
     return wide
 
 
@@ -51,7 +58,10 @@ def long_format(
     feats = [c for c in df.columns if c != group and c not in drop_columns]
     if not feats:
         raise ValueError("long_format: no feature columns left to melt")
-    stack = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in feats)
+    # TRY_CAST: a non-numeric column the caller forgot to drop melts to
+    # NULL values (pandas-melt-like tolerance) instead of aborting the
+    # whole job with an ANSI CAST_INVALID_INPUT mid-stage.
+    stack = ", ".join(f"'{c}', TRY_CAST(`{c}` AS DOUBLE)" for c in feats)
     return df.selectExpr(
         f"`{group}` AS `{group}`",
         f"stack({len(feats)}, {stack}) AS (`{name_col}`, `{value_col}`)",

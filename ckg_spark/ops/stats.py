@@ -1094,6 +1094,22 @@ def anova_twoway(
         F.row_number().over(w).alias("rn"),
     )
     counts = cellr.groupBy("fa", "fb").count()
+    # the closed form assumes a COMPLETE p×q crossing: a fully absent
+    # (a, b) cell invalidates every cell-weighted divisor and df_err =
+    # p·q·(n−1), and neither mode's trimming can conjure a missing cell
+    # — refuse loudly (verified: on an incomplete 2×2 with pure noise
+    # the un-guarded form reported interaction p = 0.014).
+    n_cells, n_a, n_b = counts.agg(
+        F.count(F.lit(1)),
+        F.countDistinct("fa"),
+        F.countDistinct("fb"),
+    ).first()
+    if n_cells != n_a * n_b:
+        raise ValueError(
+            f"anova_twoway: incomplete crossing — {n_cells} populated cells "
+            f"for a {n_a}×{n_b} design; every (factor_a, factor_b) cell "
+            "needs at least one observation"
+        )
     mn = counts.agg(F.min("count").cast("bigint").alias("n"))
     if balance:
         bal = (

@@ -1211,3 +1211,59 @@ def test_anova_twoway_unbalanced_without_balance_raises(spark, lineitem):
             order_cols=["l_orderkey", "l_linenumber"],
             balance=False,
         ).collect()
+
+
+def test_anova_twoway_incomplete_crossing_raises(spark):
+    """A fully absent (a, b) cell invalidates the closed form (df_err,
+    cell-weighted divisors) — both modes must refuse, not emit a wrong F
+    (un-guarded, pure noise reported interaction p=0.014)."""
+    import pytest as _pytest
+
+    from ckg_spark.ops.stats import anova_twoway
+
+    rows = [
+        ("A1", "B1", float(v)) for v in (1, 2, 3)
+    ] + [("A1", "B2", float(v)) for v in (2, 3, 4)] + [
+        ("A2", "B1", float(v)) for v in (3, 4, 5)
+    ]  # (A2, B2) absent
+    df = spark.createDataFrame(rows, schema="fa string, fb string, v double")
+    for bal in (True, False):
+        with _pytest.raises(ValueError, match="incomplete crossing"):
+            anova_twoway(df, "fa", "fb", "v", order_cols=["v"], balance=bal)
+
+
+def test_reshape_duplicate_cells_and_nonnumeric_melt(spark):
+    """wide_format duplicate (index, columns) pairs resolve by MIN
+    deterministically (pandas .pivot raises there; F.first would be
+    partitioning-dependent); long_format TRY_CASTs, so a forgotten
+    string column melts to NULLs instead of an ANSI mid-job abort."""
+    from ckg_spark.ops.reshape import long_format, wide_format
+
+    dup = spark.createDataFrame(
+        [("s1", "fA", 5.0), ("s1", "fA", 3.0), ("s1", "fB", 1.0)],
+        schema="sample string, name string, y double",
+    )
+    w1 = wide_format(dup, "sample", "name", "y")
+    w2 = wide_format(dup.repartition(7), "sample", "name", "y")
+    assert w1.collect() == w2.collect()
+    assert w1.collect()[0]["fA"] == 3.0
+
+    mixed = spark.createDataFrame(
+        [("g1", 1.0, "oops"), ("g1", 2.0, "nope")],
+        schema="grp string, f1 double, note string",
+    )
+    out = long_format(mixed, [], "grp").collect()
+    notes = [r for r in out if r["name"] == "note"]
+    assert len(notes) == 2 and all(r["y"] is None for r in notes)
+
+
+def test_embed_requires_id_cols(spark):
+    import pytest as _pytest
+
+    from ckg_spark.ops.tsne import tsne_embed, umap_embed
+
+    df = spark.createDataFrame([(1.0, 2.0)] * 8, schema="f0 double, f1 double")
+    with _pytest.raises(ValueError, match="id_cols is required"):
+        tsne_embed(df, ["f0", "f1"], [])
+    with _pytest.raises(ValueError, match="id_cols is required"):
+        umap_embed(df, ["f0", "f1"], [])

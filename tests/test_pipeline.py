@@ -546,3 +546,21 @@ def test_export_neo4j_partial_is_pruned(spark, built, tmp_path):
 
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "pred" in pf.group(1), pf.group(0) if pf else plan[:500]
+
+
+def test_partial_exports_accumulate(spark, built, tmp_path):
+    """Two partial exports into the same directory accumulate (the
+    reference's partial build adds entity files); dynamic partition
+    overwrite must not truncate previously exported partitions."""
+    import glob
+
+    from ckg_spark.materialize.export import export_neo4j_bulk
+
+    pipe, _, _ = built
+    out = str(tmp_path / "bulk_accum")
+    export_neo4j_bulk(spark, pipe.wh, out, preds=["MENTIONED_IN_PUBLICATION"], labels=["Publication"])
+    export_neo4j_bulk(spark, pipe.wh, out, preds=["ASSOCIATED_WITH"], labels=["Disease"])
+    edge_dirs = {p.split("_type=")[1] for p in glob.glob(f"{out}/edges/_type=*")}
+    node_dirs = {p.split("_label=")[1] for p in glob.glob(f"{out}/nodes/_label=*")}
+    assert {"MENTIONED_IN_PUBLICATION", "ASSOCIATED_WITH"} <= edge_dirs
+    assert {"Publication", "Disease"} <= node_dirs
