@@ -104,3 +104,57 @@ def test_embed_dataframes_roundtrip_and_dispatch(spark):
     )
     assert disp.columns == ["rid", "x", "y"]
     assert disp.count() == 36
+
+
+def _umap_ce(y, g, a, b):
+    d2 = np.square(y).sum(1)[:, None] + np.square(y).sum(1)[None, :] - 2 * y @ y.T
+    np.fill_diagonal(d2, 1.0)
+    phi = 1.0 / (1.0 + a * np.power(np.maximum(d2, 1e-12), b))
+    eps = 1e-12
+    return float(-(g * np.log(phi + eps) + (1 - g) * np.log(1 - phi + eps)).sum())
+
+
+def test_umap_descends_its_cross_entropy():
+    """Objective-value gate, not output plausibility: the optimized
+    layout must have materially lower fuzzy cross-entropy than the
+    spectral init. This is the assertion that would have caught the
+    inverted-gradient bug the purity tests missed (the init was already
+    cluster-pure, so climbing the objective still 'looked right')."""
+    from ckg_spark.ops.tsne import _fuzzy_graph, find_ab_params, umap_core
+
+    x, _ = _planted()
+    sq = np.square(x).sum(1)
+    d = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2 * x @ x.T, 0.0))
+    np.fill_diagonal(d, 0.0)
+    g = _fuzzy_graph(d, 10)
+    a, b = find_ab_params(0.3)
+
+    y_opt = umap_core(x, 2, n_neighbors=10, metric="euclidean", n_epochs=200)
+    y_init = umap_core(x, 2, n_neighbors=10, metric="euclidean", n_epochs=1)
+    ce_opt, ce_init = _umap_ce(y_opt, g, a, b), _umap_ce(y_init, g, a, b)
+    assert ce_opt < 0.5 * ce_init, (ce_opt, ce_init)
+
+
+def test_tsne_descends_kl():
+    """Same gate for t-SNE: KL(P||Q) of the final layout must be far
+    below the (scaled-PCA) initialization's."""
+    from ckg_spark.ops.tsne import _perplexity_probs, tsne_core
+
+    x, _ = _planted()
+    xc = x - x.mean(axis=0)
+    d2 = np.square(xc).sum(1)
+    d2 = np.maximum(d2[:, None] + d2[None, :] - 2.0 * (xc @ xc.T), 0.0)
+    np.fill_diagonal(d2, 0.0)
+    cond = _perplexity_probs(d2, 15.0)
+    p = np.maximum((cond + cond.T) / (2.0 * len(x)), 1e-12)
+
+    def kl(y):
+        yd2 = np.square(y).sum(1)
+        num = 1.0 / (1.0 + yd2[:, None] + yd2[None, :] - 2.0 * (y @ y.T))
+        np.fill_diagonal(num, 0.0)
+        q = np.maximum(num / num.sum(), 1e-12)
+        return float((p * np.log(p / q)).sum())
+
+    y_final = tsne_core(x, 2, perplexity=15, n_iter=500)
+    y_early = tsne_core(x, 2, perplexity=15, n_iter=4)
+    assert kl(y_final) < 0.5 * kl(y_early), (kl(y_final), kl(y_early))
