@@ -22,8 +22,9 @@ shuffle (the dir-partitioning column is a duplicate of an existing
 column, so Spark routes rows at write time; the edges table is already
 stored pred-partitioned, so its export is partition-aligned). Quoting
 semantics (every field quoted, backslash escape) mirror the reference's
-csv.QUOTE_ALL; Spark leaves the header row unquoted, which both LOAD
-CSV and neo4j-admin accept.
+csv.QUOTE_ALL; under quoteAll Spark quotes the header row like data
+rows (header writes as "ID"<TAB>":LABEL"), matching the reference's
+csv.QUOTE_ALL output exactly — asserted by the roundtrip test.
 """
 
 from __future__ import annotations

@@ -1084,6 +1084,12 @@ def anova_twoway(
     ``balance=False`` only for designs already balanced by construction.
     Output: one row per source (factor_a / factor_b / interaction) with
     f_stat, p_value (F tail), eta_sq, omega_sq."""
+    # NULL (or non-castable) values must leave the design BEFORE any
+    # counting: cell counts / nt / the balancing row_number would otherwise
+    # include rows that F.sum skips, inflating the correction factor and
+    # divisors and mis-trimming cells (the count(v)-not-count(*) convention
+    # anova_oneway documents).
+    df = df.filter(F.col(value_col).cast("double").isNotNull())
     w = Window.partitionBy(factor_a, factor_b).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
@@ -1211,6 +1217,11 @@ def rm_anova(
     matrix; subjects missing any condition are dropped to keep the
     design balanced. Output: (n_subjects, n_conditions, f_stat,
     p_value)."""
+    # Drop NULL values before forming cells: a (subject × condition) cell
+    # whose values are ALL NULL would otherwise survive as an x=NULL row,
+    # pass the completeness filter via count(lit(1)), and corrupt every
+    # downstream sum (same count-vs-sum mismatch as anova_twoway's).
+    df = df.filter(F.col(value_col).cast("double").isNotNull())
     cell = df.groupBy(subject_col, condition_col).agg(
         F.avg(F.col(value_col).cast("double")).alias("x")
     )
@@ -1267,19 +1278,43 @@ def rm_anova(
 
 
 def fisher_enrichment(
-    df: DataFrame, term_col: str, foreground: Column
+    df: DataFrame, term_col: str, foreground: Column, id_col: str | None = None
 ) -> DataFrame:
     """Fisher-exact over-representation enrichment + BH — generic
     q_enrichment_fisher (run_site_regulation_enrichment / run_fisher,
     analytics.py:1908-2048). ``foreground`` is a boolean Column marking
     foreground membership; rows group into annotation terms by
     ``term_col``. The 2×2 counts are one distributed aggregation; the
-    hypergeometric upper tail and BH sweep run on the term-sized frame.
+    hypergeometric upper tail (one-sided over-representation) and BH
+    sweep run on the term-sized frame.
+
+    Population contract: with ``id_col=None`` the universe is the
+    (identifier, term) PAIR rows — n_fg/n_all sum per-term counts, so an
+    identifier annotated with T terms contributes T times. That matches
+    one-row-per-identifier annotation tables exactly; on multi-term
+    tables it deviates from the reference's distinct-identifier
+    foreground_pop/background_pop model. Pass ``id_col`` to count
+    DISTINCT identifiers per term and for the populations (the
+    reference's definition — an identifier then counts once globally no
+    matter how many terms annotate it).
     Output: (term_col, fg_count, bg_count, p_value, p_adj)."""
     ann = df.groupBy(term_col).agg(
         F.count(F.when(foreground, 1)).alias("k"),
         F.count(F.lit(1)).alias("cat_n"),
     )
+    if id_col is not None:
+        ann = df.groupBy(term_col).agg(
+            F.countDistinct(F.when(foreground, F.col(id_col))).alias("k"),
+            F.countDistinct(id_col).alias("cat_n"),
+        )
+        pops = df.agg(
+            F.countDistinct(F.when(foreground, F.col(id_col))).alias("n_fg"),
+            F.countDistinct(id_col).alias("n_all"),
+        )
+        tot = ann.crossJoin(F.broadcast(pops)).select(
+            term_col, "k", "cat_n", "n_fg", "n_all"
+        )
+        return _fisher_enrichment_tail(tot, term_col)
     w = Window.partitionBy()
     tot = ann.select(
         term_col,
@@ -1288,6 +1323,12 @@ def fisher_enrichment(
         F.sum("k").over(w).alias("n_fg"),
         F.sum("cat_n").over(w).alias("n_all"),
     )
+    return _fisher_enrichment_tail(tot, term_col)
+
+
+def _fisher_enrichment_tail(tot: DataFrame, term_col: str) -> DataFrame:
+    """Hypergeometric upper-tail p + BH over a (term, k, cat_n, n_fg,
+    n_all) counts frame — shared by both population models above."""
     pv = tot.select(
         term_col,
         "k",

@@ -184,6 +184,14 @@ def _layout_df(
     names = ["x", "y", "z"][: y.shape[1]] + [
         f"c{j + 1}" for j in range(3, y.shape[1])
     ]
+    clash = sorted(set(id_cols) & set(names))
+    if clash:
+        raise ValueError(
+            f"id_cols {clash} collide with the output coordinate columns "
+            f"{names}; rename the id columns (layout frames are keyed by "
+            "id_cols, which must also uniquely identify rows for a "
+            "reproducible orderBy(*id_cols) layout)"
+        )
     data = [
         tuple(r[c] for c in id_cols) + tuple(round(float(v), 6) for v in y[i])
         for i, r in enumerate(rows)

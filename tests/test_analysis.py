@@ -1267,3 +1267,55 @@ def test_embed_requires_id_cols(spark):
         tsne_embed(df, ["f0", "f1"], [])
     with _pytest.raises(ValueError, match="id_cols is required"):
         umap_embed(df, ["f0", "f1"], [])
+
+
+def test_fisher_enrichment_distinct_identifier_population(spark):
+    """id_col mode counts DISTINCT identifiers for k/cat_n/n_fg/n_all (the
+    reference's foreground_pop/background_pop model, analytics.py:2020-2035)
+    so multi-term identifiers count once per population; verified against a
+    pure-python hypergeometric upper tail."""
+    from math import comb
+
+    from ckg_spark.ops.stats import fisher_enrichment
+
+    rows = [
+        # (identifier, term, fg) — g1..g4 multi-term on purpose
+        ("g1", "tA", True), ("g1", "tB", True),
+        ("g2", "tA", True), ("g2", "tC", True),
+        ("g3", "tB", False), ("g3", "tC", False),
+        ("g4", "tA", False), ("g4", "tB", False), ("g4", "tC", False),
+        ("g5", "tA", True),
+        ("g6", "tC", False),
+        ("g6", "tC", False),  # duplicate pair row must not double-count
+    ]
+    df = spark.createDataFrame(rows, schema="ident string, term string, fg boolean")
+    got = {
+        r["term"]: r
+        for r in fisher_enrichment(
+            df, "term", F.col("fg"), id_col="ident"
+        ).collect()
+    }
+    idents = {}
+    fg_ids = set()
+    for ident, term, fg in rows:
+        idents.setdefault(term, set()).add(ident)
+        if fg:
+            fg_ids.add(ident)
+    n_all = len({i for s in idents.values() for i in s})
+    n_fg = len(fg_ids)
+
+    def hyper_sf(k, cat_n, n_fg, n_all):
+        # P[X >= k], X ~ Hypergeom(n_all, n_fg, cat_n)
+        return sum(
+            comb(n_fg, x) * comb(n_all - n_fg, cat_n - x) / comb(n_all, cat_n)
+            for x in range(k, min(cat_n, n_fg) + 1)
+        )
+
+    for term, members in idents.items():
+        k = len(members & fg_ids)
+        r = got[term]
+        assert r["fg_count"] == k
+        assert r["bg_count"] == len(members)
+        assert r["p_value"] == pytest.approx(
+            min(1.0, hyper_sf(k, len(members), n_fg, n_all)), abs=1e-6
+        )

@@ -767,3 +767,101 @@ def test_effect_sizes_random_frames(spark):
         assert (r["n1"], r["n2"]) == (n1, n2)
         assert r["cohen_d"] == pytest.approx(d, abs=2e-6), f
         assert r["hedges_g"] == pytest.approx(gc, abs=2e-6), f
+
+
+# ---------------------------------------------------------------------------
+# Two-way ANOVA with NULL-sprinkled values (regression: counts/trim must see
+# only non-null observations, mirroring anova_oneway's count(v) convention)
+# ---------------------------------------------------------------------------
+
+
+def test_anova_twoway_null_values_random_frames(spark):
+    from ckg_spark.ops.stats import anova_twoway
+
+    rng = np.random.default_rng(909)
+    for trial in range(4):
+        rows = []
+        rid = 0
+        p, q = int(rng.integers(2, 4)), int(rng.integers(2, 4))
+        for ai in range(p):
+            for bi in range(q):
+                base = float(rng.normal(ai - bi, 1))
+                for _ in range(int(rng.integers(4, 8))):
+                    v = None if rng.random() < 0.15 else float(
+                        np.round(rng.normal(base, 1), 3)
+                    )
+                    rows.append((rid, f"a{ai}", f"b{bi}", v))
+                    rid += 1
+        # guarantee every cell keeps >= 2 non-null values
+        by_cell = {}
+        for r, a, b, v in rows:
+            if v is not None:
+                by_cell.setdefault((a, b), []).append((r, v))
+        if any(len(vs) < 2 for vs in by_cell.values()):
+            continue
+        df = spark.createDataFrame(
+            rows, schema="rid int, fa string, fb string, val double"
+        )
+        got = {
+            r["source"]: r
+            for r in anova_twoway(df, "fa", "fb", "val", ["rid"]).collect()
+        }
+        # NULLs-present must equal explicit dropna (the oracled path)
+        clean = df.filter(F.col("val").isNotNull())
+        got_clean = {
+            r["source"]: r
+            for r in anova_twoway(clean, "fa", "fb", "val", ["rid"]).collect()
+        }
+        for s in ("factor_a", "factor_b", "interaction"):
+            assert got[s] == got_clean[s], (trial, s)
+        # independent numpy closed form on the rid-ordered trimmed design
+        n = min(len(vs) for vs in by_cell.values())
+        cells = {
+            ab: [v for _, v in sorted(vs)[:n]] for ab, vs in by_cell.items()
+        }
+        allv = [v for vs in cells.values() for v in vs]
+        nt = p * q * n
+        g = sum(allv)
+        cf = g * g / nt
+        s_a = {}
+        s_b = {}
+        for (a, b), vs in cells.items():
+            s_a[a] = s_a.get(a, 0.0) + sum(vs)
+            s_b[b] = s_b.get(b, 0.0) + sum(vs)
+        ss_a = sum(v * v for v in s_a.values()) / (q * n) - cf
+        ss_b = sum(v * v for v in s_b.values()) / (p * n) - cf
+        ss_cells = sum(sum(vs) ** 2 / n for vs in cells.values()) - cf
+        ss_tot = sum(v * v for v in allv) - cf
+        ss_ab = ss_cells - ss_a - ss_b
+        ss_err = ss_tot - ss_cells
+        df_err = p * q * (n - 1)
+        for s, ss_eff, df_eff in (
+            ("factor_a", ss_a, p - 1),
+            ("factor_b", ss_b, q - 1),
+            ("interaction", ss_ab, (p - 1) * (q - 1)),
+        ):
+            fstat = (ss_eff / df_eff) / (ss_err / df_err)
+            assert got[s]["f_stat"] == pytest.approx(fstat, abs=2e-5), (trial, s)
+
+
+def test_rm_anova_all_null_cell_drops_subject(spark):
+    from ckg_spark.ops.stats import rm_anova
+
+    rng = np.random.default_rng(910)
+    rows = []
+    for si in range(6):
+        for ci in range(3):
+            for _ in range(2):
+                # subject s5's condition c2 is entirely NULL -> s5 must drop
+                v = (
+                    None
+                    if (si == 5 and ci == 2)
+                    else float(np.round(rng.normal(ci, 1), 3))
+                )
+                rows.append((f"s{si}", f"c{ci}", v))
+    df = spark.createDataFrame(rows, schema="subj string, cond string, val double")
+    got = rm_anova(df, "subj", "cond", "val").collect()[0]
+    assert got["n_subjects"] == 5
+    no_s5 = df.filter(F.col("subj") != "s5")
+    want = rm_anova(no_s5, "subj", "cond", "val").collect()[0]
+    assert got == want

@@ -158,3 +158,13 @@ def test_tsne_descends_kl():
     y_final = tsne_core(x, 2, perplexity=15, n_iter=500)
     y_early = tsne_core(x, 2, perplexity=15, n_iter=4)
     assert kl(y_final) < 0.5 * kl(y_early), (kl(y_final), kl(y_early))
+
+
+def test_layout_rejects_coordinate_name_collision(spark):
+    import numpy as np
+
+    from ckg_spark.ops.tsne import _layout_df
+
+    rows = spark.createDataFrame([("a",)], schema="x string").collect()
+    with pytest.raises(ValueError, match="collide with the output coordinate"):
+        _layout_df(spark, rows, ["x"], np.zeros((1, 2)))
