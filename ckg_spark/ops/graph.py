@@ -765,50 +765,117 @@ def triangle_stats(
     )
 
 
+# peel rounds folded into one materialized job inside k_core; 3 keeps the
+# lazy plan small (3 aggregations + 6 semi-joins) while cutting blocking
+# jobs ~3x at peel depths > 40
+_KCORE_BATCH = 3
+
+
+def _k_core_driver_peel(pairs: list[tuple], k: int) -> list[tuple]:
+    """Linear-time k-core peeling on collected (a, b) pairs — the
+    driver short-circuit for dimension-sized graphs. Returns
+    (node, core_degree) for k-core survivors; deterministic pure set
+    arithmetic, bit-identical to the distributed fixpoint (asserted by
+    the paths-agree test)."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(nb) for n, nb in adj.items()}
+    stack = [n for n, d in deg.items() if d < k]
+    removed = set(stack)
+    while stack:
+        n = stack.pop()
+        for m in adj[n]:
+            if m in removed:
+                continue
+            deg[m] -= 1
+            if deg[m] < k:
+                removed.add(m)
+                stack.append(m)
+    # for survivors, deg is the within-core degree (decremented once per
+    # peeled neighbor)
+    return [(n, deg[n]) for n in adj if n not in removed]
+
+
 def k_core(
     edges: DataFrame,
     k: int,
     src: str = "subj",
     dst: str = "obj",
     max_iterations: int = 100,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Nodes of the k-core (the maximal subgraph where every node has
     degree >= k), with their within-core degree — iterative peeling:
     drop all nodes of degree < k, recompute, repeat to fixpoint.
 
     Each round is one map-side-combined degree aggregation plus two
-    broadcast-eligible semi-joins of the edge list against the surviving
-    node set (node-sized, shrinking); the edge frame is checkpointed per
-    round to cut lineage. Converges in at most the graph's degeneracy
-    peel depth; ``max_iterations`` bounds it with an early exit when the
-    edge count stops changing. Deterministic — pure set arithmetic.
+    semi-joins of the edge list against the surviving node set
+    (node-sized, shrinking). Rounds are folded into batches of
+    ``_KCORE_BATCH`` LAZY peel steps per materialized job: the peel
+    fixpoint is order-independent, so batching only changes when the
+    lineage is cut, not the result — and each batch costs ONE eager
+    localCheckpoint + one count over checkpointed blocks instead of
+    three blocking jobs per round (the repeated ``keep`` aggregation
+    inside a batch dedupes via Spark's ReuseExchange). Converges in at
+    most the graph's degeneracy peel depth; ``max_iterations`` bounds
+    the total peel rounds with an early exit when the edge count stops
+    changing across a whole batch. Deterministic — pure set arithmetic.
+
+    Dimension-sized graphs (≤ ``driver_max_edges`` canonical edges)
+    short-circuit to a linear-time driver peel — the engine's standard
+    convention for dimension-sized work; the distributed path stays for
+    corpus-scale graphs and the paths-agree test asserts bit-identical
+    results. Pass ``driver_max_edges=0`` to force the distributed path.
 
     Returns (node, core_degree) for nodes surviving in the k-core
     (empty frame if the graph has no k-core).
     """
-    und = canonical_undirected(edges, src, dst)
+    # one eager materialization of the canonical edge frame: the batched
+    # peel and the count below would otherwise each recompute the caller's
+    # upstream graph construction
+    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
     alive = und
     n_edges = alive.count()
+    if n_edges <= driver_max_edges:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        rows = _k_core_driver_peel(
+            [(r["a"], r["b"]) for r in und.collect()], k
+        )
+        schema = StructType(
+            [
+                StructField("node", und.schema["a"].dataType),
+                StructField("core_degree", LongType()),
+            ]
+        )
+        return und.sparkSession.createDataFrame(
+            [(n, int(d)) for n, d in rows], schema
+        )
     converged = n_edges == 0
-    for _ in range(max_iterations):
-        if converged:
-            break
-        keep = (
-            alive.select(F.col("a").alias("node"))
-            .unionAll(alive.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("degree"))
-            .filter(F.col("degree") >= k)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        alive = (
-            alive.join(keep, alive["a"] == keep["node"], "left_semi")
-            .join(keep, alive["b"] == keep["node"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+    rounds_used = 0
+    while rounds_used < max_iterations and not converged:
+        batch = min(_KCORE_BATCH, max_iterations - rounds_used)
+        for _ in range(batch):
+            keep = (
+                alive.select(F.col("a").alias("node"))
+                .unionAll(alive.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("degree"))
+                .filter(F.col("degree") >= k)
+                .select("node")
+            )
+            alive = (
+                alive.join(keep, alive["a"] == keep["node"], "left_semi")
+                .join(keep, alive["b"] == keep["node"], "left_semi")
+            )
+        alive = alive.localCheckpoint(eager=True)
         new_n = alive.count()
+        rounds_used += batch
         if new_n == n_edges or new_n == 0:
+            # edges only ever shrink, so an unchanged count across a full
+            # batch of peels IS the fixpoint
             converged = True
         n_edges = new_n
     if not converged:

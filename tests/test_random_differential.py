@@ -332,8 +332,16 @@ def test_k_core_random_graphs(spark):
         if not und:
             continue
         df = spark.createDataFrame(list(und), schema="subj string, obj string")
+        want = _py_kcore(und, k)
+        # driver short-circuit path (default for dimension-sized graphs)
         got = {r["node"]: r["core_degree"] for r in k_core(df, k=k).collect()}
-        assert got == _py_kcore(und, k), f"k={k}"
+        assert got == want, f"k={k} (driver path)"
+        # distributed batched-peel path must agree bit-for-bit
+        dist = {
+            r["node"]: r["core_degree"]
+            for r in k_core(df, k=k, driver_max_edges=0).collect()
+        }
+        assert dist == want, f"k={k} (distributed path)"
 
 
 # ---------------------------------------------------------------------------
