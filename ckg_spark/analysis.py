@@ -259,6 +259,27 @@ def _maybe_correct(r: DataFrame, a: dict) -> DataFrame:
 def _ttest(df: DataFrame, a: dict) -> DataFrame:
     from .ops import stats
 
+    if int(a.get("permutations", 0) or 0) > 0:
+        # the reference routes ttest to SAMR when permutations>0
+        # (analytics.py:1239-1260, R via rpy2); the scipy/R-free analog is
+        # the deterministic label-permutation FDR (analytics.py:923-989)
+        rid_col = a.get("rid_col")
+        if not rid_col:
+            raise ValueError(
+                "ttest with permutations>0 needs 'rid_col' — a column "
+                "uniquely identifying rows (the deterministic permutation "
+                "keys on it)"
+            )
+        return stats.ttest_permutation_fdr(
+            df,
+            a.get("feature_col", "identifier"),
+            a.get("group_col", "group"),
+            a.get("value_col", "value"),
+            a["group_a"],
+            a["group_b"],
+            rid_col=rid_col,
+            permutations=int(a["permutations"]),
+        )
     r = stats.welch_ttest(
         df,
         a.get("feature_col", "identifier"),
@@ -433,8 +454,17 @@ def _graph_summary(df: DataFrame, a: dict) -> DataFrame:
 
 
 def _closeness(df: DataFrame, a: dict) -> DataFrame:
-    from .ops.graph import closeness_centrality
+    from .ops.graph import closeness_centrality, closeness_centrality_sampled
 
+    if a.get("sample_pivots"):
+        # scale fallback: landmark estimation, topology never broadcast
+        return closeness_centrality_sampled(
+            df,
+            src=a.get("src", "subj"),
+            dst=a.get("dst", "obj"),
+            sample_pivots=int(a["sample_pivots"]),
+            seed=int(a.get("seed", 13)),
+        )
     return closeness_centrality(
         df,
         src=a.get("src", "subj"),

@@ -341,7 +341,9 @@ def _collect_adjacency(
         raise ValueError(
             f"{op_name}: edge list exceeds max_broadcast_edges="
             f"{max_broadcast_edges}; apply a score cutoff first (the reference "
-            "does — viz.py:1099-1104) or raise the gate"
+            "does — viz.py:1099-1104), raise the gate, or use the sampled "
+            "estimator (closeness_centrality_sampled / sample_sources) which "
+            "never broadcasts the topology"
         )
     weighted = weight is not None
     adj: dict = {}
@@ -1024,6 +1026,110 @@ def closeness_centrality(
                 StructField("closeness", DoubleType(), False),
             ]
         ),
+    )
+
+
+def closeness_centrality_sampled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    sample_pivots: int = 64,
+    seed: int = 13,
+    wf_improved: bool = True,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Landmark-sampled closeness (Eppstein-Wang estimator) — the scale
+    fallback for graphs past :func:`closeness_centrality`'s broadcast
+    gate. Where the exact operator broadcasts the topology and runs one
+    BFS per node, this one never collects or broadcasts the edge list:
+    ``sample_pivots`` deterministic pivots (lexicographically first by
+    ``xxhash64(node, seed)`` — no RNG) run a single MULTI-source BFS as
+    iterative DataFrame joins against the pinned bidirectional edge
+    frame, so the only per-round state is the (node, pivot, dist) frame
+    bounded by n x m rows. For node v with cnt reachable pivots and
+    distance sum s, scaled by n/m:
+
+        r_hat = cnt*(n/m),  s_hat = s*(n/m)
+        C(v) = (r_hat-1)/s_hat * [(r_hat-1)/(n-1) if wf_improved]
+
+    With ``sample_pivots >= n`` every node is a pivot and the estimate
+    collapses to the exact wf closeness (asserted by the paths-agree
+    test); the error-bound test bounds median relative error and rank
+    correlation vs exact at m << n. Unweighted only — weighted distances
+    would need distributed Dijkstra; the exact operator covers the
+    weighted dimension-sized case.
+
+    Returns (node, closeness), unreached-by-any-pivot nodes included
+    with 0.0.
+    """
+    und = canonical_undirected(edges, src, dst, pin=False)
+    bi = (
+        und.select(F.col("a").cast("string").alias("u"), F.col("b").cast("string").alias("v"))
+        .unionAll(
+            und.select(F.col("b").cast("string").alias("u"), F.col("a").cast("string").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = bi.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("closeness"))
+    m = min(sample_pivots, n)
+    pivots = (
+        nodes.withColumn("__h__", F.xxhash64(F.col("node"), F.lit(seed)))
+        .orderBy("__h__", "node")
+        .limit(m)
+        .select(
+            F.col("node"),
+            F.col("node").alias("pivot"),
+            F.lit(0).cast("long").alias("d"),
+        )
+    )
+    dist = pivots.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(bi, frontier["node"] == bi["u"])
+            .select(
+                bi["v"].alias("node"),
+                frontier["pivot"],
+                (frontier["d"] + F.lit(1)).alias("d"),
+            )
+            .groupBy("node", "pivot")
+            .agg(F.min("d").alias("d"))
+        )
+        new = cand.join(
+            dist.select("node", "pivot"), ["node", "pivot"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        # missing far distances would silently deflate every sum — the
+        # same partial-result-is-wrong rule as k_core's convergence guard
+        raise ValueError(
+            f"closeness_centrality_sampled: BFS did not exhaust within "
+            f"max_iterations={max_iterations} (graph diameter exceeds the "
+            "bound); raise max_iterations"
+        )
+    ratio = float(n) / float(m)
+    stats = dist.groupBy("node").agg(
+        (F.count(F.lit(1)) * F.lit(ratio)).alias("r_hat"),
+        (F.sum("d") * F.lit(ratio)).alias("s_hat"),
+    )
+    c = F.when(
+        (F.col("s_hat") > 0.0) & (F.col("r_hat") > 1.0),
+        ((F.col("r_hat") - 1.0) / F.col("s_hat"))
+        * (
+            ((F.col("r_hat") - 1.0) / F.lit(float(n - 1)))
+            if (wf_improved and n > 1)
+            else F.lit(1.0)
+        ),
+    ).otherwise(0.0)
+    scored = stats.select("node", c.alias("closeness"))
+    return nodes.join(scored, "node", "left").select(
+        "node", F.coalesce(F.col("closeness"), F.lit(0.0)).alias("closeness")
     )
 
 

@@ -1362,3 +1362,101 @@ def _fisher_enrichment_tail(tot: DataFrame, term_col: str) -> DataFrame:
         "p_value",
         F.round(p_adj, 9).alias("p_adj"),
     )
+
+
+def ttest_permutation_fdr(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    rid_col: str,
+    permutations: int = 20,
+) -> DataFrame:
+    """Permutation-based FDR for the per-feature two-group t-test —
+    the scipy/R-free analog of the reference's SAMR route
+    (apply_pvalue_permutation_fdrcorrection, analytics.py:923-989;
+    run_ttest dispatches to SAMR when permutations>0,
+    analytics.py:1239-1260). ``run_analysis(df, "ttest",
+    {"permutations": K, "rid_col": ...})`` routes here.
+
+    The K label permutations are DETERMINISTIC: rows rank by the
+    lowbias32 uniform keyed on (rid, k) and the first n_a ranks take
+    ``group_a`` — a true label permutation preserving group sizes, which
+    is why ``rid_col`` must uniquely identify rows. The K-fold expansion
+    is one explode; each permutation's Welch t reuses one conditional
+    aggregation; p_perm = (1 + #{|t_k| >= |t_obs|}) / (K+1), then BH
+    across features. Hash-verified against the unrolled DuckDB twin via
+    q_ttest_permutation_fdr.
+
+    Output: (feature_col, t_stat, p_perm, p_adj).
+    """
+    from .curation import split_u
+
+    K = int(permutations)
+    if K <= 0:
+        raise ValueError("ttest_permutation_fdr: permutations must be > 0")
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(feature_col).alias("feat"),
+        F.col(rid_col).alias("rid"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(group_col) == F.lit(group_a)).alias("is_f"),
+    )
+
+    def t_stat_agg():
+        fv = F.when(F.col("is_f"), F.col("v"))
+        ov = F.when(~F.col("is_f"), F.col("v"))
+        return (F.avg(fv) - F.avg(ov)) / F.sqrt(
+            F.var_samp(fv) / F.count(fv) + F.var_samp(ov) / F.count(ov)
+        )
+
+    cnt = base.groupBy("feat").agg(
+        F.sum(F.when(F.col("is_f"), 1).otherwise(0)).cast("bigint").alias("n1")
+    )
+    obs = base.groupBy("feat").agg(t_stat_agg().alias("t_obs"))
+    perm = base.select(
+        "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
+    ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    w = Window.partitionBy("feat", "k").orderBy(F.col("u").asc(), F.col("rid").asc())
+    ranked = perm.select("feat", "v", "k", F.row_number().over(w).alias("rn"))
+    lab = ranked.join(F.broadcast(cnt), "feat").select(
+        "feat", "k", "v", (F.col("rn") <= F.col("n1")).alias("is_f")
+    )
+    pt = lab.groupBy("feat", "k").agg(t_stat_agg().alias("t_k"))
+    pp = (
+        obs.join(pt, "feat")
+        .groupBy("feat", "t_obs")
+        .agg(
+            (
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("t_k")) >= F.abs(F.col("t_obs")), 1
+                        ).otherwise(0)
+                    )
+                )
+                / F.lit(float(K + 1))
+            ).alias("p_perm")
+        )
+    )
+    rr = pp.select(
+        "feat",
+        "t_obs",
+        "p_perm",
+        F.row_number()
+        .over(Window.orderBy(F.col("p_perm").asc(), F.col("feat").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(
+        F.lit(1.0), F.min((F.col("p_perm") * F.col("m")) / F.col("rn")).over(tail)
+    )
+    return rr.select(
+        F.col("feat").alias(feature_col),
+        F.round("t_obs", 6).alias("t_stat"),
+        F.round("p_perm", 9).alias("p_perm"),
+        F.round(p_adj, 9).alias("p_adj"),
+    )

@@ -3044,72 +3044,34 @@ def q_ttest_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one explode; each permutation's t reuses the Welch conditional
     aggregation; the permutation p-value is the standard
     (1 + #{|t_k| >= |t_obs|}) / (K+1), then BH across features.
-    Fully hash-verified."""
-    from ..ops.curation import split_u
+    Fully hash-verified — and exercised THROUGH the dispatch route:
+    run_analysis("ttest", {"permutations": K}) is the reference's SAMR
+    routing (analytics.py:1239-1260, R via rpy2), which lands on the
+    scipy/R-free ops/stats.py::ttest_permutation_fdr."""
+    from ..analysis import run_analysis
 
-    K = 20
     li = _t(spark, sf_dir, "lineitem")
     base = li.filter(F.col("l_linestatus").isin("F", "O")).select(
         F.col("l_returnflag").alias("feat"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
         F.col("l_quantity").cast("double").alias("v"),
-        (F.col("l_linestatus") == "F").alias("is_f"),
+        "l_linestatus",
     )
-
-    def t_stat_agg():
-        fv = F.when(F.col("is_f"), F.col("v"))
-        ov = F.when(~F.col("is_f"), F.col("v"))
-        return (
-            (F.avg(fv) - F.avg(ov))
-            / F.sqrt(
-                F.var_samp(fv) / F.count(fv) + F.var_samp(ov) / F.count(ov)
-            )
-        )
-
-    cnt = base.groupBy("feat").agg(
-        F.sum(F.when(F.col("is_f"), 1).otherwise(0)).cast("bigint").alias("n1")
+    out = run_analysis(
+        base,
+        "ttest",
+        {
+            "feature_col": "feat",
+            "group_col": "l_linestatus",
+            "value_col": "v",
+            "group_a": "F",
+            "group_b": "O",
+            "permutations": 20,
+            "rid_col": "rid",
+        },
     )
-    obs = base.groupBy("feat").agg(t_stat_agg().alias("t_obs"))
-    perm = base.select(
-        "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
-    ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
-    w = Window.partitionBy("feat", "k").orderBy(F.col("u").asc(), F.col("rid").asc())
-    ranked = perm.select("feat", "v", "k", F.row_number().over(w).alias("rn"))
-    lab = ranked.join(F.broadcast(cnt), "feat").select(
-        "feat", "k", "v", (F.col("rn") <= F.col("n1")).alias("is_f")
-    )
-    pt = lab.groupBy("feat", "k").agg(t_stat_agg().alias("t_k"))
-    pp = (
-        obs.join(pt, "feat")
-        .groupBy("feat", "t_obs")
-        .agg(
-            (
-                (
-                    F.lit(1.0)
-                    + F.sum(
-                        F.when(
-                            F.abs(F.col("t_k")) >= F.abs(F.col("t_obs")), 1
-                        ).otherwise(0)
-                    )
-                )
-                / F.lit(float(K + 1))
-            ).alias("p_perm")
-        )
-    )
-    rr = pp.select(
-        "feat",
-        "t_obs",
-        "p_perm",
-        F.row_number().over(Window.orderBy(F.col("p_perm").asc(), F.col("feat").asc())).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
-    )
-    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
-    p_adj = F.least(F.lit(1.0), F.min((F.col("p_perm") * F.col("m")) / F.col("rn")).over(tail))
-    return rr.select(
-        F.col("feat").alias("l_returnflag"),
-        F.round("t_obs", 6).alias("t_stat"),
-        F.round("p_perm", 9).alias("p_perm"),
-        F.round(p_adj, 9).alias("p_adj"),
+    return out.select(
+        F.col("feat").alias("l_returnflag"), "t_stat", "p_perm", "p_adj"
     )
 
 

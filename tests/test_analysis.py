@@ -1319,3 +1319,37 @@ def test_fisher_enrichment_distinct_identifier_population(spark):
         assert r["p_value"] == pytest.approx(
             min(1.0, hyper_sf(k, len(members), n_fg, n_all)), abs=1e-6
         )
+
+
+def test_ttest_permutations_routes_to_permutation_fdr(spark):
+    """run_analysis('ttest', permutations>0) takes the reference's SAMR
+    route (analytics.py:1239-1260) — here the deterministic
+    label-permutation FDR — and must equal the direct op call."""
+    from ckg_spark.ops.stats import ttest_permutation_fdr
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    base = li.filter(F.col("l_linestatus").isin("F", "O")).select(
+        F.col("l_returnflag").alias("feat"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("v"),
+        "l_linestatus",
+    )
+    args = {
+        "feature_col": "feat",
+        "group_col": "l_linestatus",
+        "value_col": "v",
+        "group_a": "F",
+        "group_b": "O",
+        "permutations": 20,
+        "rid_col": "rid",
+    }
+    via = _sorted_pdf(run_analysis(base, "ttest", args))
+    direct = _sorted_pdf(
+        ttest_permutation_fdr(
+            base, "feat", "l_linestatus", "v", "F", "O", "rid", 20
+        )
+    )
+    assert via.equals(direct)
+    assert set(via.columns) == {"feat", "t_stat", "p_perm", "p_adj"}
+    with pytest.raises(ValueError, match="rid_col"):
+        run_analysis(base, "ttest", {**args, "rid_col": None})

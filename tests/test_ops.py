@@ -1364,3 +1364,90 @@ def test_closeness_random_graph_sweep(spark):
         assert set(got) == set(exp), (n, seed)
         for v in exp:
             assert abs(got[v] - exp[v]) < 1e-12, (n, seed, v)
+
+
+def test_closeness_sampled_all_pivots_matches_exact(spark):
+    """sample_pivots >= n makes every node a pivot: the Eppstein-Wang
+    estimate collapses to the exact wf closeness (paths-agree)."""
+    from ckg_spark.ops.graph import (
+        closeness_centrality,
+        closeness_centrality_sampled,
+    )
+
+    edges = _seeded_graph(n=18, seed=44)
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    exact = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality(df, "subj", "obj").collect()
+    }
+    got = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality_sampled(
+            df, "subj", "obj", sample_pivots=10_000
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for v in exact:
+        assert abs(got[v] - exact[v]) < 1e-9, v
+
+
+def test_closeness_sampled_error_bound(spark):
+    """m << n landmark estimate vs exact on a ~1500-node graph: bounded
+    median relative error and high rank agreement (the documented contract
+    of the scale fallback past the broadcast gate)."""
+    import numpy as np
+
+    from ckg_spark.ops.graph import (
+        closeness_centrality,
+        closeness_centrality_sampled,
+    )
+
+    n = 1500
+    rng = np.random.default_rng(77)
+    ring = [(f"v{i:04d}", f"v{(i + 1) % n:04d}") for i in range(n)]
+    chords = [
+        (f"v{a:04d}", f"v{b:04d}")
+        for a, b in rng.integers(0, n, size=(3 * n, 2)).tolist()
+        if a != b
+    ]
+    df = spark.createDataFrame(ring + chords, ["subj", "obj"])
+    exact = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality(df, "subj", "obj").collect()
+    }
+    got = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality_sampled(
+            df, "subj", "obj", sample_pivots=256
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    keys = sorted(exact)
+    ex = np.array([exact[k] for k in keys])
+    es = np.array([got[k] for k in keys])
+    rel = np.abs(es - ex) / ex
+    assert float(np.median(rel)) < 0.1, float(np.median(rel))
+    # Spearman rank correlation without scipy
+    rx = np.argsort(np.argsort(ex)).astype(float)
+    ry = np.argsort(np.argsort(es)).astype(float)
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+    assert rho > 0.9, rho
+
+
+def test_closeness_sampled_dispatch(spark):
+    from ckg_spark.analysis import run_analysis
+    from ckg_spark.ops.graph import closeness_centrality_sampled
+
+    edges = _seeded_graph(n=14, seed=45)
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    via_dispatch = {
+        r["node"]: r["closeness"]
+        for r in run_analysis(df, "closeness", {"sample_pivots": 6}).collect()
+    }
+    direct = {
+        r["node"]: r["closeness"]
+        for r in closeness_centrality_sampled(
+            df, "subj", "obj", sample_pivots=6
+        ).collect()
+    }
+    assert via_dispatch == direct
