@@ -167,7 +167,7 @@ class CurationPipeline:
         def _exact():
             groups = exact_dup_groups(df, "doc_id", "text")
             losers = (
-                df.select("doc_id", F.md5("text").alias("content_hash"))
+                df.select("doc_id", F.xxhash64("text").alias("content_hash"))
                 .join(groups, "content_hash")
                 .filter(F.col("doc_id") != F.col("keeper_id"))
                 .select("doc_id")

@@ -42,9 +42,13 @@ from ..canon.lsh import lsh_candidate_pairs
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical content: (content_hash, n_docs, keeper_id).
     keeper = min id (deterministic). One hash-aggregate shuffle; the hash is
-    computed JVM-side so no text ever reaches Python."""
+    computed JVM-side so no text ever reaches Python. xxhash64 (the
+    engine-wide convention, ~an order of magnitude faster per byte than
+    md5 at crawl scale); the DuckDB oracle compares the hash-agnostic
+    group structure (n_docs, keeper_id) since group membership is
+    identical under any collision-free hash."""
     return (
-        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        docs.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -61,7 +65,7 @@ def bag_of_words_dup_groups(
     Catches token-shuffled boilerplate that byte-hashing misses."""
     toks = F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+"))
     return (
-        docs.select(F.col(id_col), F.md5(F.array_join(toks, " ")).alias("bow_hash"))
+        docs.select(F.col(id_col), F.xxhash64(F.array_join(toks, " ")).alias("bow_hash"))
         .groupBy("bow_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_docs") > 1)

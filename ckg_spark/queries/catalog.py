@@ -756,7 +756,7 @@ def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_exact_dup_groups",
     """
-    SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS keeper_id
     FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
     GROUP BY content_hash HAVING COUNT(*) > 1
@@ -764,10 +764,14 @@ def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="dedup",
 )
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-agnostic comparison: the op hashes with xxhash64 (engine
+    convention), the oracle with md5 — group structure (n_docs,
+    keeper_id) is identical under any collision-free hash, so the raw
+    hash value stays out of the compared columns."""
     docs = _t(spark, sf_dir, "documents")
     return (
         dedup.exact_dup_groups(docs, "doc_id", "text")
-        .select("content_hash", "n_docs", F.col("keeper_id").cast("long").alias("keeper_id"))
+        .select("n_docs", F.col("keeper_id").cast("long").alias("keeper_id"))
     )
 
 
@@ -990,7 +994,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_bow_dup_groups",
     r"""
-    SELECT bow_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS keeper_id
     FROM (SELECT doc_id,
                  md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS bow_hash
@@ -1001,10 +1005,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bow_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive exact dedup (sorted token multiset hash) — catches
-    token-shuffled boilerplate byte-hashing misses."""
+    token-shuffled boilerplate byte-hashing misses. Hash-agnostic oracle
+    comparison, same rationale as q_exact_dup_groups."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.bag_of_words_dup_groups(docs, "doc_id", "text").select(
-        "bow_hash", "n_docs", F.col("keeper_id").cast("long").alias("keeper_id")
+        "n_docs", F.col("keeper_id").cast("long").alias("keeper_id")
     )
 
 

@@ -313,20 +313,31 @@ def read_excel(
     Workbooks are dimension-sized (experiment design / clinical sheets),
     so this is deliberately a driver-side pandas read shipped to the
     cluster as an Arrow local relation — the same pattern as the OBO
-    vocabulary reader. Requires ``openpyxl``; raises a clear ImportError
-    when the engine is not installed (it is not part of this engine's
-    pinned runtime) so callers can gate on it.
+    vocabulary reader. Uses ``openpyxl`` when installed; otherwise falls
+    back to the vendored stdlib parser (sources/xlsx.py) so S2 executes
+    everywhere — both engines produce the same frame (paths-agree test,
+    gated on openpyxl presence).
     """
     import pandas as pd
 
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "read_excel needs the optional 'openpyxl' package "
-            "(driver-side only; workbooks are dimension-sized)"
-        ) from e
-    pdf = pd.read_excel(path, sheet_name=sheet_name, index_col=None, na_values=["NA"])
+
+        pdf = pd.read_excel(
+            path, sheet_name=sheet_name, index_col=None, na_values=["NA"]
+        )
+    except ImportError:
+        from .xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path, sheet_name=sheet_name)
+        if not rows:
+            pdf = pd.DataFrame()
+        else:
+            header = [str(c) for c in rows[0]]
+            pdf = pd.DataFrame(rows[1:], columns=header)
+            # pd.read_excel(na_values=['NA']) semantics + dtype inference
+            pdf = pdf.replace("NA", float("nan"))
+            pdf = pdf.infer_objects()
     if dropna_all:
         pdf = pdf.dropna(how="all")
     pdf.columns = [str(c) for c in pdf.columns]

@@ -1451,3 +1451,171 @@ def test_closeness_sampled_dispatch(spark):
         ).collect()
     }
     assert via_dispatch == direct
+
+
+# ----------------------------------------------------------------------
+# Real media decode (stdlib PNG/BMP, PIL-preferred) — VERDICT r02 #5
+# ----------------------------------------------------------------------
+
+
+def _encode_png(arr, filter_type=0):
+    """Test-side PNG encoder (independent of the decoder): applies the
+    chosen per-row filter then deflates — exercises each unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    flat = arr.reshape(h, w * ch).astype(int)
+    out = bytearray()
+    prev = [0] * (w * ch)
+    for r in range(h):
+        row = list(flat[r])
+        out.append(filter_type)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: paeth(left, up, ul),
+            }[filter_type]
+            out.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_bmp(arr):
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = arr[r][:, ::-1].astype(np.uint8).tobytes()  # RGB->BGR
+        body += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + bytes(body)
+    )
+
+
+def test_decode_png_all_filters_bit_exact():
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import decode_media
+
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for ftype in range(5):
+        got = decode_media(_encode_png(arr, filter_type=ftype))
+        assert np.array_equal(got, arr), f"filter {ftype}"
+    # grayscale replicates to RGB; RGBA drops alpha
+    g = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    got = decode_media(_encode_png(g, filter_type=2))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    ga = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    got = decode_media(_encode_png(ga, filter_type=4))
+    assert np.array_equal(got, ga[:, :, :3])
+
+
+def test_decode_bmp_bit_exact():
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import decode_media
+
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_media(_encode_bmp(arr)), arr)
+
+
+def test_decode_media_unknown_format_raises():
+    import pytest as _pytest
+
+    from ckg_spark.ops.multimodal import decode_media
+
+    with _pytest.raises((NotImplementedError, Exception)):
+        decode_media(b"not an image at all")
+
+
+def test_extract_media_features_real_codec(spark):
+    """End-to-end: binary PNG payloads through the Arrow map with
+    codec='real' — true dimensions and luminance histograms, payload
+    column absent from the output schema."""
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import (
+        extract_media_features,
+        real_features,
+    )
+
+    rng = np.random.default_rng(23)
+    imgs = {
+        f"m{i}": rng.integers(0, 256, size=(8 + i, 6 + i, 3), dtype=np.uint8)
+        for i in range(4)
+    }
+    rows = [
+        (mid, "image", bytearray(_encode_png(arr))) for mid, arr in imgs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, schema="media_id string, kind string, payload binary"
+    )
+    out = extract_media_features(df, codec="real")
+    assert "payload" not in out.columns
+    got = {r["media_id"]: r for r in out.collect()}
+    for mid, arr in imgs.items():
+        r = got[mid]
+        assert (r["height"], r["width"]) == (arr.shape[0], arr.shape[1])
+        want = real_features(arr)
+        assert np.allclose(np.array(r["features"]), want, atol=1e-6)
+
+
+def test_decode_matches_pil_when_available():
+    import pytest as _pytest
+
+    PIL = _pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from ckg_spark.ops.multimodal import _decode_png
+
+    rng = np.random.default_rng(24)
+    arr = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    payload = _encode_png(arr, filter_type=3)
+    via_pil = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert np.array_equal(via_pil, _decode_png(payload))
