@@ -458,12 +458,25 @@ def _closeness(df: DataFrame, a: dict) -> DataFrame:
 
     if a.get("sample_pivots"):
         # scale fallback: landmark estimation, topology never broadcast
+        if a.get("weight"):
+            # the sampled estimator is unweighted-only (distributed BFS);
+            # silently returning hop-count closeness for a weighted
+            # request would be wrong — refuse loudly
+            raise ValueError(
+                "closeness with sample_pivots is unweighted-only; drop "
+                "'weight' (hop distances) or drop 'sample_pivots' (exact "
+                "weighted closeness behind the broadcast gate)"
+            )
+        kwargs = {}
+        if a.get("max_iterations"):
+            kwargs["max_iterations"] = int(a["max_iterations"])
         return closeness_centrality_sampled(
             df,
             src=a.get("src", "subj"),
             dst=a.get("dst", "obj"),
             sample_pivots=int(a["sample_pivots"]),
             seed=int(a.get("seed", 13)),
+            **kwargs,
         )
     return closeness_centrality(
         df,

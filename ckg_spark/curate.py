@@ -167,8 +167,12 @@ class CurationPipeline:
         def _exact():
             groups = exact_dup_groups(df, "doc_id", "text")
             losers = (
-                df.select("doc_id", F.xxhash64("text").alias("content_hash"))
-                .join(groups, "content_hash")
+                df.select(
+                    "doc_id",
+                    F.xxhash64("text").alias("content_hash"),
+                    F.xxhash64(F.lit("h2"), F.col("text")).alias("content_hash2"),
+                )
+                .join(groups, ["content_hash", "content_hash2"])
                 .filter(F.col("doc_id") != F.col("keeper_id"))
                 .select("doc_id")
             )

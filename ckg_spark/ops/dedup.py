@@ -40,16 +40,24 @@ from ..canon.lsh import lsh_candidate_pairs
 
 # -- exact ---------------------------------------------------------------
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical content: (content_hash, n_docs, keeper_id).
-    keeper = min id (deterministic). One hash-aggregate shuffle; the hash is
-    computed JVM-side so no text ever reaches Python. xxhash64 (the
-    engine-wide convention, ~an order of magnitude faster per byte than
-    md5 at crawl scale); the DuckDB oracle compares the hash-agnostic
-    group structure (n_docs, keeper_id) since group membership is
-    identical under any collision-free hash."""
+    """Groups of byte-identical content: (content_hash, content_hash2,
+    n_docs, keeper_id). keeper = min id (deterministic). One
+    hash-aggregate shuffle; hashes are computed JVM-side so no text ever
+    reaches Python. TWO independent xxhash64 keys (the second is
+    domain-separated by a literal prefix) give 128 collision bits — a
+    single 64-bit key has realistic birthday collisions at crawl scale
+    (~0.5 at 5B docs), and a collision here DELETES a unique document
+    downstream (curate.py drops non-keepers). Still ~an order of
+    magnitude faster per byte than md5. The DuckDB oracle compares the
+    hash-agnostic group structure (n_docs, keeper_id), identical under
+    any collision-free hash."""
     return (
-        docs.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
+        docs.select(
+            F.col(id_col),
+            F.xxhash64(F.col(text_col)).alias("content_hash"),
+            F.xxhash64(F.lit("h2"), F.col(text_col)).alias("content_hash2"),
+        )
+        .groupBy("content_hash", "content_hash2")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keeper_id"),
@@ -64,9 +72,14 @@ def bag_of_words_dup_groups(
     """Order-insensitive exact dedup: hash of the sorted token multiset.
     Catches token-shuffled boilerplate that byte-hashing misses."""
     toks = F.array_sort(F.split(F.lower(F.col(text_col)), r"\s+"))
+    bow = F.array_join(toks, " ")
     return (
-        docs.select(F.col(id_col), F.xxhash64(F.array_join(toks, " ")).alias("bow_hash"))
-        .groupBy("bow_hash")
+        docs.select(
+            F.col(id_col),
+            F.xxhash64(bow).alias("bow_hash"),
+            F.xxhash64(F.lit("h2"), bow).alias("bow_hash2"),
+        )
+        .groupBy("bow_hash", "bow_hash2")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_docs") > 1)
     )

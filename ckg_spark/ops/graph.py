@@ -834,10 +834,11 @@ def k_core(
     Returns (node, core_degree) for nodes surviving in the k-core
     (empty frame if the graph has no k-core).
     """
-    # one eager materialization of the canonical edge frame: the batched
-    # peel and the count below would otherwise each recompute the caller's
-    # upstream graph construction
-    und = canonical_undirected(edges, src, dst).localCheckpoint(eager=True)
+    # canonical_undirected(pin=True) eagerly materializes the edge frame
+    # once — the batched peel, the count and the collect below all read
+    # those blocks (a second checkpoint here would duplicate the full
+    # edge copy per call; checkpoint blocks are never auto-unpersisted)
+    und = canonical_undirected(edges, src, dst)
     alive = und
     n_edges = alive.count()
     if n_edges <= driver_max_edges:

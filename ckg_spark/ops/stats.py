@@ -1088,8 +1088,9 @@ def anova_twoway(
     # counting: cell counts / nt / the balancing row_number would otherwise
     # include rows that F.sum skips, inflating the correction factor and
     # divisors and mis-trimming cells (the count(v)-not-count(*) convention
-    # anova_oneway documents).
-    df = df.filter(F.col(value_col).cast("double").isNotNull())
+    # anova_oneway documents). try_cast, not cast: ANSI mode is on, so a
+    # plain cast THROWS on non-castable strings instead of filtering.
+    df = df.filter(F.col(value_col).try_cast("double").isNotNull())
     w = Window.partitionBy(factor_a, factor_b).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
@@ -1221,7 +1222,8 @@ def rm_anova(
     # whose values are ALL NULL would otherwise survive as an x=NULL row,
     # pass the completeness filter via count(lit(1)), and corrupt every
     # downstream sum (same count-vs-sum mismatch as anova_twoway's).
-    df = df.filter(F.col(value_col).cast("double").isNotNull())
+    # try_cast: ANSI mode — plain cast throws on non-castable strings.
+    df = df.filter(F.col(value_col).try_cast("double").isNotNull())
     cell = df.groupBy(subject_col, condition_col).agg(
         F.avg(F.col(value_col).cast("double")).alias("x")
     )
@@ -1298,10 +1300,6 @@ def fisher_enrichment(
     reference's definition — an identifier then counts once globally no
     matter how many terms annotate it).
     Output: (term_col, fg_count, bg_count, p_value, p_adj)."""
-    ann = df.groupBy(term_col).agg(
-        F.count(F.when(foreground, 1)).alias("k"),
-        F.count(F.lit(1)).alias("cat_n"),
-    )
     if id_col is not None:
         ann = df.groupBy(term_col).agg(
             F.countDistinct(F.when(foreground, F.col(id_col))).alias("k"),
@@ -1314,15 +1312,19 @@ def fisher_enrichment(
         tot = ann.crossJoin(F.broadcast(pops)).select(
             term_col, "k", "cat_n", "n_fg", "n_all"
         )
-        return _fisher_enrichment_tail(tot, term_col)
-    w = Window.partitionBy()
-    tot = ann.select(
-        term_col,
-        "k",
-        "cat_n",
-        F.sum("k").over(w).alias("n_fg"),
-        F.sum("cat_n").over(w).alias("n_all"),
-    )
+    else:
+        ann = df.groupBy(term_col).agg(
+            F.count(F.when(foreground, 1)).alias("k"),
+            F.count(F.lit(1)).alias("cat_n"),
+        )
+        w = Window.partitionBy()
+        tot = ann.select(
+            term_col,
+            "k",
+            "cat_n",
+            F.sum("k").over(w).alias("n_fg"),
+            F.sum("cat_n").over(w).alias("n_all"),
+        )
     return _fisher_enrichment_tail(tot, term_col)
 
 
@@ -1397,6 +1399,19 @@ def ttest_permutation_fdr(
     K = int(permutations)
     if K <= 0:
         raise ValueError("ttest_permutation_fdr: permutations must be > 0")
+    # the permutation key is rid*131+k: a non-numeric rid would throw a
+    # cryptic ANSI NumberFormatException at action time deep in the plan
+    # — validate the contract up front instead
+    rid_type = dict(df.dtypes).get(rid_col)
+    if rid_type is None or not (
+        rid_type in ("tinyint", "smallint", "int", "bigint")
+        or rid_type.startswith("decimal")
+    ):
+        raise ValueError(
+            f"ttest_permutation_fdr: rid_col {rid_col!r} must be an "
+            f"integer column (got {rid_type}); hash string ids first, "
+            "e.g. F.xxhash64(col)"
+        )
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(feature_col).alias("feat"),
         F.col(rid_col).alias("rid"),

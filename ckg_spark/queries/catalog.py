@@ -4648,7 +4648,11 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN f.id_a = r.node THEN f.id_b ELSE f.id_a END
       FROM reach r
       JOIN ed e ON e.eid = r.eid
-      JOIN ed f ON (f.id_a = r.node OR f.id_b = r.node) AND f.dist < e.dist
+      -- "strictly lighter" in Boruvka's TOTAL order (w, a, b): equal
+      -- distances (exact-duplicate embeddings) tie-break by ids, so
+      -- tied cycles resolve identically on both sides
+      JOIN ed f ON (f.id_a = r.node OR f.id_b = r.node)
+               AND (f.dist, f.id_a, f.id_b) < (e.dist, e.id_a, e.id_b)
     )
     SELECT e.id_a, e.id_b, CAST(ROUND(e.dist, 6) AS DOUBLE) AS dist
     FROM ed e
@@ -5019,6 +5023,9 @@ def q_wgcna_eigengenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT module, trait, n, CAST(ROUND(r, 6) AS DOUBLE), CAST(0.0 AS DOUBLE)
     FROM mt WHERE n > 2 AND ABS(r) >= 1.0
+    UNION ALL
+    SELECT module, trait, n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM mt WHERE n > 2 AND r IS NULL
     """.replace("{T_SF2}", special.t_sf2_sql("t_raw", "dof_raw")),
     family="wgcna",
 )

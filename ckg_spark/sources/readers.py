@@ -335,8 +335,15 @@ def read_excel(
         else:
             header = [str(c) for c in rows[0]]
             pdf = pd.DataFrame(rows[1:], columns=header)
-            # pd.read_excel(na_values=['NA']) semantics + dtype inference
-            pdf = pdf.replace("NA", float("nan"))
+            # pd.read_excel(na_values=['NA']) keeps keep_default_na=True:
+            # the explicit token PLUS pandas' default NA set must map to
+            # NaN or the two engines parse the same sheet differently
+            na_tokens = [
+                "NA", "", "#N/A", "#N/A N/A", "#NA", "-1.#IND",
+                "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN", "<NA>",
+                "N/A", "NULL", "NaN", "None", "n/a", "nan", "null",
+            ]
+            pdf = pdf.replace(na_tokens, float("nan"))
             pdf = pdf.infer_objects()
     if dropna_all:
         pdf = pdf.dropna(how="all")

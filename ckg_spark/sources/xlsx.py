@@ -117,7 +117,14 @@ def read_xlsx_rows(
             for cell in row.iter(f"{_MAIN_NS}c"):
                 ref = cell.get("r")
                 if ref is None:
-                    continue
+                    # c/@r is optional in OOXML (position then follows
+                    # sequentially) — some streaming writers omit it;
+                    # skipping would silently DROP data, so refuse
+                    raise NotImplementedError(
+                        "xlsx subset: cell without r= reference "
+                        "(sequential-position cells) — install openpyxl "
+                        "for this workbook"
+                    )
                 ridx = int(_CELL_REF.match(ref).group(2)) - 1
                 rows.setdefault(ridx, {})[_col_index(ref)] = _cell_value(
                     cell, shared

@@ -1353,3 +1353,14 @@ def test_ttest_permutations_routes_to_permutation_fdr(spark):
     assert set(via.columns) == {"feat", "t_stat", "p_perm", "p_adj"}
     with pytest.raises(ValueError, match="rid_col"):
         run_analysis(base, "ttest", {**args, "rid_col": None})
+
+
+def test_ttest_permutation_rejects_non_numeric_rid(spark):
+    from ckg_spark.ops.stats import ttest_permutation_fdr
+
+    df = spark.createDataFrame(
+        [("f1", "r1", 1.0, "a"), ("f1", "r2", 2.0, "b")],
+        "feat string, rid string, v double, g string",
+    )
+    with pytest.raises(ValueError, match="integer column"):
+        ttest_permutation_fdr(df, "feat", "g", "v", "a", "b", "rid", 5)

@@ -1619,3 +1619,11 @@ def test_decode_matches_pil_when_available():
     payload = _encode_png(arr, filter_type=3)
     via_pil = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     assert np.array_equal(via_pil, _decode_png(payload))
+
+
+def test_closeness_sampled_rejects_weighted_request(spark):
+    from ckg_spark.analysis import run_analysis
+
+    df = spark.createDataFrame([("a", "b", 1.0)], ["subj", "obj", "w"])
+    with pytest.raises(ValueError, match="unweighted-only"):
+        run_analysis(df, "closeness", {"weight": "w", "sample_pivots": 4})
