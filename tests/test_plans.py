@@ -330,3 +330,23 @@ def test_graph_family_plans_stay_jvm(spark):
         assert "CartesianProduct" not in plan, q
     plan = plan_of(CATALOG["q_graph_closeness"].spark_fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_sampled_closeness_stays_jvm_side(spark):
+    """The landmark estimator must be pure DataFrame ops end-to-end: no
+    Arrow/Python evaluator anywhere (unlike the exact operator, whose
+    per-source BFS is a deliberate mapInPandas over broadcast topology),
+    and no collect of the edge frame (structural: the operator never
+    calls collect; the BFS rounds are checkpointed JVM joins)."""
+    from ckg_spark.ops.graph import closeness_centrality_sampled
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        ["subj", "obj"],
+    )
+    out = closeness_centrality_sampled(edges, "subj", "obj", sample_pivots=3)
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
