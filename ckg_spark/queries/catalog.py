@@ -5672,3 +5672,13 @@ _DRIVER_WINDOW: list[str] = [
     "q_pii_scrub",
     "q_kmeans_embeddings",
 ]
+
+# Rebuild the registry itself in driver-window order so ANY consumer —
+# queries()/oracle_sql() via _ordered_names(), or direct iteration over
+# CATALOG — sees the window first. (The external gate's exact access path
+# is not observable from here; ordering both surfaces makes the rotation
+# robust to either.)
+_reordered = {n: CATALOG[n] for n in _ordered_names()}
+CATALOG.clear()
+CATALOG.update(_reordered)
+del _reordered
