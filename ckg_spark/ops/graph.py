@@ -1086,8 +1086,39 @@ def closeness_centrality_sampled(
             F.lit(0).cast("long").alias("d"),
         )
     )
-    dist = pivots.localCheckpoint(eager=True)
-    frontier = dist
+    # Checkpoint bookkeeping: localCheckpoint blocks are never
+    # auto-unpersisted (documented gotcha), so a diameter-D run would
+    # otherwise retain ~D superseded copies of the O(n*m) dist frame —
+    # a memory blow-up precisely on the corpus-scale graphs this
+    # estimator is the fallback for. Track the RDD ids each eager
+    # checkpoint pins (before/after diff of getPersistentRDDs, the
+    # pipeline.py convention) and release a frame's blocks as soon as
+    # its unioned replacement is materialized (eager => safe).
+    sc = edges.sparkSession.sparkContext
+
+    def _pinned() -> dict:
+        try:
+            return dict(sc._jsc.getPersistentRDDs())
+        except Exception:
+            return {}
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, list]:
+        before = set(_pinned())
+        out = df.localCheckpoint(eager=True)
+        return out, [r for r in _pinned() if r not in before]
+
+    def _release(ids: list) -> None:
+        pinned = _pinned()
+        for rid in ids:
+            jrdd = pinned.get(rid)
+            if jrdd is not None:
+                try:
+                    jrdd.unpersist()
+                except Exception:
+                    pass
+
+    dist, dist_ids = _ckpt(pivots)
+    frontier, frontier_ids = dist, []
     for _ in range(max_iterations):
         cand = (
             frontier.join(bi, frontier["node"] == bi["u"])
@@ -1099,13 +1130,19 @@ def closeness_centrality_sampled(
             .groupBy("node", "pivot")
             .agg(F.min("d").alias("d"))
         )
-        new = cand.join(
-            dist.select("node", "pivot"), ["node", "pivot"], "left_anti"
-        ).localCheckpoint(eager=True)
+        new, new_ids = _ckpt(
+            cand.join(dist.select("node", "pivot"), ["node", "pivot"], "left_anti")
+        )
         if new.isEmpty():
+            _release(new_ids)
+            # the last non-empty frontier is folded into dist already
+            _release(frontier_ids)
             break
-        dist = dist.unionAll(new).localCheckpoint(eager=True)
-        frontier = new
+        grown, grown_ids = _ckpt(dist.unionAll(new))
+        _release(dist_ids)
+        _release(frontier_ids)
+        dist, dist_ids = grown, grown_ids
+        frontier, frontier_ids = new, new_ids
     else:
         # missing far distances would silently deflate every sum — the
         # same partial-result-is-wrong rule as k_core's convergence guard

@@ -1426,8 +1426,26 @@ def ttest_permutation_fdr(
             F.var_samp(fv) / F.count(fv) + F.var_samp(ov) / F.count(ov)
         )
 
-    cnt = base.groupBy("feat").agg(
-        F.sum(F.when(F.col("is_f"), 1).otherwise(0)).cast("bigint").alias("n1")
+    # Mirror welch_ttest's emission contract (the permutations=0 route of
+    # the same dispatch): a feature needs >1 non-null value in BOTH groups
+    # to have a defined t. Without this, a 0/1-row group yields NULL t_obs
+    # and NULL t_k, the exceedance counts NULL comparisons as 0, and the
+    # feature lands at p_perm = 1/(K+1) — a spuriously strong p that also
+    # seeds the BH tail-min for every other feature. n1 (the permutation
+    # label-block size) stays the raw group-a ROW count so label
+    # permutations preserve group sizes even with null values present;
+    # the filter is on non-null VALUE counts, exactly like welch_ttest.
+    # Downstream inner joins (lab←cnt, pp=obs⋈pt) prune dropped features
+    # from the output and from the BH ranking's m.
+    cnt = (
+        base.groupBy("feat")
+        .agg(
+            F.sum(F.when(F.col("is_f"), 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.count(F.when(F.col("is_f"), F.col("v"))).alias("n1v"),
+            F.count(F.when(~F.col("is_f"), F.col("v"))).alias("n2v"),
+        )
+        .filter((F.col("n1v") > 1) & (F.col("n2v") > 1))
+        .select("feat", "n1")
     )
     obs = base.groupBy("feat").agg(t_stat_agg().alias("t_obs"))
     perm = base.select(

@@ -3135,8 +3135,12 @@ def _perm_fdr_sql() -> str:
       FROM lineitem WHERE l_linestatus IN ('F', 'O')
     ),
     cnt AS (
+      -- welch-mirrored emission gate: >1 non-null value in BOTH groups
+      -- (n1 itself stays the raw group-a row count for label blocks)
       SELECT feat, CAST(SUM(CASE WHEN is_f THEN 1 ELSE 0 END) AS BIGINT) AS n1
       FROM base GROUP BY feat
+      HAVING COUNT(CASE WHEN is_f THEN v END) > 1
+         AND COUNT(CASE WHEN NOT is_f THEN v END) > 1
     ),
     obs AS (SELECT feat, {t_expr} AS t_obs FROM base GROUP BY feat),
     perm AS (

@@ -320,20 +320,41 @@ def read_excel(
     """
     import pandas as pd
 
+    # Only a genuinely absent openpyxl selects the stdlib fallback: an
+    # ImportError raised INSIDE pd.read_excel (a .xls path needing xlrd,
+    # pandas rejecting a too-old openpyxl) must propagate with its
+    # actionable message, not be silently rerouted to the xlsx-only
+    # fallback to die with an opaque zipfile error.
     try:
         import openpyxl  # noqa: F401
 
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+    if have_openpyxl:
         pdf = pd.read_excel(
             path, sheet_name=sheet_name, index_col=None, na_values=["NA"]
         )
-    except ImportError:
+    else:
         from .xlsx import read_xlsx_rows
 
         rows = read_xlsx_rows(path, sheet_name=sheet_name)
         if not rows:
             pdf = pd.DataFrame()
         else:
-            header = [str(c) for c in rows[0]]
+            # pandas parity for the header row: missing cells become
+            # 'Unnamed: {i}' (not the literal 'None'), duplicates mangle
+            # to 'X', 'X.1', ... — same sheet, same column names on
+            # either engine (paths-agree test covers a blank header).
+            header = []
+            seen: dict[str, int] = {}
+            for i, c in enumerate(rows[0]):
+                name = f"Unnamed: {i}" if c is None else str(c)
+                if name in seen:
+                    seen[name] += 1
+                    name = f"{name}.{seen[name]}"
+                seen.setdefault(name, 0)
+                header.append(name)
             pdf = pd.DataFrame(rows[1:], columns=header)
             # pd.read_excel(na_values=['NA']) keeps keep_default_na=True:
             # the explicit token PLUS pandas' default NA set must map to

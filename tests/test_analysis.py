@@ -1355,6 +1355,42 @@ def test_ttest_permutations_routes_to_permutation_fdr(spark):
         run_analysis(base, "ttest", {**args, "rid_col": None})
 
 
+def test_ttest_permutation_drops_degenerate_features(spark):
+    """A feature with 0 or 1 usable rows in either group must be DROPPED,
+    mirroring welch_ttest's n1>1 AND n2>1 emission — not emitted with a
+    spuriously strong p_perm = 1/(K+1) from NULL-vs-NULL comparisons
+    (ADVICE r3). Also: a degenerate feature must not distort the BH m or
+    tail-min for the valid features."""
+    from ckg_spark.ops.stats import ttest_permutation_fdr, welch_ttest
+
+    rows = []
+    rid = 0
+    # f_ok: 4 per group; f_single_a: 1 a-row; f_empty_b: only a-rows;
+    # f_nullv: 3 a-rows but all-NULL v (value count 0)
+    for i in range(4):
+        rows.append(("f_ok", rid, 1.0 + i, "a")); rid += 1
+        rows.append(("f_ok", rid, 5.0 + 2 * i, "b")); rid += 1
+    rows.append(("f_single_a", rid, 3.0, "a")); rid += 1
+    for i in range(3):
+        rows.append(("f_single_a", rid, 1.0 + i, "b")); rid += 1
+    for i in range(3):
+        rows.append(("f_empty_b", rid, 2.0 + i, "a")); rid += 1
+    for i in range(3):
+        rows.append(("f_nullv", rid, None, "a")); rid += 1
+        rows.append(("f_nullv", rid, 1.0 + i, "b")); rid += 1
+    df = spark.createDataFrame(rows, "feat string, rid bigint, v double, g string")
+
+    out = ttest_permutation_fdr(df, "feat", "g", "v", "a", "b", "rid", 10).toPandas()
+    assert set(out["feat"]) == {"f_ok"}
+    welch = welch_ttest(df, "feat", "g", "v", "a", "b").toPandas()
+    # the two routes of the dispatch agree on which features are emitted
+    assert set(out["feat"]) == set(welch["feat"])
+    r = out.iloc[0]
+    assert r["t_stat"] is not None and r["p_perm"] > 1.0 / 11.0 - 1e-12
+    # m=1 valid feature: p_adj == p_perm (no tail distortion from dropped rows)
+    assert r["p_adj"] == pytest.approx(min(1.0, r["p_perm"]), abs=1e-9)
+
+
 def test_ttest_permutation_rejects_non_numeric_rid(spark):
     from ckg_spark.ops.stats import ttest_permutation_fdr
 

@@ -362,6 +362,51 @@ def test_read_excel_fallback_matches_openpyxl(spark, tmp_path):
     assert read_excel(spark, p).count() == 3
 
 
+def test_read_excel_fallback_blank_and_dup_headers(spark, tmp_path):
+    """ADVICE r3: the stdlib fallback must name header cells the way
+    pandas.read_excel does — a missing header cell becomes
+    'Unnamed: {i}' (not the literal 'None') and duplicates mangle to
+    'X', 'X.1' — so the same sheet parses to the same column names
+    whichever engine is installed (and duplicate names can't collide)."""
+    from ckg_spark.sources.readers import read_excel
+    from ckg_spark.sources.xlsx import read_xlsx_rows
+
+    p = str(tmp_path / "hdr.xlsx")
+    _write_minimal_xlsx(
+        p, {"s": [["a", None, "a", "b"], [1, 2, 3, 4], [5, 6, 7, 8]]}
+    )
+    df = read_excel(spark, p)
+    # identical on both engines: pandas' own convention when openpyxl is
+    # installed, the fallback's pandas-mirroring naming otherwise
+    assert list(df.columns) == ["a", "Unnamed: 1", "a.1", "b"]
+    assert df.count() == 2
+    # raw fallback rows still carry the None so the naming is ours
+    assert read_xlsx_rows(p, 0)[0][1] is None
+
+
+def test_read_excel_inner_importerror_propagates(tmp_path, monkeypatch):
+    """ADVICE r3: an ImportError raised INSIDE pd.read_excel (e.g. a
+    .xls path needing xlrd) must propagate with its actionable message —
+    only a genuinely absent openpyxl selects the stdlib fallback."""
+    import sys
+
+    import pytest
+
+    import ckg_spark.sources.readers as readers
+
+    spark_unused = None
+    fake = type(sys)("openpyxl")
+    monkeypatch.setitem(sys.modules, "openpyxl", fake)
+    import pandas as pd
+
+    def boom(*a, **k):
+        raise ImportError("Missing optional dependency 'xlrd'")
+
+    monkeypatch.setattr(pd, "read_excel", boom)
+    with pytest.raises(ImportError, match="xlrd"):
+        readers.read_excel(spark_unused, str(tmp_path / "z.xls"))
+
+
 def test_read_xml_records_root_shares_tag_prefix(spark, tmp_path):
     """Review regression: record tag 'drug' inside root 'drugbank' — the
     prefix match must not treat the root as the first record."""
