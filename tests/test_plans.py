@@ -96,8 +96,14 @@ def test_link_stage_single_mention_shuffle(spark, vocab):
     import re
 
     plan = plan_of(mentions_per_url(mentions, cmap))
-    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
-    assert len(shuffles) == 1  # the single groupBy(url) shuffle
+    # exactly ONE exchange partitioned on the mention table's url key;
+    # the remaining exchanges all belong to the dimension-sized node
+    # dictionary (distinct node_id + the SinglePartition row_number
+    # window) and feed broadcasts — no corpus-scale column appears in any
+    # other hashpartitioning
+    keys = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert keys.count("url") == 1
+    assert set(keys) <= {"url", "node_id", "term_id", "nid"}, keys
     assert "BroadcastHashJoin" in plan  # canonical map never shuffles
 
 
@@ -106,7 +112,7 @@ def test_mention_edges_no_python_evaluator(spark, vocab):
     may appear in the corpus-scale mention-edge projection."""
     from ckg_spark.canon import build_canonical_map
     from ckg_spark.corpus.vocab import vocab_dataframes
-    from ckg_spark.link import mention_edges, mentions_per_url
+    from ckg_spark.link import mention_edges, mentions_per_url, node_dictionary
 
     import pandas as pd
 
@@ -124,7 +130,8 @@ def test_mention_edges_no_python_evaluator(spark, vocab):
             }
         )
     )
-    plan = plan_of(mention_edges(mentions_per_url(mentions, cmap)))
+    nd = node_dictionary(cmap)
+    plan = plan_of(mention_edges(mentions_per_url(mentions, cmap, nd), nd))
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
 
@@ -350,3 +357,36 @@ def test_sampled_closeness_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_closeness_routing_engages_sampled_path_above_gate(spark):
+    """VERDICT r03 #8: the size-routed dispatch must switch to the
+    sampled estimator past the broadcast gate so the same query text
+    survives scale-up instead of raising. Path identification is
+    structural: the exact path's per-source BFS is a MapInPandas; the
+    sampled path is pure JVM joins."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ckg_spark.ops.graph import closeness_centrality_routed
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        ["subj", "obj"],
+    )
+    below = closeness_centrality_routed(edges, "subj", "obj")
+    assert "MapInPandas" in plan_of(below)  # exact path under the gate
+    above = closeness_centrality_routed(
+        edges, "subj", "obj", max_broadcast_edges=2, sample_pivots=10
+    )
+    assert "MapInPandas" not in plan_of(above)  # sampled path engaged
+    # with every node a pivot the estimate is exact -> paths agree
+    b = {r["node"]: round(r["closeness"], 9) for r in below.collect()}
+    a = {r["node"]: round(r["closeness"], 9) for r in above.collect()}
+    assert a == b
+    # weighted past the gate must refuse loudly, not switch semantics
+    w = edges.withColumn("w", F.lit(1.0))
+    with pytest.raises(ValueError, match="unweighted-only"):
+        closeness_centrality_routed(
+            w, "subj", "obj", weight="w", max_broadcast_edges=2
+        )
