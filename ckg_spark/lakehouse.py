@@ -112,6 +112,18 @@ class Table:
             from pyspark.sql.types import StructType
 
             reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        if not dirs:
+            # append_empty on a never-written table commits schema + zero
+            # dirs: materialize the empty frame from the recorded schema
+            if not schema_json:
+                raise FileNotFoundError(
+                    f"table {self.name}: snapshot {sid} has no data dirs and no schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
         if len(dirs) == 1:
             return reader.parquet(dirs[0])
         # multi-snapshot read: each data dir is read as its OWN root and
@@ -190,6 +202,20 @@ class Table:
         rows = sum(f["rows"] or 0 for f in files)
         meta = {**(meta or {}), "_schema": df.schema.json()}
         return self._commit("append", prev_dirs + [rel], path, rows, meta, files=files)
+
+    def append_empty(self, schema_json: str, meta: dict[str, Any] | None = None) -> int:
+        """Commit a snapshot that appends ZERO rows without running a
+        Spark job: same dir list as the current snapshot (nothing new to
+        read), rows_written 0, schema recorded for empty-table re-reads.
+        For callers that have PROVEN emptiness driver-side (e.g. the
+        zero-orphan shortcut) — writing an empty DataFrame through the
+        executor path costs a full job submission + commit for nothing."""
+        m = self._load()
+        prev_dirs: list[str] = []
+        if m["current"]:
+            prev_dirs = next(s["dirs"] for s in m["snapshots"] if s["id"] == m["current"])
+        meta = {**(meta or {}), "_schema": schema_json}
+        return self._commit("append", prev_dirs, None, 0, meta, files=[])
 
     def merge_insert_absent(
         self,

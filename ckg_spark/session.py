@@ -38,7 +38,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing targets defaultParallelism ("parallelism first"), so
+        # the two levels of a scaling run get DIFFERENT reduce plans (1-2
+        # giant partitions at local[1] vs 5-6 ragged ones at local[4]);
+        # scaling runs disable it via env so both levels run the same
+        # fixed reduce partitioning. Everywhere else it stays on.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_AQE_COALESCE", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -54,7 +62,16 @@ def get_spark(
         # tasks packs the cores instead of leaving a half-empty last
         # wave (measured: 6 tasks on 4 cores ran 2 waves at 0.75 pack).
         # At 100 TB maxPartitionBytes (128 MB) rules instead.
-        .config("spark.sql.files.minPartitionNum", str(3 * cores))
+        # SPARK_GRAFT_MIN_SCAN_PARTITIONS overrides for scaling runs,
+        # where BOTH parallelism levels must plan the same file splits
+        # (a real N- vs 4N-executor cluster reads identical splits —
+        # split size is a cluster constant, not a per-job function of
+        # executor count; 3*cores at 1 core hands the low level 3 huge
+        # low-overhead tasks the high level never sees).
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_SCAN_PARTITIONS", str(3 * cores)),
+        )
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # local mode puts driver + all executor threads in ONE JVM: size the

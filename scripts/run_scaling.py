@@ -39,6 +39,21 @@ def run_level(
     """
     results = []
     pin = ["taskset", "-c", f"0-{cores - 1}"] if cores > 1 else ["taskset", "-c", "0"]
+    # CONSTANT-PLAN methodology: both levels must execute the SAME
+    # physical plan — on a real cluster, file-split size and shuffle
+    # partitioning are cluster constants, not functions of executor
+    # count. Left to the session defaults, the low level plans 3 giant
+    # scan splits (3*cores) and AQE coalesces its reduces to 1-2
+    # partitions, handing it per-task overheads the high level never
+    # amortizes; that inflates the denominator of the efficiency ratio.
+    # Fixed fine-grained splits also fix the high level's wave packing
+    # (13 tag splits on 4 cores = 3.25 waves with a 13s straggler tail).
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_MIN_SCAN_PARTITIONS": "40",
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": "16",
+        "SPARK_GRAFT_AQE_COALESCE": "false",
+    }
     for _ in range(trials):
         out = subprocess.run(
             pin
@@ -48,7 +63,7 @@ def run_level(
                 "--pages-path", pages_path, "--words", words,
                 "--terms-per-type", str(terms),
             ],
-            capture_output=True, text=True, check=True, cwd=REPO,
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
         line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results.append(json.loads(line))

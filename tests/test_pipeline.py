@@ -314,6 +314,37 @@ def test_merge_staging_dedup_is_deterministic(spark, tmp_path):
         assert got == {("a", "x"): 1.0, ("b", "y"): 3.0}, order
 
 
+def test_build_nodes_ids_unique(spark, built):
+    """The nodes merge runs assume_unique=True, so build_nodes MUST emit
+    key-unique ids: entity ids from a groupBy(node_id), publication ids
+    from a distinct, and the two id spaces disjoint. Checked on the real
+    built pipeline output (entity + publication union)."""
+    pipe, _stats, _oracle = built
+    nodes = pipe.wh.table("nodes").read(spark)
+    assert nodes.count() == nodes.select("id").distinct().count()
+
+
+def test_append_empty_commits_without_a_job(spark, tmp_path):
+    """append_empty: zero-row snapshot, schema preserved for re-reads,
+    prior data retained, and a later real append still works."""
+    from ckg_spark.lakehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh_ae"))
+    t = wh.table("q")
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    # empty-first: table that has never seen rows re-reads with schema
+    t.append_empty(df.schema.json())
+    got = t.read(spark)
+    assert got.columns == ["k", "v"] and got.count() == 0
+    # real append after the empty snapshot
+    t.append(df)
+    assert t.read(spark).count() == 1
+    # empty append on a non-empty table keeps the data visible
+    t.append_empty(df.schema.json())
+    assert t.read(spark).count() == 1
+    assert t.snapshots()[-1].rows_written == 0
+
+
 def test_build_nodes_null_synonyms_keep_name_surface(spark):
     """A term with a NULL synonyms array must still contribute its NAME to
     the cluster surfaces (concat is null-intolerant without the guard)."""
