@@ -703,6 +703,130 @@ def q_kg_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Inline vocabulary for the end-to-end pipeline smoke: overlap-free tag
+# surfaces (tagger == \b-regexp counting, same proof as DOC_VOCAB) plus
+# one deliberate CANONICAL TWIN — T:S2's preferred name normalizes to
+# T:S1's ("Stream" vs "stream", same entity_type), so canonicalization
+# must merge them into node T:S1 and the link stage must sum their
+# per-document hits in-array. (term_id, tag_surface, name, synonyms,
+# parent_id); terms with a None surface exist only as hierarchy targets.
+_SMOKE_VOCAB: list[tuple[str, str | None, str, list[str], str | None]] = [
+    ("T:CUST", "customer", "customer", [], None),
+    ("T:ENG", None, "engine", [], None),
+    ("T:HJ", "hash join", "hash join", [], "T:OP"),
+    ("T:MERGE", "merge", "merge", [], "T:OP"),
+    ("T:OP", None, "operator", [], None),
+    ("T:S1", "stream", "stream", [], "T:OP"),
+    ("T:S2", "vector", "Stream", ["vector"], "T:OP"),
+    ("T:SPARK", "spark", "spark", [], "T:ENG"),
+    ("T:WIN", "window", "window", [], "T:OP"),
+]
+
+# the canonical map the canon stage MUST produce (representative = min
+# term id of the merged cluster) — hard-coding it in the oracle makes the
+# driver gate certify the canon semantics, not just echo them
+_SMOKE_CMAP = [(tid, "T:S1" if tid == "T:S2" else tid) for tid, *_ in _SMOKE_VOCAB]
+# canonical HAS_PARENT edge set implied by the vocab + map (child node,
+# parent node), post-merge and distinct
+_SMOKE_HIER = sorted(
+    {
+        ("T:S1" if tid == "T:S2" else tid, parent)
+        for tid, _s, _n, _syn, parent in _SMOKE_VOCAB
+        if parent is not None
+    }
+)
+
+
+def _smoke_sql() -> str:
+    per_term = [
+        f"SELECT CAST(doc_id AS VARCHAR) AS url, '{tid}' AS term_id, "
+        f"CAST(len(regexp_extract_all(lower(text), '\\b{surface}\\b')) AS BIGINT) AS n_hits "
+        f"FROM documents WHERE lang = 'en'"
+        for tid, surface, _n, _syn, _p in _SMOKE_VOCAB
+        if surface is not None
+    ]
+    cmap_vals = ", ".join(f"('{t}', '{n}')" for t, n in _SMOKE_CMAP)
+    hier_vals = ", ".join(f"('{c}', '{p}')" for c, p in _SMOKE_HIER)
+    return f"""
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+      FROM documents WHERE lang = 'en'
+    ),
+    raw_mentions AS (
+      SELECT * FROM ({" UNION ALL ".join(per_term)}) WHERE n_hits > 0
+    ),
+    cmap(term_id, node_id) AS (VALUES {cmap_vals}),
+    node_m AS (
+      SELECT m.url, c.node_id, SUM(m.n_hits) AS n_hits
+      FROM raw_mentions m JOIN cmap c ON m.term_id = c.term_id
+      GROUP BY m.url, c.node_id
+    ),
+    mention_e AS (
+      SELECT n.node_id AS subj, 'MENTIONED_IN_PUBLICATION' AS pred,
+             n.url AS obj, 'dictionary' AS source,
+             ROUND(n.n_hits / SQRT(d.n_tokens), 6) AS score
+      FROM node_m n JOIN docs d ON n.url = d.url
+    ),
+    comention_e AS (
+      SELECT a.node_id AS subj, 'ASSOCIATED_WITH' AS pred,
+             b.node_id AS obj, 'dictionary' AS source,
+             CAST(COUNT(*) AS DOUBLE) AS score
+      FROM node_m a JOIN node_m b ON a.url = b.url AND a.node_id < b.node_id
+      GROUP BY a.node_id, b.node_id
+    ),
+    hier_e(subj, obj) AS (VALUES {hier_vals})
+    SELECT subj, pred, obj, source, CAST(score AS DOUBLE) AS score FROM mention_e
+    UNION ALL
+    SELECT subj, pred, obj, source, CAST(score AS DOUBLE) AS score FROM comention_e
+    UNION ALL
+    SELECT subj, 'HAS_PARENT' AS pred, obj, 'ontology' AS source,
+           CAST(1.0 AS DOUBLE) AS score
+    FROM hier_e
+    """
+
+
+@register("q_kg_pipeline_smoke", _smoke_sql(), family="kg")
+def q_kg_pipeline_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline certification through the driver gate
+    (VERDICT r03 #5): the REAL tag -> canon -> link composition — the
+    production module functions, not catalog re-spellings — runs on the
+    documents fixture and emits the full (subj, pred, obj, source,
+    score) triple set. The DuckDB twin rebuilds it from first principles
+    (regexp counting + a HARD-CODED expected canonical map + hand-derived
+    hierarchy), so a regression in the tagger, the canonical-merge
+    predicate, the in-array twin merge, the link score, or the pair
+    expansion hash-mismatches here."""
+    from ..canon import build_canonical_map
+    from ..link import all_triples
+
+    terms = spark.createDataFrame(
+        [
+            (tid, "Term", name, None, syns, parent)
+            for tid, _surface, name, syns, parent in _SMOKE_VOCAB
+        ],
+        "id string, entity_type string, name string, description string, "
+        "synonyms array<string>, parent_id string",
+    )
+    cmap = build_canonical_map(terms)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    pages_like = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    ac = build_automaton(
+        [
+            {"canonical_id": tid, "source": "NAME", "alias": surface, "entity_type": "Term"}
+            for tid, surface, _n, _syn, _p in _SMOKE_VOCAB
+            if surface is not None
+        ]
+    )
+    ac_bc = spark.sparkContext.broadcast(ac)
+    mentions = tag_mentions(pages_like, ac_bc, lang="en")
+    return all_triples(mentions, terms, cmap).select(
+        "subj", "pred", "obj", "source", F.col("score").cast("double").alias("score")
+    )
+
+
 # ======================================================================
 # training-data ops over documents / embeddings
 # ======================================================================
@@ -5546,14 +5670,17 @@ def _closeness_oracle() -> str:
 @register("q_graph_closeness", None, family="graph")
 def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closeness centrality (Wasserman-Faust) over the supplier co-supply
-    graph — broadcast topology, per-source BFS fanned out via mapInPandas
-    with zero aggregation shuffles (ops/graph.py::closeness_centrality).
-    Hash-verified against an unrolled fixed-depth BFS DuckDB twin
-    (iters=12 >= the graph's probed diameter 9 at sf0.1)."""
-    from ..ops.graph import closeness_centrality
+    graph — SIZE-ROUTED (VERDICT r03 #8): at catalog scale the canonical
+    edge count sits under the 2M broadcast gate and the exact operator
+    runs (broadcast topology, per-source BFS via mapInPandas, zero
+    aggregation shuffles); past the gate the same query text routes to
+    the landmark-sampled estimator instead of raising. Hash-verified
+    against an unrolled fixed-depth BFS DuckDB twin (iters=12 >= the
+    graph's probed diameter 9 at sf0.1)."""
+    from ..ops.graph import closeness_centrality_routed
 
     und = _supplier_graph_df(spark, sf_dir)
-    return closeness_centrality(und, "a", "b").select(
+    return closeness_centrality_routed(und, "a", "b").select(
         F.col("node").cast("long").alias("supp_key"),
         F.round("closeness", 6).alias("closeness"),
     )
@@ -5644,6 +5771,7 @@ _DRIVER_WINDOW: list[str] = [
     "q_srp_neardup_pairs",
     "q_tsne_embeddings",
     "q_wilcoxon_signed",
+    "q_kg_pipeline_smoke",
     "q_ttest_permutation_fdr",
     "q_wgcna_modules",
     "q_graph_triangles",
@@ -5683,7 +5811,6 @@ _DRIVER_WINDOW: list[str] = [
     "q_ranking_markers",
     "q_qc_markers",
     "q_polar_profile",
-    "q_repetition_quality",
 ]
 
 # Rebuild the registry itself in driver-window order so ANY consumer —
