@@ -291,6 +291,32 @@ def _ttest(df: DataFrame, a: dict) -> DataFrame:
     return _maybe_correct(r, a)
 
 
+def _samr(df: DataFrame, a: dict) -> DataFrame:
+    """run_samr proper (analytics.py:1792-1896, R 'samr' via rpy2): the
+    SAM s0-shrunken statistic with automatic Tusher/Chu s0 selection on
+    top of the deterministic permutation-FDR machinery. 's0' overrides
+    the automatic selection (samr's s0= argument)."""
+    from .ops import stats
+
+    rid_col = a.get("rid_col")
+    if not rid_col:
+        raise ValueError(
+            "samr needs 'rid_col' — a column uniquely identifying rows "
+            "(the deterministic permutation keys on it)"
+        )
+    return stats.sam_permutation_fdr(
+        df,
+        a.get("feature_col", "identifier"),
+        a.get("group_col", "group"),
+        a.get("value_col", "value"),
+        a["group_a"],
+        a["group_b"],
+        rid_col=rid_col,
+        permutations=int(a.get("permutations", 20) or 20),
+        s0=a.get("s0"),
+    )
+
+
 def _mannwhitney(df: DataFrame, a: dict) -> DataFrame:
     from .ops import stats
 
@@ -639,6 +665,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "imputation": _imputation,
     "pca": _pca,
     "ttest": _ttest,
+    "samr": _samr,
     "correlation": _correlation,
     "correlation_matrix": _correlation_matrix,
     "mannwhitney": _mannwhitney,

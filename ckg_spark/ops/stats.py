@@ -1451,12 +1451,25 @@ def ttest_permutation_fdr(
     perm = base.select(
         "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
     ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
-    w = Window.partitionBy("feat", "k").orderBy(F.col("u").asc(), F.col("rid").asc())
+    w = Window.partitionBy("feat", "k").orderBy(
+        # v as the FINAL key: with duplicate rids (the synthetic
+        # lineitem has repeated (orderkey, linenumber) pairs) the
+        # (u, rid) pair ties across rows with DIFFERENT values and
+        # the rank — hence the label set and the statistic — becomes
+        # engine-nondeterministic; value-tied rows are the only
+        # remaining ties and swapping them cannot change any moment
+        F.col("u").asc(), F.col("rid").asc(), F.col("v").asc_nulls_first()
+    )
     ranked = perm.select("feat", "v", "k", F.row_number().over(w).alias("rn"))
     lab = ranked.join(F.broadcast(cnt), "feat").select(
         "feat", "k", "v", (F.col("rn") <= F.col("n1")).alias("is_f")
     )
     pt = lab.groupBy("feat", "k").agg(t_stat_agg().alias("t_k"))
+    # exceedance compares ROUNDED |t|: integer-valued inputs make some
+    # permutations MATHEMATICALLY tied with the observed statistic, and
+    # raw-float >= lets summation-order jitter decide the tie — flipping
+    # the count between engines (and between DuckDB runs). Rounding both
+    # sides to 9 digits makes ties compare equal deterministically.
     pp = (
         obs.join(pt, "feat")
         .groupBy("feat", "t_obs")
@@ -1466,7 +1479,9 @@ def ttest_permutation_fdr(
                     F.lit(1.0)
                     + F.sum(
                         F.when(
-                            F.abs(F.col("t_k")) >= F.abs(F.col("t_obs")), 1
+                            F.round(F.abs(F.col("t_k")), 9)
+                            >= F.round(F.abs(F.col("t_obs")), 9),
+                            1,
                         ).otherwise(0)
                     )
                 )
@@ -1474,12 +1489,18 @@ def ttest_permutation_fdr(
             ).alias("p_perm")
         )
     )
+    # BH runs on the ROUNDED p (a fixed function of the integer
+    # exceedance count, so bit-identical across engines): ranking and
+    # the tail-min on raw float p would flip tie blocks on ~1e-15
+    # engine-arithmetic differences when many features share a p value
     rr = pp.select(
         "feat",
         "t_obs",
-        "p_perm",
+        F.round("p_perm", 9).alias("p_perm"),
         F.row_number()
-        .over(Window.orderBy(F.col("p_perm").asc(), F.col("feat").asc()))
+        .over(
+            Window.orderBy(F.round("p_perm", 9).asc(), F.col("feat").asc())
+        )
         .alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
     )
@@ -1490,6 +1511,211 @@ def ttest_permutation_fdr(
     return rr.select(
         F.col("feat").alias(feature_col),
         F.round("t_obs", 6).alias("t_stat"),
+        "p_perm",
+        F.round(p_adj, 9).alias("p_adj"),
+    )
+
+
+# ----------------------------------------------------------------------
+# SAM (significance analysis of microarrays) — the s0-shrunken t
+# ----------------------------------------------------------------------
+
+
+def _sam_s0(s_values: list[float], d_numer: list[float]) -> float:
+    """Tusher/Chu automatic exchangeability factor (the samr package's
+    s0 selection, run_samr's R delegate at analytics.py:1792-1896):
+    candidates are the 5%-step quantiles of the per-feature standard
+    errors; for each candidate, features are windowed by ~percentile of
+    s (breaks = unique quantiles at seq(0,1,len=101)) and the spread of
+    the shrunken statistic d = r/(s+s0) inside each window is summarized
+    by its MAD; the winning s0 minimizes the coefficient of variation of
+    those window MADs — i.e. it makes |d|'s scale independent of s.
+
+    Driver-side on dimension-sized per-feature moments (the engine's
+    standard short-circuit; the reference's matrices are a few thousand
+    proteins). The MAD's 1.4826 normal-consistency constant cancels in
+    the CV, so it is omitted — keeping the DuckDB twin expressible with
+    the unscaled ``mad()`` aggregate.
+
+    Windowing spec (pinned here, mirrored by the twin): window(s_i) =
+    #{breaks strictly below s_i}; candidate/break quantiles use linear
+    interpolation (numpy default == DuckDB quantile_cont)."""
+    import numpy as np
+
+    s = np.asarray(s_values, dtype=float)
+    r = np.asarray(d_numer, dtype=float)
+    if s.size < 3 or float(s.min()) == float(s.max()):
+        # degenerate feature set: no spread to stabilize against
+        return float(np.median(s)) if s.size else 0.0
+    cands = np.quantile(s, np.arange(0, 21) / 20.0)
+    br = np.unique(np.quantile(s, np.linspace(0.0, 1.0, 101)))
+    w = np.searchsorted(br, s, side="left")
+    best_s0, best_cv = 0.0, None
+    for s0 in cands:
+        d = r / (s + s0)
+        mads = []
+        for g in np.unique(w):
+            dg = d[w == g]
+            med = np.median(dg)
+            mads.append(np.median(np.abs(dg - med)))
+        mads = np.asarray(mads, dtype=float)
+        mean = float(mads.mean())
+        if mean == 0.0 or mads.size < 2:
+            continue
+        cv = float(mads.std(ddof=1)) / mean
+        if best_cv is None or cv < best_cv:
+            best_cv, best_s0 = cv, float(s0)
+    return best_s0
+
+
+def sam_permutation_fdr(
+    df: DataFrame,
+    feature_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    rid_col: str,
+    permutations: int = 20,
+    s0: float | None = None,
+) -> DataFrame:
+    """SAM two-class statistic with permutation FDR — the scipy/R-free
+    reimplementation of the reference's run_samr (analytics.py:1792-1896,
+    which delegates to the R ``samr`` package via rpy2):
+
+        d_i = (mean_a - mean_b) / (s_i + s0)
+        s_i = sqrt((1/n1 + 1/n2) * ((n1-1)v1 + (n2-1)v2) / (n1+n2-2))
+
+    ``s0`` defaults to the automatic Tusher/Chu selection
+    (:func:`_sam_s0`) computed from the OBSERVED per-feature moments
+    (dimension-sized driver aggregation) and held FIXED across
+    permutations, exactly as samr does. The label permutations, the
+    exceedance p and the BH pass reuse the conventions of
+    :func:`ttest_permutation_fdr` (deterministic lowbias32 ranking keyed
+    on (rid, k)), including its welch-mirrored degenerate-feature gate
+    (>1 non-null value per group). ``run_analysis(df, "samr", ...)``
+    routes here.
+
+    Output: (feature_col, s0, d_stat, p_perm, p_adj)."""
+    from .curation import split_u
+
+    K = int(permutations)
+    if K <= 0:
+        raise ValueError("sam_permutation_fdr: permutations must be > 0")
+    rid_type = dict(df.dtypes).get(rid_col)
+    if rid_type is None or not (
+        rid_type in ("tinyint", "smallint", "int", "bigint")
+        or rid_type.startswith("decimal")
+    ):
+        raise ValueError(
+            f"sam_permutation_fdr: rid_col {rid_col!r} must be an integer "
+            f"column (got {rid_type}); hash string ids first"
+        )
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(feature_col).alias("feat"),
+        F.col(rid_col).alias("rid"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(group_col) == F.lit(group_a)).alias("is_f"),
+    )
+
+    def moments():
+        fv = F.when(F.col("is_f"), F.col("v"))
+        ov = F.when(~F.col("is_f"), F.col("v"))
+        n1 = F.count(fv).cast("double")
+        n2 = F.count(ov).cast("double")
+        r = F.avg(fv) - F.avg(ov)
+        pooled = ((n1 - 1) * F.var_samp(fv) + (n2 - 1) * F.var_samp(ov)) / (
+            n1 + n2 - 2
+        )
+        s = F.sqrt((1.0 / n1 + 1.0 / n2) * pooled)
+        return n1, n2, r, s
+
+    n1e, n2e, re_, se = moments()
+    obs = (
+        base.groupBy("feat")
+        .agg(
+            F.sum(F.when(F.col("is_f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            n1e.alias("n1v"),
+            n2e.alias("n2v"),
+            re_.alias("r"),
+            se.alias("s"),
+        )
+        .filter((F.col("n1v") > 1) & (F.col("n2v") > 1))
+    )
+    if s0 is None:
+        rows = obs.select("r", "s").collect()
+        s0 = _sam_s0([row["s"] for row in rows], [row["r"] for row in rows])
+    s0 = float(s0)
+    # _nz: an all-constant feature with s0=0 has s+s0 == 0 — NULL (the
+    # documented untestable path) instead of an ANSI DIVIDE_BY_ZERO, and
+    # the filter drops it rather than emitting a spurious 1/(K+1) p.
+    d_obs = obs.select(
+        "feat", "n1", (F.col("r") / _nz(F.col("s") + F.lit(s0))).alias("d_obs")
+    ).filter(F.col("d_obs").isNotNull())
+    perm = base.select(
+        "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
+    ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    w = Window.partitionBy("feat", "k").orderBy(
+        # v as the FINAL key: with duplicate rids (the synthetic
+        # lineitem has repeated (orderkey, linenumber) pairs) the
+        # (u, rid) pair ties across rows with DIFFERENT values and
+        # the rank — hence the label set and the statistic — becomes
+        # engine-nondeterministic; value-tied rows are the only
+        # remaining ties and swapping them cannot change any moment
+        F.col("u").asc(), F.col("rid").asc(), F.col("v").asc_nulls_first()
+    )
+    ranked = perm.select("feat", "v", "k", F.row_number().over(w).alias("rn"))
+    lab = ranked.join(F.broadcast(d_obs.select("feat", "n1")), "feat").select(
+        "feat", "k", "v", (F.col("rn") <= F.col("n1")).alias("is_f")
+    )
+    _n1k, _n2k, rk, sk = moments()
+    pt = lab.groupBy("feat", "k").agg(
+        (rk / _nz(sk + F.lit(s0))).alias("d_k")
+    )
+    # ROUNDED |d| comparison — see ttest_permutation_fdr: mathematically
+    # tied permutations must not be decided by float summation order
+    pp = (
+        d_obs.join(pt, "feat")
+        .groupBy("feat", "d_obs")
+        .agg(
+            (
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(
+                            F.round(F.abs(F.col("d_k")), 9)
+                            >= F.round(F.abs(F.col("d_obs")), 9),
+                            1,
+                        ).otherwise(0)
+                    )
+                )
+                / F.lit(float(K + 1))
+            ).alias("p_perm")
+        )
+    )
+    # BH on the ROUNDED p — see ttest_permutation_fdr: raw-float ranking
+    # flips tie blocks on ~1e-15 engine-arithmetic differences
+    rr = pp.select(
+        "feat",
+        "d_obs",
         F.round("p_perm", 9).alias("p_perm"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.round("p_perm", 9).asc(), F.col("feat").asc())
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    tail = Window.orderBy(F.desc("rn")).rowsBetween(Window.unboundedPreceding, 0)
+    p_adj = F.least(
+        F.lit(1.0), F.min((F.col("p_perm") * F.col("m")) / F.col("rn")).over(tail)
+    )
+    return rr.select(
+        F.col("feat").alias(feature_col),
+        F.round(F.lit(s0), 9).alias("s0"),
+        F.round("d_obs", 6).alias("d_stat"),
+        "p_perm",
         F.round(p_adj, 9).alias("p_adj"),
     )

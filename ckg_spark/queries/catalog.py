@@ -3273,7 +3273,7 @@ def _perm_fdr_sql() -> str:
     ),
     ranked AS (
       SELECT feat, v, k,
-             ROW_NUMBER() OVER (PARTITION BY feat, k ORDER BY u ASC, rid ASC) AS rn
+             ROW_NUMBER() OVER (PARTITION BY feat, k ORDER BY u ASC, rid ASC, v ASC NULLS FIRST) AS rn
       FROM perm
     ),
     lab AS (
@@ -3282,20 +3282,24 @@ def _perm_fdr_sql() -> str:
     ),
     pt AS (SELECT feat, k, {t_expr} AS t_k FROM lab GROUP BY feat, k),
     pp AS (
+      -- DOUBLE, not DuckDB's exact DECIMAL: with tied permutation
+      -- p-values the BH tail-min flips blocks on decimal-vs-double
+      -- ~1e-15 differences (found via q_samr's 997-feature ties)
       SELECT o.feat, o.t_obs,
-             (1.0 + SUM(CASE WHEN ABS(p.t_k) >= ABS(o.t_obs) THEN 1 ELSE 0 END)) / 21.0 AS p_perm
+             CAST(1.0 + SUM(CASE WHEN ROUND(ABS(p.t_k), 9) >= ROUND(ABS(o.t_obs), 9) THEN 1 ELSE 0 END) AS DOUBLE) / 21.0 AS p_perm
       FROM obs o JOIN pt p ON p.feat = o.feat
       GROUP BY o.feat, o.t_obs
     ),
     rr AS (
-      SELECT feat, t_obs, p_perm,
-             ROW_NUMBER() OVER (ORDER BY p_perm ASC, feat ASC) AS rn,
+      -- rank + BH on the ROUNDED p — see q_samr's twin for why
+      SELECT feat, t_obs, CAST(ROUND(p_perm, 9) AS DOUBLE) AS p_perm,
+             ROW_NUMBER() OVER (ORDER BY ROUND(p_perm, 9) ASC, feat ASC) AS rn,
              COUNT(*) OVER () AS m
       FROM pp
     )
     SELECT feat AS l_returnflag,
            CAST(ROUND(t_obs, 6) AS DOUBLE) AS t_stat,
-           CAST(ROUND(p_perm, 9) AS DOUBLE) AS p_perm,
+           p_perm,
            CAST(ROUND(LEAST(1.0, MIN((p_perm * m) / rn) OVER
              (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
              AS DOUBLE) AS p_adj
@@ -3342,6 +3346,143 @@ def q_ttest_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         F.col("feat").alias("l_returnflag"), "t_stat", "p_perm", "p_adj"
+    )
+
+
+def _samr_sql() -> str:
+    from ..ops.curation import split_u_sql
+
+    u = split_u_sql("(b.rid * 131 + t.k)")
+    cand_list = ", ".join(str(i / 20.0) for i in range(21))
+    br_list = ", ".join(str(i / 100.0) for i in range(101))
+    mom = (
+        "COUNT(CASE WHEN is_f THEN v END) AS n1v, "
+        "COUNT(CASE WHEN NOT is_f THEN v END) AS n2v, "
+        "(AVG(CASE WHEN is_f THEN v END) - AVG(CASE WHEN NOT is_f THEN v END)) AS r, "
+        "SQRT((1.0/COUNT(CASE WHEN is_f THEN v END) + 1.0/COUNT(CASE WHEN NOT is_f THEN v END))"
+        " * ((COUNT(CASE WHEN is_f THEN v END)-1)*VAR_SAMP(CASE WHEN is_f THEN v END)"
+        "    + (COUNT(CASE WHEN NOT is_f THEN v END)-1)*VAR_SAMP(CASE WHEN NOT is_f THEN v END))"
+        " / (COUNT(CASE WHEN is_f THEN v END)+COUNT(CASE WHEN NOT is_f THEN v END)-2)) AS s"
+    )
+    return f"""
+    WITH base AS (
+      SELECT (l_orderkey * 8 + l_linenumber) % 997 AS feat,
+             (l_orderkey * 8 + l_linenumber) AS rid,
+             CAST(l_quantity AS DOUBLE) AS v,
+             (l_linestatus = 'F') AS is_f
+      FROM lineitem WHERE l_linestatus IN ('F', 'O')
+    ),
+    feats AS (
+      SELECT feat, CAST(SUM(CASE WHEN is_f THEN 1 ELSE 0 END) AS BIGINT) AS n1, {mom}
+      FROM base GROUP BY feat
+      HAVING COUNT(CASE WHEN is_f THEN v END) > 1
+         AND COUNT(CASE WHEN NOT is_f THEN v END) > 1
+    ),
+    cands AS (SELECT unnest(quantile_cont(s, [{cand_list}])) AS s0c FROM feats),
+    br AS (SELECT DISTINCT unnest(quantile_cont(s, [{br_list}])) AS bv FROM feats),
+    fw AS (
+      SELECT f.*, (SELECT COUNT(*) FROM br WHERE br.bv < f.s) AS w FROM feats f
+    ),
+    wmad AS (
+      SELECT c.s0c, f.w, mad(f.r / (f.s + c.s0c)) AS madv
+      FROM fw f CROSS JOIN (SELECT DISTINCT s0c FROM cands) c
+      GROUP BY c.s0c, f.w
+    ),
+    cv AS (
+      SELECT s0c, stddev_samp(madv) / avg(madv) AS cvv
+      FROM wmad GROUP BY s0c
+      HAVING COUNT(*) >= 2 AND avg(madv) <> 0
+    ),
+    s0t AS (SELECT s0c AS s0v FROM cv ORDER BY cvv ASC, s0c ASC LIMIT 1),
+    dobs AS (
+      SELECT feat, n1, d_obs FROM (
+        SELECT f.feat, f.n1, f.r / NULLIF(f.s + s0t.s0v, 0) AS d_obs
+        FROM fw f, s0t
+      ) WHERE d_obs IS NOT NULL
+    ),
+    perm AS (
+      SELECT b.feat, b.rid, b.v, t.k, {u} AS u
+      FROM base b, UNNEST(generate_series(1, 10)) AS t(k)
+    ),
+    ranked AS (
+      SELECT feat, v, k,
+             ROW_NUMBER() OVER (PARTITION BY feat, k ORDER BY u ASC, rid ASC, v ASC NULLS FIRST) AS rn
+      FROM perm
+    ),
+    lab AS (
+      SELECT r.feat, r.k, r.v, (r.rn <= d.n1) AS is_f
+      FROM ranked r JOIN dobs d ON r.feat = d.feat
+    ),
+    pt AS (
+      SELECT x.feat, x.k, x.r / NULLIF(x.s + s0t.s0v, 0) AS d_k
+      FROM (SELECT feat, k, {mom} FROM lab GROUP BY feat, k) AS x, s0t
+    ),
+    pp AS (
+      -- CAST AS DOUBLE: DuckDB would otherwise carry exact DECIMALs
+      -- through (1+c)/11 and the BH arithmetic, and with the heavy
+      -- p-value ties of a permutation test the tail-min flips blocks on
+      -- ~1e-15 decimal-vs-double differences
+      SELECT o.feat, o.d_obs,
+             CAST(1.0 + SUM(CASE WHEN ROUND(ABS(p.d_k), 9) >= ROUND(ABS(o.d_obs), 9) THEN 1 ELSE 0 END) AS DOUBLE) / 11.0 AS p_perm
+      FROM dobs o JOIN pt p ON p.feat = o.feat
+      GROUP BY o.feat, o.d_obs
+    ),
+    rr AS (
+      -- rank + BH on the ROUNDED p (fixed function of the integer
+      -- exceedance count => bit-identical to Spark); raw-float ranking
+      -- flips tie blocks on ~1e-15 engine-arithmetic differences
+      SELECT feat, d_obs, CAST(ROUND(p_perm, 9) AS DOUBLE) AS p_perm,
+             ROW_NUMBER() OVER (ORDER BY ROUND(p_perm, 9) ASC, feat ASC) AS rn,
+             COUNT(*) OVER () AS m
+      FROM pp
+    )
+    SELECT CAST(feat AS BIGINT) AS feat,
+           CAST(ROUND((SELECT s0v FROM s0t), 9) AS DOUBLE) AS s0,
+           CAST(ROUND(d_obs, 6) AS DOUBLE) AS d_stat,
+           p_perm,
+           CAST(ROUND(LEAST(1.0, MIN((p_perm * m) / rn) OVER
+             (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+             AS DOUBLE) AS p_adj
+    FROM rr
+    """
+
+
+@register("q_samr", _samr_sql(), family="stats")
+def q_samr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAM / samr proper (run_samr, analytics.py:1792-1896 — R 'samr'
+    via rpy2 in the reference): the s0-shrunken two-class statistic with
+    AUTOMATIC Tusher/Chu s0 selection (quantile candidates, percentile
+    windows, min-CV of window MADs — ops/stats.py::_sam_s0) and the
+    deterministic label-permutation FDR. The twin recomputes the entire
+    selection in SQL (quantile_cont == numpy linear interpolation;
+    DuckDB's unscaled mad() is fine because the MAD scale constant
+    cancels in the CV), so the driver gate certifies the s0 algorithm
+    itself, not just the downstream arithmetic. Exercised THROUGH
+    run_analysis('samr', ...) dispatch."""
+    from ..analysis import run_analysis
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_linestatus").isin("F", "O")).select(
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % 997).alias("feat"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("v"),
+        "l_linestatus",
+    )
+    out = run_analysis(
+        base,
+        "samr",
+        {
+            "feature_col": "feat",
+            "group_col": "l_linestatus",
+            "value_col": "v",
+            "group_a": "F",
+            "group_b": "O",
+            "permutations": 10,
+            "rid_col": "rid",
+        },
+    )
+    return out.select(
+        F.col("feat").cast("long").alias("feat"), "s0", "d_stat", "p_perm", "p_adj"
     )
 
 
@@ -5772,6 +5913,7 @@ _DRIVER_WINDOW: list[str] = [
     "q_tsne_embeddings",
     "q_wilcoxon_signed",
     "q_kg_pipeline_smoke",
+    "q_samr",
     "q_ttest_permutation_fdr",
     "q_wgcna_modules",
     "q_graph_triangles",
@@ -5810,7 +5952,6 @@ _DRIVER_WINDOW: list[str] = [
     "q_wgcna_module_trait",
     "q_ranking_markers",
     "q_qc_markers",
-    "q_polar_profile",
 ]
 
 # Rebuild the registry itself in driver-window order so ANY consumer —

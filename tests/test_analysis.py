@@ -1400,3 +1400,149 @@ def test_ttest_permutation_rejects_non_numeric_rid(spark):
     )
     with pytest.raises(ValueError, match="integer column"):
         ttest_permutation_fdr(df, "feat", "g", "v", "a", "b", "rid", 5)
+
+
+def _sam_reference(values_by_feat, s0):
+    """Independent SAM statistic: plain-python moments, no shared code
+    with the engine (the log-rank lesson — a twin of the same formula
+    cannot catch a shared modeling defect)."""
+    out = {}
+    for feat, (va, vb) in values_by_feat.items():
+        n1, n2 = len(va), len(vb)
+        if n1 < 2 or n2 < 2:
+            continue
+        m1 = sum(va) / n1
+        m2 = sum(vb) / n2
+        ss1 = sum((x - m1) ** 2 for x in va)
+        ss2 = sum((x - m2) ** 2 for x in vb)
+        s = ((1.0 / n1 + 1.0 / n2) * (ss1 + ss2) / (n1 + n2 - 2)) ** 0.5
+        out[feat] = (m1 - m2) / (s + s0)
+    return out
+
+
+def test_samr_statistic_matches_independent_reference(spark):
+    """Fixed s0: the engine's d per feature equals the independently
+    computed SAM statistic (subject-level python, no engine code)."""
+    import random
+
+    from ckg_spark.ops.stats import sam_permutation_fdr
+
+    rng = random.Random(17)
+    rows, truth = [], {}
+    rid = 0
+    for fi in range(25):
+        feat = f"f{fi:02d}"
+        shift = rng.uniform(-2, 2) if fi % 3 == 0 else 0.0
+        scale = rng.uniform(0.5, 3.0)
+        va = [rng.gauss(0, scale) for _ in range(rng.randint(4, 9))]
+        vb = [rng.gauss(shift, scale) for _ in range(rng.randint(4, 9))]
+        truth[feat] = (va, vb)
+        for x in va:
+            rows.append((feat, rid, x, "a")); rid += 1
+        for x in vb:
+            rows.append((feat, rid, x, "b")); rid += 1
+    df = spark.createDataFrame(rows, "feat string, rid bigint, v double, g string")
+    got = {
+        r["feat"]: r["d_stat"]
+        for r in sam_permutation_fdr(
+            df, "feat", "g", "v", "a", "b", "rid", permutations=5, s0=0.7
+        ).collect()
+    }
+    ref = _sam_reference(truth, 0.7)
+    assert set(got) == set(ref)
+    for feat, d in ref.items():
+        assert got[feat] == pytest.approx(round(d, 6), abs=2e-6), feat
+
+
+def test_samr_auto_s0_matches_independent_selection(spark):
+    """Automatic s0: the engine's choice equals an in-test
+    implementation of the published Tusher/Chu selection (quantile
+    candidates, percentile windows, CV of window MADs) fed with
+    INDEPENDENTLY computed per-feature (r, s)."""
+    import random
+
+    import numpy as np
+
+    from ckg_spark.ops.stats import sam_permutation_fdr
+
+    rng = random.Random(23)
+    rows, truth = [], {}
+    rid = 0
+    for fi in range(60):
+        feat = f"f{fi:02d}"
+        scale = 0.2 + 2.5 * rng.random() ** 2
+        va = [rng.gauss(0, scale) for _ in range(6)]
+        vb = [rng.gauss(rng.uniform(-1, 1), scale) for _ in range(6)]
+        truth[feat] = (va, vb)
+        for x in va:
+            rows.append((feat, rid, x, "a")); rid += 1
+        for x in vb:
+            rows.append((feat, rid, x, "b")); rid += 1
+    df = spark.createDataFrame(rows, "feat string, rid bigint, v double, g string")
+    out = sam_permutation_fdr(
+        df, "feat", "g", "v", "a", "b", "rid", permutations=5
+    ).collect()
+    engine_s0 = out[0]["s0"]
+
+    rs, ss = [], []
+    for feat in sorted(truth):
+        va, vb = truth[feat]
+        n1, n2 = len(va), len(vb)
+        m1, m2 = sum(va) / n1, sum(vb) / n2
+        ss1 = sum((x - m1) ** 2 for x in va)
+        ss2 = sum((x - m2) ** 2 for x in vb)
+        ss.append(((1 / n1 + 1 / n2) * (ss1 + ss2) / (n1 + n2 - 2)) ** 0.5)
+        rs.append(m1 - m2)
+    s = np.array(ss); r = np.array(rs)
+    cands = np.quantile(s, np.arange(21) / 20.0)
+    br = np.unique(np.quantile(s, np.linspace(0, 1, 101)))
+    w = np.searchsorted(br, s, side="left")
+    best, best_cv = 0.0, None
+    for c in cands:
+        d = r / (s + c)
+        mads = np.array([
+            np.median(np.abs(d[w == g] - np.median(d[w == g])))
+            for g in np.unique(w)
+        ])
+        if mads.mean() == 0 or mads.size < 2:
+            continue
+        cv = mads.std(ddof=1) / mads.mean()
+        if best_cv is None or cv < best_cv:
+            best_cv, best = cv, float(c)
+    assert engine_s0 == pytest.approx(best, abs=1e-9)
+    # s0 stabilizes: larger s0 shrinks |d| monotonically per feature
+    d0 = {r_["feat"]: abs(r_["d_stat"]) for r_ in out}
+    out_big = sam_permutation_fdr(
+        df, "feat", "g", "v", "a", "b", "rid", permutations=5, s0=best + 5.0
+    ).collect()
+    for r_ in out_big:
+        assert abs(r_["d_stat"]) <= d0[r_["feat"]] + 1e-9
+
+
+def test_samr_dispatch_and_degenerate_gate(spark):
+    from ckg_spark.analysis import run_analysis
+    from ckg_spark.ops.stats import sam_permutation_fdr
+
+    rows = []
+    rid = 0
+    for i in range(5):
+        rows.append(("ok", rid, float(i), "a")); rid += 1
+        rows.append(("ok", rid, float(i) + 2.0, "b")); rid += 1
+    rows.append(("single_a", rid, 1.0, "a")); rid += 1
+    for i in range(3):
+        rows.append(("single_a", rid, float(i), "b")); rid += 1
+    df = spark.createDataFrame(rows, "feat string, rid bigint, v double, g string")
+    args = {
+        "feature_col": "feat", "group_col": "g", "value_col": "v",
+        "group_a": "a", "group_b": "b", "rid_col": "rid",
+        "permutations": 10, "s0": 0.1,
+    }
+    via = _sorted_pdf(run_analysis(df, "samr", args))
+    direct = _sorted_pdf(
+        sam_permutation_fdr(df, "feat", "g", "v", "a", "b", "rid", 10, s0=0.1)
+    )
+    assert via.equals(direct)
+    assert list(via["feat"]) == ["ok"]  # welch-mirrored emission gate
+    assert set(via.columns) == {"feat", "s0", "d_stat", "p_perm", "p_adj"}
+    with pytest.raises(ValueError, match="rid_col"):
+        run_analysis(df, "samr", {**args, "rid_col": None})
