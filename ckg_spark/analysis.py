@@ -8,11 +8,12 @@ Differences from the reference, by design:
 
 - every dispatched operator is a DISTRIBUTED DataFrame plan (the
   reference collects to pandas/scipy); results come back as DataFrames.
-- driver-side-only analyses (tsne, umap, mapper, SAMR) are not
-  dispatched — `SUPPORTED` is the contract. The reference's own
-  factory silently no-ops unknown types; here unknown types raise.
-  (WGCNA, originally in this list, gained a distributed module-detection
-  stand-in — see ``_wgcna`` / ops/wgcna.py.)
+- driver-side-only analyses (tsne, umap) are not dispatched —
+  `SUPPORTED` is the contract. The reference's own factory silently
+  no-ops unknown types; here unknown types raise. (WGCNA, SAMR and
+  mapper, originally in this list, gained distributed stand-ins — see
+  ``_wgcna``/ops/wgcna.py, ``_samr``/ops/stats.py::sam_permutation_fdr
+  and ``_mapper``/ops/mapper.py.)
 
 Data conventions per analysis type are documented in each handler;
 long-format column names arrive via ``args`` exactly like the
@@ -314,6 +315,25 @@ def _samr(df: DataFrame, a: dict) -> DataFrame:
         rid_col=rid_col,
         permutations=int(a.get("permutations", 20) or 20),
         s0=a.get("s0"),
+    )
+
+
+def _mapper(df: DataFrame, a: dict) -> DataFrame:
+    """run_mapper (analytics.py:2171-2210, KeplerMapper): the Mapper
+    nerve over explicit lens columns — cover assignment is pure column
+    math, per-cube clustering (n_clusters>1) is the reference's
+    complete-linkage/correlation agglomerative, run per cube via
+    applyInPandas."""
+    from .ops.mapper import mapper_nerve
+
+    return mapper_nerve(
+        df,
+        a.get("id_col", "id"),
+        a.get("feature_cols", []),
+        a["lens_cols"],
+        n_cubes=int(a.get("n_cubes", 15)),
+        overlap=float(a.get("overlap", 0.5)),
+        n_clusters=int(a.get("n_clusters", 3)),
     )
 
 
@@ -666,6 +686,7 @@ SUPPORTED: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "pca": _pca,
     "ttest": _ttest,
     "samr": _samr,
+    "mapper": _mapper,
     "correlation": _correlation,
     "correlation_matrix": _correlation_matrix,
     "mannwhitney": _mannwhitney,

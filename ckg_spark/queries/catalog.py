@@ -2754,6 +2754,71 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(pts, k=10, iters=6, id_col="vec_id")
 
 
+def _mapper_cover_sql(lens: str, mn: str, mx: str, n: int, ov2: float) -> str:
+    """One lens dimension's cube-index range as generate_series bounds
+    (the pinned cover spec of ops/mapper.py — identical double math)."""
+    t = f"(({lens}) - {mn}) / (({mx} - {mn}) / {n}.0)"
+    lo = f"GREATEST(0, LEAST(CAST(CEIL({t} - {1.0 + ov2}) AS INT), {n - 1}))"
+    hi = f"LEAST({n - 1}, GREATEST(CAST(FLOOR({t} + {ov2}) AS INT), 0))"
+    return f"generate_series({lo}, {hi})"
+
+
+@register(
+    "q_mapper_nerve",
+    f"""
+    WITH e AS (
+      SELECT vec_id AS id,
+             sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l1,
+             CAST(embedding[1] AS DOUBLE) AS l2
+      FROM embeddings
+    ),
+    b AS (SELECT MIN(l1) AS mn1, MAX(l1) AS mx1,
+                 MIN(l2) AS mn2, MAX(l2) AS mx2 FROM e),
+    m AS (
+      SELECT e.id, (i1.i + 8 * i2.i) AS cube
+      FROM e, b,
+           UNNEST({_mapper_cover_sql('e.l1', 'b.mn1', 'b.mx1', 8, 0.25)}) AS i1(i),
+           UNNEST({_mapper_cover_sql('e.l2', 'b.mn2', 'b.mx2', 8, 0.25)}) AS i2(i)
+    )
+    SELECT CAST(a.cube AS BIGINT) AS node_a, CAST(c.cube AS BIGINT) AS node_b,
+           CAST(COUNT(*) AS BIGINT) AS shared
+    FROM m a JOIN m c ON a.id = c.id AND a.cube < c.cube
+    GROUP BY a.cube, c.cube
+    """,
+    family="mlops",
+)
+def q_mapper_nerve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological Mapper nerve (run_mapper/KeplerMapper,
+    analytics.py:2171-2210) over the embeddings with the reference's 2-D
+    lens shape (anomaly-style + l2norm; here l2norm + first coordinate
+    — deterministic, no RNG forest) at n_cubes=8, overlap=0.5. This
+    catalog configuration uses n_clusters=1, where the nerve is a pure
+    function of the COVER — hash-verified cube-by-cube against a DuckDB
+    twin computing identical double cover math (the node set is the
+    cover; every count is integer-exact). The clustering dimension
+    (per-cube complete-linkage/correlation, the reference's
+    AgglomerativeClustering) is verified against an independent
+    pure-python implementation in tests/test_ops.py."""
+    from ..ops.mapper import mapper_nerve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.col("vec_id").alias("id"),
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ).alias("l1"),
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("l2"),
+    )
+    return mapper_nerve(
+        d, "id", ["l1"], ["l1", "l2"], n_cubes=8, overlap=0.5, n_clusters=1
+    )
+
+
 # ======================================================================
 # training-data curation (ops/curation.py — sampling, splits, packing,
 # contamination; engine extras for the LLM-corpus pipeline)
@@ -5914,6 +5979,7 @@ _DRIVER_WINDOW: list[str] = [
     "q_wilcoxon_signed",
     "q_kg_pipeline_smoke",
     "q_samr",
+    "q_mapper_nerve",
     "q_ttest_permutation_fdr",
     "q_wgcna_modules",
     "q_graph_triangles",
@@ -5951,7 +6017,6 @@ _DRIVER_WINDOW: list[str] = [
     "q_pca",
     "q_wgcna_module_trait",
     "q_ranking_markers",
-    "q_qc_markers",
 ]
 
 # Rebuild the registry itself in driver-window order so ANY consumer —

@@ -1268,6 +1268,22 @@ def test_graph_summary_matches_python(spark):
     assert abs(got["assortativity"] - exp_assort) < 1e-6
 
 
+def test_graph_summary_regular_graph_null_assortativity(spark):
+    """Degenerate Pearson: on a regular graph every endpoint degree is
+    equal, the variance term is 0 and assortativity must be NULL (what
+    F.corr and DuckDB CORR return) — not a DIVIDE_BY_ZERO under ANSI
+    from the closed-form moments."""
+    from ckg_spark.ops.graph import graph_summary
+
+    # 6-cycle: every node degree 2
+    df = spark.createDataFrame(
+        [(str(i), str((i + 1) % 6)) for i in range(6)], ["subj", "obj"]
+    )
+    got = graph_summary(df).collect()[0]
+    assert got["n_nodes"] == 6 and got["n_edges"] == 6
+    assert got["assortativity"] is None
+
+
 def test_frame_sample_plan_zero_frames_emit_no_rows(spark):
     """n_frames=0 media must emit NO rows — the old greatest(n-1, 0)
     clamp fabricated a phantom frame 0 the decode cannot read."""
@@ -1655,3 +1671,123 @@ def test_closeness_sampled_rejects_weighted_request(spark):
     df = spark.createDataFrame([("a", "b", 1.0)], ["subj", "obj", "w"])
     with pytest.raises(ValueError, match="unweighted-only"):
         run_analysis(df, "closeness", {"weight": "w", "sample_pivots": 4})
+
+
+# ----------------------------------------------------------------------
+# Topological Mapper (run_mapper/kmapper parity) — ops/mapper.py
+# ----------------------------------------------------------------------
+
+
+def test_mapper_clustering_matches_independent_reference(spark):
+    """Per-cube complete-linkage/correlation clustering vs an in-test
+    independent agglomerative implementation (compared as PARTITIONS —
+    label ranks are an implementation detail)."""
+    import itertools
+
+    import numpy as np
+
+    from ckg_spark.ops.mapper import mapper_nodes
+
+    rng = np.random.default_rng(11)
+    # two correlation-separated families of sample vectors
+    base_a = rng.normal(0, 1, 12)
+    base_b = rng.normal(0, 1, 12)
+    rows = []
+    for i in range(6):
+        rows.append((i, (base_a + rng.normal(0, 0.05, 12)).tolist()))
+    for i in range(6, 11):
+        rows.append((i, (base_b + rng.normal(0, 0.05, 12)).tolist()))
+    df = spark.createDataFrame(
+        [(i, *v) for i, v in rows],
+        "id bigint, " + ", ".join(f"f{j} double" for j in range(12)),
+    )
+    feats = [f"f{j}" for j in range(12)]
+    # single cube (n_cubes=1) so clustering is global
+    out = mapper_nodes(
+        df.withColumn("lens", df["f0"] * 0.0),
+        "id", feats, ["lens"], n_cubes=1, overlap=0.0, n_clusters=2,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["node"], set()).add(r["id"])
+    got_partition = {frozenset(v) for v in got.values()}
+
+    # independent reference: naive complete-linkage on correlation dist
+    X = np.array([v for _i, v in rows])
+    C = np.corrcoef(X)
+    D = 1.0 - C
+    clusters = [{i} for i in range(11)]
+    while len(clusters) > 2:
+        best = None
+        for a, b in itertools.combinations(range(len(clusters)), 2):
+            d = max(D[p, q] for p in clusters[a] for q in clusters[b])
+            if best is None or d < best[0]:
+                best = (d, a, b)
+        _, a, b = best
+        clusters[a] |= clusters[b]
+        del clusters[b]
+    ref_partition = {frozenset(c) for c in clusters}
+    assert got_partition == ref_partition
+
+
+def test_mapper_cover_and_nerve_properties(spark):
+    """Cover totality (every sample in >=1 node), overlap sharing (a
+    boundary point lands in 2 adjacent cubes), and blob separation
+    (well-separated lens blobs produce a disconnected nerve)."""
+    from ckg_spark.ops.mapper import cover_assign, mapper_nerve
+
+    # lens blobs A over [0, 30] and B over [70, 100] (range 0..100,
+    # w=10): each blob spans several cubes with boundary-straddling
+    # samples, the 40-unit gap spans >2 empty cubes
+    rows = [(i, i * 1.5) for i in range(21)] + [
+        (100 + i, 70.0 + i * 1.5) for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, lens double")
+    cov = cover_assign(df, "id", ["lens"], n_cubes=10, overlap=0.5)
+    per_id = {r["id"] for r in cov.collect()}
+    assert per_id == {r[0] for r in rows}  # totality
+    # nerve: n_clusters=1, feature cols unused
+    edges = mapper_nerve(
+        df, "id", ["lens"], ["lens"], n_cubes=10, overlap=0.5, n_clusters=1
+    ).collect()
+    assert edges, "overlapping cover must share samples across cubes"
+    # no edge bridges the two blobs: blob A occupies cubes <= 3, blob B
+    # cubes >= 6 — the nerve must be disconnected across the gap
+    for r in edges:
+        a, b = r["node_a"], r["node_b"]
+        assert (a <= 3 and b <= 3) or (a >= 6 and b >= 6), (a, b)
+
+
+def test_mapper_nodes_n1_is_pure_cover(spark):
+    """n_clusters=1 must not touch the pandas boundary: node set == cover."""
+    from ckg_spark.ops.mapper import cover_assign, mapper_nodes
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.5), (3, 1.0)], "id bigint, lens double"
+    )
+    nodes = mapper_nodes(df, "id", [], ["lens"], n_cubes=4, overlap=0.5,
+                         n_clusters=1)
+    cov = cover_assign(df, "id", ["lens"], n_cubes=4, overlap=0.5)
+    assert sorted((r["id"], r["node"]) for r in nodes.collect()) == sorted(
+        (r["id"], r["cube"]) for r in cov.collect()
+    )
+    from tests.test_plans import plan_of  # reuse the plan helper
+
+    assert "FlatMapGroupsInPandas" not in plan_of(nodes)
+
+
+def test_mapper_dispatch_matches_direct(spark):
+    from ckg_spark.analysis import run_analysis
+    from ckg_spark.ops.mapper import mapper_nerve
+
+    df = spark.createDataFrame(
+        [(i, i * 1.0, float(i % 3)) for i in range(30)],
+        "id bigint, lens double, f0 double",
+    )
+    args = {"id_col": "id", "feature_cols": ["f0"], "lens_cols": ["lens"],
+            "n_cubes": 5, "overlap": 0.5, "n_clusters": 1}
+    via = sorted(map(tuple, run_analysis(df, "mapper", args).collect()))
+    direct = sorted(map(tuple, mapper_nerve(
+        df, "id", ["f0"], ["lens"], n_cubes=5, overlap=0.5, n_clusters=1
+    ).collect()))
+    assert via == direct and via
