@@ -1171,6 +1171,74 @@ def closeness_centrality_sampled(
     )
 
 
+def closeness_centrality_routed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    wf_improved: bool = True,
+    max_broadcast_edges: int = 2_000_000,
+    sample_pivots: int = 256,
+    seed: int = 13,
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Size-routed closeness: the SAME query text survives a 100x
+    scale-up (VERDICT r03 #8). Counts the canonical undirected edge set
+    (one cheap aggregation over the frame both paths consume anyway);
+    within ``max_broadcast_edges`` it runs the exact broadcast-topology
+    operator, above it the landmark-sampled Eppstein-Wang estimator that
+    never broadcasts or collects the topology. Weighted requests are
+    exact-only (the estimator is hop-distance BFS) — past the gate they
+    refuse loudly rather than silently switching semantics.
+
+    The routing count reads the PINNED canonical frame: the (possibly
+    expensive) upstream graph construction materializes exactly once —
+    count and the routed operator both consume the checkpointed blocks.
+    (A pin-free count would re-execute the whole upstream a second time
+    inside the chosen path — measured 25% slower on the catalog's
+    co-supply graph.) Weighted routing still needs the original edge
+    frame (canonicalization drops the weight column), so weighted inputs
+    only pin when they fit the exact path anyway."""
+    if weight is not None:
+        # the weight column does not survive canonicalization — count on
+        # the un-pinned canonical frame, run exact on the original edges
+        n_edges = canonical_undirected(edges, src, dst, pin=False).count()
+        if n_edges > max_broadcast_edges:
+            raise ValueError(
+                f"closeness_centrality_routed: {n_edges} canonical edges "
+                f"exceed the exact path's broadcast gate "
+                f"({max_broadcast_edges}) and the sampled estimator is "
+                "unweighted-only; raise max_broadcast_edges or drop 'weight'"
+            )
+        return closeness_centrality(
+            edges,
+            src,
+            dst,
+            weight=weight,
+            wf_improved=wf_improved,
+            max_broadcast_edges=max_broadcast_edges,
+        )
+    und = canonical_undirected(edges, src, dst)  # pinned (eager)
+    n_edges = und.count()
+    if n_edges <= max_broadcast_edges:
+        return closeness_centrality(
+            und,
+            "a",
+            "b",
+            wf_improved=wf_improved,
+            max_broadcast_edges=max_broadcast_edges,
+        )
+    return closeness_centrality_sampled(
+        und,
+        "a",
+        "b",
+        sample_pivots=sample_pivots,
+        seed=seed,
+        wf_improved=wf_improved,
+        max_iterations=max_iterations,
+    )
+
+
 def closeness_oracle_sql(
     und_cte: str, iters: int = 12, node_sql: str = "term_id"
 ) -> str:
@@ -1236,16 +1304,35 @@ def graph_summary(edges: DataFrame, src: str = "subj", dst: str = "obj") -> Data
             (F.col("degree") * (F.col("degree") - F.lit(1)) / F.lit(2)).cast("double")
         ).alias("n_wedges"),
     )
-    # assortativity: join endpoint degrees onto BOTH directions of each
-    # edge, then one Pearson pass (corr is an exact single-pass aggregate)
+    # assortativity = Pearson r of endpoint degrees over DIRECTED edge
+    # ends (Newman 2002). Each canonical edge contributes both directions,
+    # so with per-edge endpoint degrees (dx, dy) the directed-ends moments
+    # collapse to ONE canonical-edge aggregation (symmetry: Sy=Sx,
+    # Syy=Sxx):  N=2E, Sx=Σ(dx+dy), Sxx=Σ(dx²+dy²), Sxy=2Σdx·dy,
+    #   r = (N·Sxy − Sx²) / (N·Sxx − Sx²).
+    # This replaces the former doubled edge frame + two degree joins +
+    # corr shuffle with one edge join and a closed-form combine — one
+    # fewer edge-sized shuffle stage on corpus-scale graphs (VERDICT r03
+    # #4); the exact-equivalence test pins it to F.corr's value.
     deg = ts.select("node", "degree")
-    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dx"))
-    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("dy"))
-    assort = (
-        both.join(da, "a")
+    da = deg.select(F.col("node").alias("a"), F.col("degree").cast("double").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").cast("double").alias("dy"))
+    moms = (
+        und.join(da, "a")
         .join(db, "b")
-        .agg(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")).alias("assortativity"))
+        .agg(
+            (F.count(F.lit(1)) * 2).cast("double").alias("nn"),
+            F.sum(F.col("dx") + F.col("dy")).alias("sx"),
+            F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("sxx"),
+            (F.sum(F.col("dx") * F.col("dy")) * F.lit(2.0)).alias("sxy"),
+        )
+    )
+    denom = moms["nn"] * moms["sxx"] - moms["sx"] * moms["sx"]
+    assort = moms.select(
+        F.when(
+            denom != 0.0,
+            (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sx")) / F.nullif(denom, F.lit(0.0)),
+        ).alias("assortativity")
     )
     return base.crossJoin(F.broadcast(assort)).select(
         F.col("n_nodes").cast("long").alias("n_nodes"),
