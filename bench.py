@@ -73,6 +73,9 @@ HEADLINE = [
     "q_graph_kcore",
     "q_graph_closeness",
     "q_graph_summary",
+    "q_kg_pipeline_smoke",
+    "q_samr",
+    "q_mapper_nerve",
 ]
 
 
