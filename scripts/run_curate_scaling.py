@@ -55,7 +55,16 @@ def run_level(cores: int, docs_path: str, trials: int) -> list[dict]:
     pin = ["taskset", "-c", f"0-{cores - 1}"] if cores > 1 else ["taskset", "-c", "0"]
     for t in range(trials):
         wh = tempfile.mkdtemp(prefix=f"ckg_curate_wh_{cores}_{t}_")
-        env = {**os.environ, "PYTHONPATH": REPO}
+        # constant physical plan at BOTH levels — see run_scaling.py
+        # (split size / shuffle partitioning / AQE targets are cluster
+        # constants on a real N- vs 4N-executor cluster)
+        env = {
+            **os.environ,
+            "PYTHONPATH": REPO,
+            "SPARK_GRAFT_MIN_SCAN_PARTITIONS": "40",
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS": "16",
+            "SPARK_GRAFT_AQE_COALESCE": "false",
+        }
         out = subprocess.run(
             pin
             + [
