@@ -178,7 +178,12 @@ def comention_edges(
     databases/config/stringConfig.yml:2 / stringParser.py:51) and the
     practical cap on the quadratic C(k,2) growth at rich-vocabulary scale
     (a 25k-term vocabulary tags ~20 entities/doc => ~190 pairs/doc)."""
-    ids = F.transform(F.col("ents"), lambda e: e["nid"])  # sorted already
+    # the nid array is PROJECTED into a column before the expansion:
+    # referencing the computed transform(ents→nid) inside the outer
+    # lambda would re-evaluate it per element (no CSE through
+    # higher-order functions — the documented CLAUDE.md gotcha), turning
+    # the O(k²) expansion into O(k³) field extraction on the hot path
+    ids = F.col("ids")
     pair_keys = F.flatten(
         F.transform(
             ids,
@@ -191,7 +196,10 @@ def comention_edges(
         )
     )
     pairs = (
-        per_url.select(F.explode(pair_keys).alias("pk"))
+        per_url.select(
+            F.transform(F.col("ents"), lambda e: e["nid"]).alias("ids")
+        )
+        .select(F.explode(pair_keys).alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("double").alias("score"))
     )

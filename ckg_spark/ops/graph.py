@@ -1200,13 +1200,26 @@ def closeness_centrality_routed(
     frame (canonicalization drops the weight column), so weighted inputs
     only pin when they fit the exact path anyway."""
     if weight is not None:
-        # the weight column does not survive canonicalization — count on
-        # the un-pinned canonical frame, run exact on the original edges
-        n_edges = canonical_undirected(edges, src, dst, pin=False).count()
+        # the weight column does not survive canonicalization, so the
+        # exact operator runs on the ORIGINAL frame — and its internal
+        # gate counts DIRECTED-distinct (s, d) pairs, not canonical
+        # undirected edges. Route on the same measure (a bidirectional
+        # weighted list counts each edge twice, exactly as the exact
+        # path will see it) so the routing decision can never contradict
+        # the operator's own gate.
+        n_edges = (
+            edges.select(
+                F.col(src).cast("string").alias("s"),
+                F.col(dst).cast("string").alias("d"),
+            )
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .count()
+        )
         if n_edges > max_broadcast_edges:
             raise ValueError(
-                f"closeness_centrality_routed: {n_edges} canonical edges "
-                f"exceed the exact path's broadcast gate "
+                f"closeness_centrality_routed: {n_edges} directed-distinct "
+                f"edges exceed the exact path's broadcast gate "
                 f"({max_broadcast_edges}) and the sampled estimator is "
                 "unweighted-only; raise max_broadcast_edges or drop 'weight'"
             )
@@ -1305,34 +1318,51 @@ def graph_summary(edges: DataFrame, src: str = "subj", dst: str = "obj") -> Data
         ).alias("n_wedges"),
     )
     # assortativity = Pearson r of endpoint degrees over DIRECTED edge
-    # ends (Newman 2002). Each canonical edge contributes both directions,
-    # so with per-edge endpoint degrees (dx, dy) the directed-ends moments
-    # collapse to ONE canonical-edge aggregation (symmetry: Sy=Sx,
-    # Syy=Sxx):  N=2E, Sx=Σ(dx+dy), Sxx=Σ(dx²+dy²), Sxy=2Σdx·dy,
-    #   r = (N·Sxy − Sx²) / (N·Sxx − Sx²).
-    # This replaces the former doubled edge frame + two degree joins +
-    # corr shuffle with one edge join and a closed-form combine — one
-    # fewer edge-sized shuffle stage on corpus-scale graphs (VERDICT r03
-    # #4); the exact-equivalence test pins it to F.corr's value.
-    deg = ts.select("node", "degree")
-    da = deg.select(F.col("node").alias("a"), F.col("degree").cast("double").alias("dx"))
-    db = deg.select(F.col("node").alias("b"), F.col("degree").cast("double").alias("dy"))
-    moms = (
+    # ends (Newman 2002), via CENTERED co-moments:
+    #   μ      = Σ deg² / Σ deg                  (per-node, dimension-sized)
+    #   varends = Σ_node deg·(deg−μ)²            (per-node, dimension-sized)
+    #   covends = 2·Σ_canonical (dx−μ)(dy−μ)     (ONE und⋈degree join)
+    #   r      = covends / varends   (NULL when varends == 0 — regular
+    #            graphs — matching what corr/CORR return)
+    # Centering BEFORE multiplying keeps this as stable as F.corr's
+    # co-moment aggregate while preserving the round-4 shuffle win (a
+    # single one-direction edge join instead of a doubled frame + two
+    # joins). The rejected alternatives: the raw-sum closed form
+    # (N·Sxy−Sx²)/(N·Sxx−Sx²) cancels catastrophically at corpus scale
+    # (hub degrees ~1e5 over 1e8 edges put both terms near 1e22), and
+    # F.corr itself throws ANSI DIVIDE_BY_ZERO on zero-variance
+    # (regular) graphs — a latent bug in the pre-round-4 spelling this
+    # round's regular-graph test exposed.
+    deg = ts.select("node", F.col("degree").cast("double").alias("degree"))
+    mu_f = deg.agg(
+        (
+            F.sum(F.col("degree") * F.col("degree")) / F.nullif(F.sum("degree"), F.lit(0.0))
+        ).alias("mu")
+    )
+    var_f = deg.crossJoin(F.broadcast(mu_f)).agg(
+        F.sum(
+            F.col("degree")
+            * (F.col("degree") - F.col("mu"))
+            * (F.col("degree") - F.col("mu"))
+        ).alias("varends")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("dy"))
+    cov_f = (
         und.join(da, "a")
         .join(db, "b")
+        .crossJoin(F.broadcast(mu_f))
         .agg(
-            (F.count(F.lit(1)) * 2).cast("double").alias("nn"),
-            F.sum(F.col("dx") + F.col("dy")).alias("sx"),
-            F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("sxx"),
-            (F.sum(F.col("dx") * F.col("dy")) * F.lit(2.0)).alias("sxy"),
+            (
+                F.sum((F.col("dx") - F.col("mu")) * (F.col("dy") - F.col("mu")))
+                * F.lit(2.0)
+            ).alias("covends")
         )
     )
-    denom = moms["nn"] * moms["sxx"] - moms["sx"] * moms["sx"]
-    assort = moms.select(
-        F.when(
-            denom != 0.0,
-            (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sx")) / F.nullif(denom, F.lit(0.0)),
-        ).alias("assortativity")
+    assort = cov_f.crossJoin(F.broadcast(var_f)).select(
+        (F.col("covends") / F.nullif(F.col("varends"), F.lit(0.0))).alias(
+            "assortativity"
+        )
     )
     return base.crossJoin(F.broadcast(assort)).select(
         F.col("n_nodes").cast("long").alias("n_nodes"),

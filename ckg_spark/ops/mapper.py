@@ -172,6 +172,13 @@ def mapper_nodes(
         return assigned.select(
             "id", (F.col("cube") * F.lit(1)).alias("node")
         )
+    if not feature_cols:
+        # fail loudly on the driver: clustering needs a feature space
+        # (an empty vector would IndexError deep inside the executor UDF)
+        raise ValueError(
+            "mapper with n_clusters>1 needs feature_cols (the per-cube "
+            "clustering runs in the original feature space)"
+        )
     feats = df.select(
         F.col(id_col).alias("id"),
         F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("__x"),
@@ -211,6 +218,15 @@ def mapper_nerve(
     nodes sharing >= 1 sample, node_a < node_b. Same shape as the
     co-mention stage: per-sample sorted node list, in-array C(k,2)
     expansion packed into one long, one aggregation, no self-join."""
+    # node ids pack two-per-long below — bound them loudly instead of
+    # silently colliding pairs (node = cube*K + label, cube < n_cubes^d)
+    max_node = (n_cubes ** len(lens_cols)) * max(1, n_clusters)
+    if max_node >= (1 << 31):
+        raise ValueError(
+            f"mapper_nerve: n_cubes^{len(lens_cols)} * {n_clusters} = "
+            f"{max_node} node ids overflow the packed pair key; reduce "
+            "n_cubes or the lens dimensionality"
+        )
     members = mapper_nodes(
         df, id_col, feature_cols, lens_cols, n_cubes, overlap, n_clusters
     )

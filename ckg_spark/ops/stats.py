@@ -1645,6 +1645,11 @@ def sam_permutation_fdr(
         .filter((F.col("n1v") > 1) & (F.col("n2v") > 1))
     )
     if s0 is None:
+        # the s0 collect and the d_obs plan both consume obs — persist so
+        # the corpus-scale groupBy underneath runs once (sequential jobs,
+        # so persist() is safe here; the concurrent-stage race that
+        # demands localCheckpoint only bites branches of ONE job)
+        obs = obs.persist()
         rows = obs.select("r", "s").collect()
         s0 = _sam_s0([row["s"] for row in rows], [row["r"] for row in rows])
     s0 = float(s0)

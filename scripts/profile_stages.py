@@ -72,8 +72,8 @@ def main() -> None:
     from ckg_spark.corpus.vocab import vocab_dataframes
     from ckg_spark.lakehouse import Warehouse
     from ckg_spark.link.triples import (
-        all_triples, comention_edges, hierarchy_edges, mention_edges,
-        mentions_per_url,
+        comention_edges, hierarchy_edges, mention_edges, mentions_per_url,
+        node_dictionary,
     )
     from ckg_spark.materialize.graph import build_nodes, materialize_graph
 
@@ -87,14 +87,17 @@ def main() -> None:
 
     # ---- link sub-phases -------------------------------------------------
     t0 = time.perf_counter()
-    per_url = mentions_per_url(mentions, cmap).localCheckpoint(eager=True)
+    nd = node_dictionary(cmap)
+    per_url = mentions_per_url(mentions, cmap, node_dict=nd).localCheckpoint(
+        eager=True
+    )
     out["L1_per_url_ckpt_s"] = round(time.perf_counter() - t0, 3)
     out["L1_partitions"] = per_url.rdd.getNumPartitions()
 
     t0 = time.perf_counter()
     triples = (
-        mention_edges(per_url)
-        .unionByName(comention_edges(per_url, min_score=None))
+        mention_edges(per_url, nd)
+        .unionByName(comention_edges(per_url, nd, min_score=None))
         .unionByName(hierarchy_edges(terms, cmap))
     )
     tmp_out = os.path.join(args.wh, "_prof_triples")

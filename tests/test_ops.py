@@ -1791,3 +1791,19 @@ def test_mapper_dispatch_matches_direct(spark):
         df, "id", ["f0"], ["lens"], n_cubes=5, overlap=0.5, n_clusters=1
     ).collect()))
     assert via == direct and via
+
+
+def test_mapper_guards(spark):
+    """Driver-side loud failures: clustering without features; packed
+    node-id overflow (review findings)."""
+    import pytest
+
+    from ckg_spark.ops.mapper import mapper_nerve, mapper_nodes
+
+    df = spark.createDataFrame([(1, 0.5)], "id bigint, lens double")
+    with pytest.raises(ValueError, match="feature_cols"):
+        mapper_nodes(df, "id", [], ["lens"], n_clusters=2)
+    with pytest.raises(ValueError, match="overflow"):
+        mapper_nerve(
+            df, "id", ["lens"], ["lens"] * 8, n_cubes=15, n_clusters=3
+        )
