@@ -1807,3 +1807,26 @@ def test_mapper_guards(spark):
         mapper_nerve(
             df, "id", ["lens"], ["lens"] * 8, n_cubes=15, n_clusters=3
         )
+
+
+def test_graph_summary_assortativity_random_sweep(spark):
+    """Centered-co-moment assortativity vs numpy's corrcoef over random
+    graphs (5 seeds) — guards the review rewrite of the stable form."""
+    import numpy as np
+
+    from ckg_spark.ops.graph import graph_summary
+
+    for seed in (3, 11, 29, 47, 90):
+        edges = _seeded_graph(n=14, seed=seed)
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [len(adj[a]), len(adj[b])]
+            ys += [len(adj[b]), len(adj[a])]
+        exp = float(np.corrcoef(xs, ys)[0, 1])
+        df = spark.createDataFrame(edges, ["subj", "obj"])
+        got = graph_summary(df).collect()[0]["assortativity"]
+        assert got == pytest.approx(exp, abs=1e-6), seed
