@@ -162,3 +162,88 @@ def test_submit_kill_resume_identical_triples(spark, vocab, tmp_path):
 
     clean, resumed = edge_set(wh_clean), edge_set(wh_kill)
     assert clean == resumed and len(clean) > 0
+
+
+def test_submit_curate_kill_resume_identical_output(spark, tmp_path):
+    """Process-level kill/resume for the CURATION pipeline (the same
+    checkpoint contract the KG build test covers): SIGKILL the
+    spark-submit process group after the first stage commits; the rerun
+    must skip every stage committed before the kill and curate the
+    IDENTICAL document set an uninterrupted run produces."""
+    import signal
+    import time
+
+    docs_dir = str(tmp_path / "cdocs")
+    rows = [
+        (i, (f"a genuinely useful document number {i} carrying plenty of "
+             f"distinct words token{i} token{i+1} token{i+2} token{i*7%91} "
+             "so the quality filters keep it around for the whole run "
+             * 4), "en")
+        for i in range(4000)
+    ] + [(90000 + i, "dup text body", "en") for i in range(50)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(docs_dir)
+
+    def submit(wh):
+        return [
+            sys.executable, os.path.join(REPO, "scripts", "submit_curate.py"),
+            "--docs", docs_dir, "--warehouse", wh, "--master", "local[4]",
+            "--no-lm-filter",
+        ]
+
+    wh_clean = str(tmp_path / "whc_clean")
+    out = subprocess.run(submit(wh_clean), capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats_clean = json.loads(
+        [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+
+    wh_kill = str(tmp_path / "whc_kill")
+    proc = subprocess.Popen(
+        submit(wh_kill),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    ckpt_path = os.path.join(wh_kill, "_checkpoints.json")
+    committed: dict = {}
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break
+            if os.path.exists(ckpt_path):
+                try:
+                    with open(ckpt_path) as f:
+                        committed = json.load(f)
+                except json.JSONDecodeError:
+                    committed = {}
+                if committed:
+                    break
+            time.sleep(0.02)
+        assert committed, "no curation stage committed before timeout"
+        os.killpg(proc.pid, signal.SIGKILL)
+    finally:
+        proc.wait(timeout=60)
+    assert proc.returncode != 0
+
+    out2 = subprocess.run(submit(wh_kill), capture_output=True, text=True, timeout=420)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    stats2 = json.loads(
+        [ln for ln in out2.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    for stage in committed:
+        # checkpoint records carry the table-namespace prefix; the
+        # stats report the bare stage names
+        assert stage.removeprefix("curate_") in stats2["skipped"], (
+            stage, stats2["skipped"],
+        )
+    assert stats2["n_curated"] == stats_clean["n_curated"]
+
+    from ckg_spark.lakehouse import Warehouse
+
+    ids = lambda wh: {
+        r["doc_id"]
+        for r in Warehouse(wh).table("curated_documents").read(spark).collect()
+    }
+    assert ids(wh_kill) == ids(wh_clean) and len(ids(wh_clean)) > 0
