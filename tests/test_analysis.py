@@ -1546,3 +1546,43 @@ def test_samr_dispatch_and_degenerate_gate(spark):
     assert set(via.columns) == {"feat", "s0", "d_stat", "p_perm", "p_adj"}
     with pytest.raises(ValueError, match="rid_col"):
         run_analysis(df, "samr", {**args, "rid_col": None})
+
+
+def test_samr_null_sprinkled_random_sweep(spark):
+    """Three seeds, NULL-sprinkled values: engine d (fixed s0) vs the
+    independent reference computed on the non-null values only —
+    verifies the moments count non-null values while permutation label
+    blocks still use raw row counts (no crash, no silent drop)."""
+    import random
+
+    from ckg_spark.ops.stats import sam_permutation_fdr
+
+    for seed in (5, 21, 63):
+        rng = random.Random(seed)
+        rows, truth = [], {}
+        rid = 0
+        for fi in range(12):
+            feat = f"f{fi}"
+            va, vb = [], []
+            for g, acc in (("a", va), ("b", vb)):
+                for _ in range(rng.randint(5, 9)):
+                    if rng.random() < 0.15:
+                        rows.append((feat, rid, None, g)); rid += 1
+                    else:
+                        x = rng.gauss(0.5 if g == "b" else 0.0, 1.0)
+                        acc.append(x)
+                        rows.append((feat, rid, x, g)); rid += 1
+            truth[feat] = (va, vb)
+        df = spark.createDataFrame(
+            rows, "feat string, rid bigint, v double, g string"
+        )
+        out = {
+            r["feat"]: r["d_stat"]
+            for r in sam_permutation_fdr(
+                df, "feat", "g", "v", "a", "b", "rid", permutations=5, s0=0.4
+            ).collect()
+        }
+        ref = _sam_reference(truth, 0.4)
+        assert set(out) == set(ref), seed
+        for feat, d in ref.items():
+            assert out[feat] == pytest.approx(round(d, 6), abs=2e-6), (seed, feat)
