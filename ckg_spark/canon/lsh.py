@@ -31,6 +31,84 @@ _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime); a_i*x + c_i < 2^62
 
+# -- portable cross-engine hashing ---------------------------------------
+# The driver's correctness gate runs the same query on Spark and DuckDB;
+# Spark's xxhash64 has no DuckDB twin, which left the whole LSH family
+# permanently `no_oracle`. These helpers extend the split_u/lowbias32
+# precedent (ops/curation.py — pure integer arithmetic both engines
+# compute identically) to STRINGS via standard MD5: both engines hash
+# UTF-8 bytes to the same digest (parity verified incl. non-BMP
+# unicode), and the leading hex digits parse to the same integer.
+# MD5 is ~an order of magnitude slower than xxhash64 per byte, so this
+# is the CERTIFIABLE basis the catalog queries run, not the default
+# corpus basis — the family/banding/verify plumbing is identical either
+# way, and the recall gates cover both.
+
+PORTABLE_MIX = 0x45D9F3B  # lowbias32 multiplier (public-domain constant)
+_M32 = 4294967296
+
+
+def portable_hash60(c) -> F.Column:
+    """60-bit cross-engine string hash: leading 15 hex digits of MD5.
+    15 digits keep the value < 2^60, inside signed-long range on both
+    engines (16 would need unsigned). SQL twin: :func:`portable_hash60_sql`."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`portable_hash60` (verified identical)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def portable_hash64(c) -> F.Column:
+    """64-bit cross-engine string hash as a SIGNED long: two 32-bit MD5
+    slices packed hi<<32|lo (shiftleft wraps, never overflows). The
+    DuckDB twin computes the same bit pattern UNSIGNED (UBIGINT
+    hi*2^32+lo); bitwise consumers (SimHash voting, hamming) agree."""
+    hi = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def portable_hash64_sql_unsigned(expr: str) -> str:
+    """DuckDB UBIGINT rendering of the :func:`portable_hash64` bit
+    pattern (unsigned value of the same 64 bits)."""
+    return (
+        f"(CAST(CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT) AS UBIGINT)"
+        f" * 4294967296 + CAST(CAST('0x' || substr(md5({expr}), 9, 8) AS "
+        f"BIGINT) AS UBIGINT))"
+    )
+
+
+def portable_band_hash(band_idx: int, elems: list) -> F.Column:
+    """Cross-engine band-bucket hash: fold the band's signature values
+    through a lowbias32-style xorshift-multiply round each (widths:
+    state < 2^32, *MIX < 2^58, +v < 2^58.3 — signed-long safe under
+    ANSI on both engines). 32 output bits are plenty for BUCKETING —
+    a band-hash collision only adds a candidate pair that the exact
+    verify step re-checks; what matters for the gate is that both
+    engines compute the identical value, which pure integer arithmetic
+    guarantees."""
+    h = F.lit(band_idx).cast("long")
+    for e in elems:
+        h = F.pmod(
+            F.shiftright(h, 16).bitwiseXOR(h) * F.lit(PORTABLE_MIX) + e,
+            F.lit(_M32),
+        )
+    return F.shiftright(h, 16).bitwiseXOR(h)
+
+
+def portable_band_hash_sql(band_idx: int, elem_exprs: list[str]) -> str:
+    """DuckDB rendering of :func:`portable_band_hash` (same pmod
+    spelling as split_u_sql; all operands non-negative)."""
+    h = str(band_idx)
+    for e in elem_exprs:
+        h = (
+            f"((((xor({h} >> 16, {h}) * {PORTABLE_MIX}) + ({e})) % {_M32} "
+            f"+ {_M32}) % {_M32})"
+        )
+    return f"xor({h} >> 16, {h})"
+
 
 def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """The affine-permutation family's (a_i, c_i), fixed-seed — shared by
@@ -64,7 +142,11 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
 
 
 def minhash_signatures(
-    items: DataFrame, key_col: str, tokens_col: str, num_hashes: int = 32
+    items: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    num_hashes: int = 32,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """items(key, tokens: array<string>) -> (key, signature: array<long>).
 
@@ -111,7 +193,15 @@ def minhash_signatures(
     p = MINHASH_P
     coeffs = minhash_coeffs(num_hashes)
     toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
-    bases = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+    # base-hash basis: xxhash64 (fast JVM intrinsic, default) or the
+    # portable MD5 mixer (cross-engine identical — the basis the
+    # DuckDB-twinned catalog queries run; see the portable section above)
+    if hash_basis == "portable":
+        bases = F.transform(toks, lambda t: F.pmod(portable_hash60(t), F.lit(p)))
+    elif hash_basis == "xxhash64":
+        bases = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(p)))
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
     with_bases = items.select(F.col(key_col).alias("key"), bases.alias("__bases__"))
 
     def affine(a: int, c: int):
@@ -130,6 +220,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 4,
     broadcast_build_side: bool = False,
+    band_hash: str = "xxhash64",
 ) -> DataFrame:
     """(key, signature) -> distinct candidate pairs (key_a < key_b).
 
@@ -154,12 +245,26 @@ def lsh_candidate_pairs(
             f"{bands}*{rows_per_band} = {n}: rebuild signatures with "
             f"num_hashes={n} or adjust the banding"
         )
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        ).alias("band_hash")
-        for b in range(bands)
-    ]
+    if band_hash == "portable":
+        band_cols = [
+            portable_band_hash(
+                b,
+                [
+                    F.element_at("signature", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_hash")
+            for b in range(bands)
+        ]
+    elif band_hash == "xxhash64":
+        band_cols = [
+            F.xxhash64(
+                F.lit(b), *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            ).alias("band_hash")
+            for b in range(bands)
+        ]
+    else:
+        raise ValueError(f"unknown band_hash {band_hash!r}")
     buckets = signatures.select(
         "key",
         F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),

@@ -81,13 +81,30 @@ def node_dictionary(canonical_map: DataFrame) -> DataFrame:
     id arrays that make pair emission positional) is identical to the
     ordering the string ids would have produced. Dimension-sized: the
     global row_number window is one tiny single-partition exchange over
-    the distinct node ids, and every use site broadcasts it."""
+    the distinct node ids, and every use site broadcasts it.
+
+    nids feed the shiftleft(nid,32)|nid pair packing in
+    :func:`comention_edges`, which silently collides past 2^31 distinct
+    nodes — so the id is bounds-checked per row (cheap: the frame is
+    dimension-sized) and fails loudly, mirroring mapper_nerve's packing
+    guard (ops/mapper.py:224). The lower bound catches row_number's own
+    int wrap-around (negative ids) as well."""
+    rn = F.row_number().over(Window.orderBy("node_id"))
+    guarded = F.when(
+        (rn >= F.lit(1)) & (rn <= F.lit((1 << 31) - 1)), rn.cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "node_dictionary: distinct node count exceeds the 2^31-1 "
+                "packed-pair-key ceiling; comention pair packing would "
+                "silently collide"
+            )
+        ).cast("int")
+    )
     return (
         canonical_map.select("node_id")
         .distinct()
-        .withColumn(
-            "nid", F.row_number().over(Window.orderBy("node_id")).cast("int")
-        )
+        .withColumn("nid", guarded)
     )
 
 

@@ -117,6 +117,7 @@ def minhash_signatures_corpus(
     text_col: str,
     shingle_n: int = 3,
     num_hashes: int = 32,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """(key, signature) for the CORPUS-scale dedup path: word-n-gram
     MinHash without ever building shingle strings.
@@ -142,8 +143,16 @@ def minhash_signatures_corpus(
     Jaccard verifier, which is what fixes the emitted pairs. Recall is
     gated by the planted-near-dup tests either way. Identical text =>
     identical signature; empty/null texts sign as all-zeros.
+
+    ``hash_basis='portable'`` swaps the window hash for the cross-engine
+    MD5 mixer (canon.lsh.portable_hash60) over the joined shingle STRING
+    — slower (builds the shingle text and runs a full MD5 per window)
+    but bit-reproducible in DuckDB SQL, which is what lets
+    q_minhash_dup_pairs carry a full value-hash oracle. Everything
+    downstream of the base hash (affine family, numpy min, banding,
+    verify) is byte-identical code between the two bases.
     """
-    from ..canon.lsh import MINHASH_P, minhash_coeffs
+    from ..canon.lsh import MINHASH_P, minhash_coeffs, portable_hash60
 
     p = MINHASH_P
     coeffs = minhash_coeffs(num_hashes)
@@ -157,10 +166,23 @@ def minhash_signatures_corpus(
     tokenized = docs.select(F.col(id_col).cast("string").alias("key"), toks.alias("tk"))
     tk = F.col("tk")
     idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - shingle_n, F.lit(0)))
-    window_hash = lambda i: F.pmod(  # noqa: E731
-        F.xxhash64(*[F.try_element_at(tk, i + j + 1) for j in range(shingle_n)]),
-        F.lit(p),
-    )
+    if hash_basis == "portable":
+        window_hash = lambda i: F.pmod(  # noqa: E731
+            portable_hash60(
+                F.concat_ws(
+                    " ",
+                    *[F.try_element_at(tk, i + j + 1) for j in range(shingle_n)],
+                )
+            ),
+            F.lit(p),
+        )
+    elif hash_basis == "xxhash64":
+        window_hash = lambda i: F.pmod(  # noqa: E731
+            F.xxhash64(*[F.try_element_at(tk, i + j + 1) for j in range(shingle_n)]),
+            F.lit(p),
+        )
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
     based = tokenized.select(
         "key",
         F.when(F.size(tk) == 0, F.array().cast("array<long>"))
@@ -194,6 +216,7 @@ def minhash_dup_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs verified by exact shingle Jaccard:
     (key_a, key_b, jaccard). Shuffles: band bucket join + the verify join.
@@ -210,10 +233,18 @@ def minhash_dup_candidates(
         F.col(id_col).cast("string").alias("key"), F.col(text_col).alias("__text__")
     ).localCheckpoint()
     sigs = minhash_signatures_corpus(
-        kt, "key", "__text__", shingle_n=shingle_n, num_hashes=num_hashes
+        kt,
+        "key",
+        "__text__",
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        hash_basis=hash_basis,
     ).localCheckpoint()
     cands = lsh_candidate_pairs(
-        sigs, bands=bands, rows_per_band=num_hashes // bands
+        sigs,
+        bands=bands,
+        rows_per_band=num_hashes // bands,
+        band_hash="portable" if hash_basis == "portable" else "xxhash64",
     ).localCheckpoint()
     cand_keys = (
         cands.select(F.col("key_a").alias("key"))
@@ -266,7 +297,10 @@ _SIMHASH_SCHEMA = StructType(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens. Near-identical documents differ in
     a handful of bits.
@@ -274,16 +308,30 @@ def simhash_signatures(
     Token hashing happens JVM-side (``xxhash64`` inside ``transform`` —
     whole-stage codegen); only the 64-way bit-voting runs in Python, numpy-
     vectorized over the pre-hashed int64 arrays. The original version hashed
-    every token byte-by-byte in Python, which dominated the stage."""
+    every token byte-by-byte in Python, which dominated the stage.
+
+    ``hash_basis='portable'`` swaps the token hash for the cross-engine
+    MD5 mixer (canon.lsh.portable_hash64 — same 64-bit pattern DuckDB
+    computes unsigned), making the whole signature, the chunk blocking
+    and the hamming verify SQL-twinnable; the voting numpy code is
+    shared byte-for-byte between bases."""
+    from ..canon.lsh import portable_hash64
+
     # coalesce: null text -> empty token array (split(null) is null and
     # np.asarray(None) would crash the Python worker)
     toks = F.coalesce(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")),
         F.array().cast("array<string>"),
     )
+    if hash_basis == "portable":
+        token_hash = lambda t: portable_hash64(t)  # noqa: E731
+    elif hash_basis == "xxhash64":
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_basis {hash_basis!r}")
     hashed = docs.select(
         F.col(id_col).cast("string").alias("key"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(toks, token_hash).alias("th"),
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,6 +360,7 @@ def simhash_dup_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -330,7 +379,9 @@ def simhash_dup_candidates(
         raise ValueError("max_hamming > 31 leaves <2-bit chunks; use MinHash instead")
     # even-ish split of the 64 bits: chunk i covers [start_i, start_{i+1})
     starts = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
-    sigs = simhash_signatures(docs, id_col, text_col).localCheckpoint()
+    sigs = simhash_signatures(
+        docs, id_col, text_col, hash_basis=hash_basis
+    ).localCheckpoint()
     chunk_cols = []
     for i in range(n_chunks):
         width = starts[i + 1] - starts[i]

@@ -1624,10 +1624,16 @@ def sam_permutation_fdr(
         n1 = F.count(fv).cast("double")
         n2 = F.count(ov).cast("double")
         r = F.avg(fv) - F.avg(ov)
-        pooled = ((n1 - 1) * F.var_samp(fv) + (n2 - 1) * F.var_samp(ov)) / (
-            n1 + n2 - 2
-        )
-        s = F.sqrt((1.0 / n1 + 1.0 / n2) * pooled)
+        # _nz on every count-derived denominator: a PERMUTED label block
+        # can land entirely on null-valued rows (n=0) even though the
+        # observed groups passed the >1-non-null gate — under ANSI mode
+        # 1.0/0 throws DIVIDE_BY_ZERO (the literal numerator is non-null
+        # even when pooled is NULL), killing the whole job on NULL-heavy
+        # features. NULL s -> NULL d_k -> the non-exceeding path.
+        pooled = (
+            (n1 - 1) * F.var_samp(fv) + (n2 - 1) * F.var_samp(ov)
+        ) / _nz(n1 + n2 - 2)
+        s = F.sqrt((1.0 / _nz(n1) + 1.0 / _nz(n2)) * pooled)
         return n1, n2, r, s
 
     n1e, n2e, re_, se = moments()
@@ -1645,13 +1651,15 @@ def sam_permutation_fdr(
         .filter((F.col("n1v") > 1) & (F.col("n2v") > 1))
     )
     if s0 is None:
-        # the s0 collect and the d_obs plan both consume obs — persist so
-        # the corpus-scale groupBy underneath runs once (sequential jobs,
-        # so persist() is safe here; the concurrent-stage race that
-        # demands localCheckpoint only bites branches of ONE job)
-        obs = obs.persist()
-        rows = obs.select("r", "s").collect()
+        # the s0 selection and the d_obs plan both consume obs, and obs is
+        # per-FEATURE (dimension-sized). Collect it once for the s0 scan
+        # and rebuild the frame driver-local, so the corpus-scale groupBy
+        # runs exactly once and nothing stays pinned after the call (a
+        # session-lifetime persist() here leaked one cache block per
+        # invocation for callers outside bench.py's per-query release).
+        rows = obs.collect()
         s0 = _sam_s0([row["s"] for row in rows], [row["r"] for row in rows])
+        obs = df.sparkSession.createDataFrame(rows, obs.schema)
     s0 = float(s0)
     # _nz: an all-constant feature with s0=0 has s+s0 == 0 — NULL (the
     # documented untestable path) instead of an ANSI DIVIDE_BY_ZERO, and

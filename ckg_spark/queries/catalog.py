@@ -899,18 +899,158 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_minhash_dup_pairs", None, family="dedup")
+def _minhash_oracle_sql() -> str:
+    """Full DuckDB twin of the portable-basis MinHash+LSH dedup query:
+    tokenize -> window base hashes (portable MD5 mixer mod p) -> 32
+    affine signatures -> 8 portable-fold band buckets -> bucket
+    self-join -> exact shingle-Jaccard verify. Every hash is the
+    split_u-style cross-engine arithmetic (canon/lsh.py portable
+    helpers), so rows+schema+values match bit-for-bit — this converted
+    the family from a permanent `no_oracle` row to a hash-green one."""
+    from ..canon.lsh import (
+        MINHASH_P,
+        minhash_coeffs,
+        portable_band_hash_sql,
+        portable_hash60_sql,
+    )
+
+    p = MINHASH_P
+    n, num_hashes, bands, rpb, thr = 3, 32, 8, 4, 0.4
+    base_h = portable_hash60_sql(f"array_to_string(tk[i+1:i+{n}], ' ')")
+    base_expr = f"((({base_h}) % {p}) + {p}) % {p}"
+    sig_elems = ",\n        ".join(
+        f"coalesce(list_min(list_transform(bases, x -> ({a} * x + {c}) % {p})), 0)"
+        for a, c in minhash_coeffs(num_hashes)
+    )
+    band_structs = ",\n        ".join(
+        "{'band': %d, 'h': %s}"
+        % (
+            b,
+            portable_band_hash_sql(
+                b, [f"sig[{b * rpb + r + 1}]" for r in range(rpb)]
+            ),
+        )
+        for b in range(bands)
+    )
+    win = f"range(0, greatest(len(tk) - {n}, 0) + 1)"
+    return f"""
+    WITH docs0 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS key,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    based AS (
+      SELECT key,
+             CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform({win}, i -> {base_expr}) END AS bases,
+             list_distinct(list_transform({win},
+                 i -> array_to_string(tk[i+1:i+{n}], ' '))) AS sh
+      FROM docs0
+    ),
+    sigs AS (
+      SELECT key, sh, [
+        {sig_elems}
+      ] AS sig FROM based
+    ),
+    buckets AS (
+      SELECT key, t.u.band AS band, t.u.h AS h
+      FROM sigs, unnest([
+        {band_structs}
+      ]) AS t(u)
+    ),
+    cands AS (
+      SELECT DISTINCT a.key AS key_a, b.key AS key_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.h = b.h AND a.key < b.key
+    ),
+    j AS (
+      SELECT c.key_a, c.key_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+      FROM cands c
+      JOIN sigs sa ON sa.key = c.key_a
+      JOIN sigs sb ON sb.key = c.key_b
+    )
+    SELECT key_a, key_b, CAST(ROUND(jac, 6) AS DOUBLE) AS jaccard
+    FROM j WHERE jac >= {thr}
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Full DuckDB twin of the portable-basis SimHash dedup query: the
+    64-bit token hashes are the portable MD5 pattern computed UNSIGNED
+    (UBIGINT hi*2^32+lo — same bits Spark packs signed), bit votes and
+    the signature build run in UBIGINT/HUGEINT arithmetic, and the
+    pigeonhole chunk blocking + hamming verify mirror ops/dedup.py's
+    simhash_dup_candidates (4 x 16-bit chunks at max_hamming=3)."""
+    from ..canon.lsh import portable_hash64_sql_unsigned
+
+    ph = portable_hash64_sql_unsigned("t")
+    chunk_structs = ",\n        ".join(
+        "{'ci': %d, 'cv': CAST((sig >> %d) & 65535 AS BIGINT)}" % (i, 16 * i)
+        for i in range(4)
+    )
+    return f"""
+    WITH docs0 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS key,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    th AS (SELECT key, list_transform(tk, t -> {ph}) AS hs FROM docs0),
+    bitsv AS (
+      SELECT key, list_transform(range(0, 64), b ->
+          CASE WHEN coalesce(list_sum(list_transform(hs,
+                 h -> 2 * CAST((h >> b) & 1 AS BIGINT) - 1)), 0) > 0
+               THEN 1 ELSE 0 END) AS bits
+      FROM th
+    ),
+    sigs AS (
+      SELECT key, CAST(coalesce(list_sum(list_transform(range(0, 64),
+          b -> CAST(bits[b+1] AS HUGEINT)
+               * CAST(CAST(1 AS UBIGINT) << b AS HUGEINT))), 0)
+          AS UBIGINT) AS sig
+      FROM bitsv
+    ),
+    chunks AS (
+      SELECT key, sig, t.u.ci AS ci, t.u.cv AS cv
+      FROM sigs, unnest([
+        {chunk_structs}
+      ]) AS t(u)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.key < b.key
+    )
+    SELECT key_a, key_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@register("q_minhash_dup_pairs", _minhash_oracle_sql(), family="dedup")
 def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (non-SQL: banding + signature)."""
+    """MinHash+LSH near-dup candidates on the PORTABLE hash basis (the
+    cross-engine MD5/lowbias mixers in canon/lsh.py) so the full
+    signature->banding->verify chain carries a DuckDB value-hash oracle;
+    the xxhash64 production basis shares every line downstream of the
+    base hash and keeps its measured-recall gates (tests/test_ops.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dup_candidates(docs, "doc_id", "text", jaccard_threshold=0.4)
+    return dedup.minhash_dup_candidates(
+        docs, "doc_id", "text", jaccard_threshold=0.4, hash_basis="portable"
+    ).select("key_a", "key_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("q_simhash_dup_pairs", None, family="dedup")
+@register("q_simhash_dup_pairs", _simhash_oracle_sql(), family="dedup")
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (non-SQL)."""
+    """SimHash near-dup pairs on the portable hash basis — full DuckDB
+    twin of signatures, pigeonhole chunk blocking and hamming verify."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_dup_candidates(docs, "doc_id", "text", max_hamming=3)
+    return dedup.simhash_dup_candidates(
+        docs, "doc_id", "text", max_hamming=3, hash_basis="portable"
+    ).select("key_a", "key_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:

@@ -349,10 +349,17 @@ def read_excel(
             header = []
             seen: dict[str, int] = {}
             for i, c in enumerate(rows[0]):
-                name = f"Unnamed: {i}" if c is None else str(c)
-                if name in seen:
-                    seen[name] += 1
-                    name = f"{name}.{seen[name]}"
+                base = f"Unnamed: {i}" if c is None else str(c)
+                name = base
+                # pandas keeps incrementing the suffix until the name is
+                # unused: ['X', 'X.1', 'X'] -> the third 'X' must skip
+                # past the LITERAL 'X.1' column to 'X.2', and each
+                # generated name is itself registered so later literal
+                # duplicates of it mangle too
+                while name in seen:
+                    seen[base] += 1
+                    name = f"{base}.{seen[base]}"
+                seen.setdefault(base, 0)
                 seen.setdefault(name, 0)
                 header.append(name)
             pdf = pd.DataFrame(rows[1:], columns=header)

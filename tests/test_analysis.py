@@ -1548,6 +1548,34 @@ def test_samr_dispatch_and_degenerate_gate(spark):
         run_analysis(df, "samr", {**args, "rid_col": None})
 
 
+def test_samr_whole_permuted_block_null_does_not_abort(spark):
+    """ADVICE r4 (medium): with nulls >= one group's ROW count, some
+    permutation assigns the entire f-label block to null-valued rows —
+    the permuted non-null count hits 0 and, under ANSI mode, the
+    1.0/n term in the pooled-s formula aborted the whole job with
+    DIVIDE_BY_ZERO (the observed >1-non-null gate only screens observed
+    labels). Degenerate permutations must instead yield NULL d_k and
+    fall through to the non-exceeding path."""
+    from ckg_spark.ops.stats import sam_permutation_fdr
+
+    # group a: 2 rows (both non-null) -> permuted f-block size 2;
+    # group b: 2 non-null + 6 null rows. P(single permutation puts two
+    # null rows in the f block) = C(6,2)/C(10,2) = 1/3, so 60
+    # deterministic permutations make the degenerate case certain.
+    rows = [("f0", 1, 1.0, "a"), ("f0", 2, 3.0, "a"),
+            ("f0", 3, 2.0, "b"), ("f0", 4, 4.5, "b")]
+    rows += [("f0", 5 + i, None, "b") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "feat string, rid bigint, v double, g string"
+    )
+    out = sam_permutation_fdr(
+        df, "feat", "g", "v", "a", "b", "rid", permutations=60, s0=0.3
+    ).collect()
+    assert len(out) == 1 and out[0]["feat"] == "f0"
+    assert out[0]["d_stat"] is not None
+    assert 0.0 < out[0]["p_perm"] <= 1.0
+
+
 def test_samr_null_sprinkled_random_sweep(spark):
     """Three seeds, NULL-sprinkled values: engine d (fixed s0) vs the
     independent reference computed on the non-null values only —

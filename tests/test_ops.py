@@ -86,6 +86,92 @@ def test_minhash_lsh_finds_exact_dups_with_jaccard_one(spark, corpus_texts):
             assert r["jaccard"] == 1.0
 
 
+def test_portable_hash_parity_with_duckdb(spark):
+    """The portable MD5/lowbias mixers (canon/lsh.py) exist so the LSH
+    dedup family can carry full DuckDB value-hash oracles — assert the
+    two engines compute IDENTICAL values for the string hashes and the
+    band fold, including empty and non-BMP-unicode inputs."""
+    import duckdb
+
+    from ckg_spark.canon.lsh import (
+        portable_band_hash,
+        portable_band_hash_sql,
+        portable_hash60,
+        portable_hash60_sql,
+        portable_hash64,
+        portable_hash64_sql_unsigned,
+    )
+
+    strs = ["", "abc", "a b c", "Ünïcödé 💩", "the quick brown fox", "x" * 300]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = df.select(
+        "s",
+        portable_hash60(F.col("s")).alias("h60"),
+        portable_hash64(F.col("s")).alias("h64"),
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        d60 = con.execute(
+            f"select {portable_hash60_sql('?')}", [r["s"]]
+        ).fetchone()[0]
+        # the unsigned renderer expands the expr twice (hi and lo slice)
+        du64 = con.execute(
+            f"select {portable_hash64_sql_unsigned('?')}", [r["s"], r["s"]]
+        ).fetchone()[0]
+        assert d60 == r["h60"], r["s"]
+        # DuckDB computes the 64-bit pattern unsigned; compare mod 2^64
+        assert du64 == r["h64"] % (1 << 64), r["s"]
+    vals = [17, 2147480009, 0, 1234567]
+    sdf = spark.createDataFrame([(vals,)], "v array<long>")
+    sband = sdf.select(
+        portable_band_hash(
+            5, [F.element_at("v", i + 1) for i in range(len(vals))]
+        ).alias("h")
+    ).collect()[0]["h"]
+    dband = con.execute(
+        "select "
+        + portable_band_hash_sql(5, [str(v) for v in vals])
+    ).fetchone()[0]
+    assert sband == dband
+    con.close()
+
+
+def test_minhash_portable_basis_finds_exact_dups(spark, corpus_texts):
+    """The portable basis must preserve the recall-1.0 exact-dup property
+    (identical shingle sets -> identical signatures -> same buckets)."""
+    pairs = dedup.minhash_dup_candidates(
+        corpus_texts, "doc_id", "text",
+        jaccard_threshold=0.99, hash_basis="portable",
+    ).collect()
+    assert pairs
+    rows = {r["doc_id"]: r["text"] for r in corpus_texts.collect()}
+    by_text: dict[str, list[str]] = {}
+    for d, t in rows.items():
+        by_text.setdefault(t, []).append(d)
+    got_pairs = {(r["key_a"], r["key_b"]) for r in pairs}
+    for members in by_text.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                assert (ms[i], ms[j]) in got_pairs
+
+
+def test_simhash_portable_basis_finds_exact_dups(spark, corpus_texts):
+    pairs = dedup.simhash_dup_candidates(
+        corpus_texts, "doc_id", "text", max_hamming=3, hash_basis="portable"
+    )
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    rows = {r["doc_id"]: r["text"] for r in corpus_texts.collect()}
+    by_text: dict[str, list[str]] = {}
+    for d, t in rows.items():
+        by_text.setdefault(t, []).append(d)
+    for members in by_text.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                assert (ms[i], ms[j]) in got  # identical text -> hamming 0
+
+
 def test_ngram_jaccard_exact_values(spark):
     docs = spark.createDataFrame(
         [("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w5"), ("c", "x y z q")],

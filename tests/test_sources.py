@@ -384,6 +384,24 @@ def test_read_excel_fallback_blank_and_dup_headers(spark, tmp_path):
     assert read_xlsx_rows(p, 0)[0][1] is None
 
 
+def test_read_excel_fallback_mangled_name_collides_with_literal(
+    spark, tmp_path
+):
+    """ADVICE r4: for header ['X', 'X.1', 'X'] the third 'X' must mangle
+    PAST the literal 'X.1' column to 'X.2' — pandas keeps incrementing
+    the suffix until the candidate name is unused, so a single-step
+    mangle would emit two 'X.1' columns."""
+    from ckg_spark.sources.readers import read_excel
+
+    p = str(tmp_path / "hdrclash.xlsx")
+    _write_minimal_xlsx(
+        p, {"s": [["X", "X.1", "X"], [1, 2, 3], [4, 5, 6]]}
+    )
+    df = read_excel(spark, p)
+    assert list(df.columns) == ["X", "X.1", "X.2"]
+    assert df.count() == 2
+
+
 def test_read_excel_inner_importerror_propagates(tmp_path, monkeypatch):
     """ADVICE r3: an ImportError raised INSIDE pd.read_excel (e.g. a
     .xls path needing xlrd) must propagate with its actionable message —
