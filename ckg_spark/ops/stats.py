@@ -1448,9 +1448,22 @@ def ttest_permutation_fdr(
         .select("feat", "n1")
     )
     obs = base.groupBy("feat").agg(t_stat_agg().alias("t_obs"))
-    perm = base.select(
-        "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
-    ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    # ONE corpus-sized shuffle for the whole permutation pass:
+    # repartition the N input rows by feat BEFORE the K-way explode so
+    # the K*N exploded rows never shuffle — HashPartitioning([feat])
+    # satisfies the window's ClusteredDistribution([feat, k]) (hash keys
+    # are a subset of the clustering keys) and likewise both downstream
+    # aggregations, keeping the rank sort and the moment aggregates
+    # in-partition with bit-identical results. The previous spelling
+    # exploded first and shuffled K* the data into the window.
+    perm = (
+        base.repartition(F.col("feat"))
+        .select(
+            "feat", "rid", "v",
+            F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k"),
+        )
+        .withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    )
     w = Window.partitionBy("feat", "k").orderBy(
         # v as the FINAL key: with duplicate rids (the synthetic
         # lineitem has repeated (orderkey, linenumber) pairs) the
@@ -1667,9 +1680,17 @@ def sam_permutation_fdr(
     d_obs = obs.select(
         "feat", "n1", (F.col("r") / _nz(F.col("s") + F.lit(s0))).alias("d_obs")
     ).filter(F.col("d_obs").isNotNull())
-    perm = base.select(
-        "feat", "rid", "v", F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k")
-    ).withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    # repartition-before-explode: see ttest_permutation_fdr — one N-row
+    # shuffle replaces the K*N-row exchange into the window, same plan
+    # shape, bit-identical results.
+    perm = (
+        base.repartition(F.col("feat"))
+        .select(
+            "feat", "rid", "v",
+            F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k"),
+        )
+        .withColumn("u", split_u(F.col("rid") * 131 + F.col("k")))
+    )
     w = Window.partitionBy("feat", "k").orderBy(
         # v as the FINAL key: with duplicate rids (the synthetic
         # lineitem has repeated (orderkey, linenumber) pairs) the
