@@ -3,10 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — exactly how the html column of the pages table
 works. The Spark-side machinery (schemas, Arrow batching, mapInPandas
-signatures, partitioning) is real and tested; the actual codec work is
-stubbed deterministically because no image/audio libraries ship in this
-container (clearly marked below — swap ``_fake_decode`` for a
-PIL/torchaudio call on a real cluster; nothing else changes).
+signatures, partitioning) is real and tested, and so are the codecs for
+the formats stdlib can express: PNG/BMP pixels (vendored decoders below)
+and PCM WAV audio (:func:`decode_wav`), each bit-exact-tested against an
+independent in-test encoder. Compressed media (jpeg/mp3/video) still
+needs PIL/ffmpeg/torchaudio — those paths raise loudly, and the
+deterministic sha256 fakes (``_fake_decode``/``_fake_audio``) exist so
+the plumbing and the SQL-twinned catalog queries run without them.
 
 Scale notes: binary payloads are the one column you must NOT let a shuffle
 drag around. Operators here project metadata/features out of the payload
@@ -25,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -77,8 +81,61 @@ def decode_media(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     raise NotImplementedError(
         "payload is not PNG/BMP and no image library is installed; "
-        "audio/video decoding requires ffmpeg/torchaudio (optional deps)"
+        "WAV audio decodes via decode_wav; video (and non-WAV audio) "
+        "decoding requires ffmpeg/torchaudio (optional deps)"
     )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, mono float64 samples in [-1, 1]) for a PCM WAV
+    payload via the stdlib ``wave`` module — 8/16/32-bit integer PCM,
+    any channel count (channels are mean-mixed to mono). The audio
+    counterpart of the vendored PNG/BMP decoders: real samples ARE
+    decoded in codec-less environments, bit-exact-tested against an
+    independent in-test encoder; compressed formats (mp3/ogg/flac)
+    still raise loudly — those genuinely need ffmpeg/torchaudio."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(
+            f"WAV sample width {sw} bytes unsupported (8/16/32-bit PCM only)"
+        )
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return rate, arr
+
+
+def audio_features(samples: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM-slice RMS energy envelope, peak-normalized — the
+    audio counterpart of :func:`real_features`' luminance histogram.
+    Deterministic (linspace slice bounds are a pure function of the
+    sample count) and round(6)-stable like every feature emitted here."""
+    n = samples.size
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    bounds = np.linspace(0, n, FEATURE_DIM + 1).astype(np.int64)
+    rms = np.array(
+        [
+            np.sqrt(np.mean(samples[a:b] ** 2)) if b > a else 0.0
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+    )
+    peak = rms.max()
+    if peak > 0:
+        rms = rms / peak
+    return rms.astype(np.float32).round(6)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -210,6 +267,84 @@ def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feats
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_sec", DoubleType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _fake_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic sha256 stand-in for the WAV decode, mirroring
+    _fake_decode: (sample_rate, n_samples, features) as pure functions
+    of the payload bytes — and therefore SQL-expressible, which is what
+    lets q_multimodal_audio carry a DuckDB twin over text payloads."""
+    h = hashlib.sha256(payload).digest()
+    sample_rate = 8000 + h[0] * 64
+    n_samples = 1000 + h[2] * 256 + h[3]
+    raw = np.frombuffer(
+        hashlib.sha256(b"afeat" + payload).digest(), dtype=np.uint8
+    )[:FEATURE_DIM]
+    feats = (raw.astype(np.float32) / 255.0).round(6)
+    return sample_rate, n_samples, feats
+
+
+def extract_audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """WAV payloads -> (sample_rate, n_samples, duration, RMS-envelope
+    features), Arrow-batched; the payload is consumed inside the map —
+    downstream shuffles carry FEATURE_DIM floats and four scalars, never
+    the audio bytes. ``codec="real"`` runs :func:`decode_wav` (stdlib
+    PCM decode, bit-exact-tested); undecodable payloads raise rather
+    than silently degrade. ``codec="fake"`` is the sha256 stand-in the
+    catalog twin uses over text payloads (same plumbing, no samples)."""
+    if codec not in ("fake", "real"):
+        raise ValueError(f"codec must be 'fake' or 'real', got {codec!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, rates, counts, durs, feats = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(payload) if payload is not None else b""
+                if codec == "real":
+                    rate, samples = decode_wav(data)
+                    ns = int(samples.size)
+                    fv = audio_features(samples)
+                else:
+                    rate, ns, fv = _fake_audio(data)
+                ids.append(mid)
+                nb.append(len(data))
+                rates.append(rate)
+                counts.append(ns)
+                # RAW division — consumers round engine-side (F.round /
+                # SQL ROUND share half-away semantics; Python's round()
+                # is half-even and diverges on exact 5e-7 ties, which
+                # integer sample/rate ratios genuinely produce)
+                durs.append(ns / rate)
+                feats.append(fv.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "duration_sec": pd.Series(durs, dtype="float64"),
+                    "features": feats,
+                }
+            )
+
+    return media.select(id_col, bytes_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
 def extract_media_features(
     media: DataFrame,
     id_col: str = "media_id",
@@ -235,7 +370,13 @@ def extract_media_features(
             ids, kinds, nb, ws, hs, feats = [], [], [], [], [], []
             for mid, kind, payload in zip(pdf[id_col], pdf[kind_col], pdf[bytes_col]):
                 data = bytes(payload) if payload is not None else b""
-                if codec == "real":
+                if codec == "real" and kind == "audio":
+                    # the WAV path closes the audio half of the former
+                    # declared boundary; video still raises in decode_media
+                    _, samples = decode_wav(data)
+                    w = h = None
+                    fv = audio_features(samples)
+                elif codec == "real":
                     arr = decode_media(data)
                     h, w = arr.shape[0], arr.shape[1]
                     fv = real_features(arr)
@@ -277,11 +418,17 @@ def frame_sample_plan(
     )
 
 
-def docs_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Test adapter: wrap a text table's bytes as fake 'image' payloads so
-    the multimodal plumbing is exercised end-to-end without real codecs."""
+def docs_as_media(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kind: str = "image",
+) -> DataFrame:
+    """Test adapter: wrap a text table's bytes as fake payloads of the
+    given kind so the multimodal plumbing is exercised end-to-end
+    without real codecs."""
     return docs.select(
         F.col(id_col).cast("string").alias("media_id"),
-        F.lit("image").alias("kind"),
+        F.lit(kind).alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
     )

@@ -1156,6 +1156,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_audio",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(8000 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) * 64 AS INTEGER) AS sample_rate,
+           CAST(1000 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INT) AS BIGINT) AS n_samples,
+           CAST(ROUND(
+               CAST(1000 + CAST(('0x' || substr(sha256(text), 5, 4)) AS INT) AS DOUBLE)
+               / (8000 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) * 64),
+             6) AS DOUBLE) AS duration_sec
+    FROM documents
+    """,
+    family="multimodal",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing (extract_audio_features): the
+    fake codec is a pure sha256 function of the payload bytes, so the
+    metadata half is SQL-expressible like q_multimodal_features; the real
+    WAV decode (ops/multimodal.py::decode_wav, stdlib PCM) is unit-gated
+    bit-exact against an independent in-test encoder. duration rounds
+    ENGINE-side in both plans (half-away ties; Python round is
+    half-even and diverges on exact 5e-7 ratio ties)."""
+    from ..ops import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.docs_as_media(docs, kind="audio")
+    return multimodal.extract_audio_features(media).select(
+        "media_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        F.round(
+            F.col("n_samples").cast("double") / F.col("sample_rate"), 6
+        ).alias("duration_sec"),
+    )
+
+
 # stopword list literals shared by the langid/quality oracles
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in textstats.STOPWORDS.items()}
 _TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -4677,9 +4715,74 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(docs)
 
 
+def _srp_oracle_sql() -> str:
+    """Full DuckDB twin of the SRP-LSH near-dup query. Twinnable because
+    nothing in the operator is actually engine-random: the Rademacher
+    hyperplanes are lowbias32 integer mixes materialized driver-side
+    (ops/simsearch.py::_srp_signs) — this builder embeds the IDENTICAL
+    literal sign arrays into the SQL — and every float reduction
+    (projection dot, verify dot, norms) is rendered as the same
+    LEFT-ASSOCIATED '0.0 + t1 + t2 + ...' chain Spark's aggregate fold
+    evaluates, so the doubles match bit-for-bit (multiplying by +-1.0 is
+    exact; addition order is the only hazard and it is mirrored).
+    Dim 64 is the embeddings-table dimension the Spark side probes."""
+    from ..ops.simsearch import _srp_signs
+
+    n_planes, bands, seed, dim, thr = 32, 4, 29, 64, 0.45
+    r = n_planes // bands
+    signs = _srp_signs(n_planes, dim, seed)
+
+    def dot_plane(j: int) -> str:
+        terms = " + ".join(f"v[{d+1}]*({signs[j][d]:.1f})" for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    band_structs = ",\n        ".join(
+        "{'band_id': %d, 'band_val': %s}"
+        % (
+            b,
+            " + ".join(
+                f"(CASE WHEN {dot_plane(j)} >= 0 THEN {1 << (j % r)} ELSE 0 END)"
+                for j in range(b * r, (b + 1) * r)
+            ),
+        )
+        for b in range(bands)
+    )
+    dot_ab = "(0.0 + " + " + ".join(
+        f"ea.v[{d+1}]*eb.v[{d+1}]" for d in range(dim)
+    ) + ")"
+    norm = lambda t: (  # noqa: E731
+        "SQRT(0.0 + "
+        + " + ".join(f"{t}.v[{d+1}]*{t}.v[{d+1}]" for d in range(dim))
+        + ")"
+    )
+    cos = f"ROUND(CASE WHEN {norm('ea')} * {norm('eb')} > 0 THEN {dot_ab} / ({norm('ea')} * {norm('eb')}) ELSE 0.0 END, 6)"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bnd AS (
+      SELECT vec_id, t.u.band_id AS band_id, t.u.band_val AS band_val
+      FROM e, unnest([
+        {band_structs}
+      ]) AS t(u)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, CAST({cos} AS DOUBLE) AS cosine
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {thr}
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "q_srp_neardup_pairs",
-    None,  # LSH banding is not SQL-expressible; recall gates live in tests/test_ops.py
+    _srp_oracle_sql(),
     family="simsearch",
 )
 def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4689,7 +4792,10 @@ def q_srp_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_embedding_neardup_pairs: no centroid seeding pass, no cell-boundary
     misses for collinear vectors. Candidates come from 4x8-bit band
     collisions (ids only in the shuffle; vectors attach per candidate),
-    so the operator never goes all-pairs at any scale. Planted-near-dup
+    so the operator never goes all-pairs at any scale. Fully oracled
+    since round 5 (_srp_oracle_sql — the planes were always
+    deterministic integer mixes, so the twin embeds the same literal
+    sign arrays and mirrors the float fold order). Planted-near-dup
     recall and repartition determinism are unit-gated
     (tests/test_ops.py::test_srp_*). Threshold 0.45: the synthetic
     embeddings have NO true near-dups (max pairwise cosine ~0.5-0.6 at

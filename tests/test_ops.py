@@ -1692,6 +1692,125 @@ def test_decode_bmp_bit_exact():
     assert np.array_equal(decode_media(_encode_bmp(arr)), arr)
 
 
+def _encode_wav(samples, rate, sampwidth, nch):
+    """Independent PCM WAV encoder (struct-packed RIFF by hand — not the
+    stdlib wave writer, so the decode test is not self-referential).
+    ``samples``: int array, interleaved when nch > 1."""
+    import struct
+
+    import numpy as np
+
+    if sampwidth == 1:  # 8-bit WAV is unsigned
+        raw = (samples.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        raw = samples.astype("<i2").tobytes()
+    else:
+        raw = samples.astype("<i4").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, rate, rate * nch * sampwidth,
+        nch * sampwidth, sampwidth * 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_bit_exact():
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import decode_wav
+
+    rng = np.random.default_rng(31)
+    # 16-bit mono: decode must be exactly v / 32768
+    s16 = rng.integers(-32768, 32768, size=240, dtype=np.int64)
+    rate, got = decode_wav(_encode_wav(s16, 16000, 2, 1))
+    assert rate == 16000
+    assert np.array_equal(got, s16 / 32768.0)
+    # 8-bit mono (stored unsigned): exactly v / 128
+    s8 = rng.integers(-128, 128, size=100, dtype=np.int64)
+    rate, got = decode_wav(_encode_wav(s8, 8000, 1, 1))
+    assert rate == 8000
+    assert np.array_equal(got, s8 / 128.0)
+    # 32-bit stereo: channels mean-mix to mono
+    s32 = rng.integers(-(2**31), 2**31, size=120, dtype=np.int64)
+    rate, got = decode_wav(_encode_wav(s32, 44100, 4, 2))
+    assert rate == 44100
+    want = (s32 / 2147483648.0).reshape(-1, 2).mean(axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_audio_features_envelope():
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import FEATURE_DIM, audio_features
+
+    # constant amplitude per slice -> envelope == amplitudes / peak
+    amps = np.arange(1, FEATURE_DIM + 1, dtype=np.float64)
+    samples = np.repeat(amps, 10)  # 10 samples per slice, slice-aligned
+    got = audio_features(samples)
+    want = amps / amps.max()
+    assert np.allclose(got, want, atol=1e-6)
+    assert np.array_equal(
+        audio_features(np.array([])), np.zeros(FEATURE_DIM, dtype=np.float32)
+    )
+
+
+def test_extract_audio_features_real_codec(spark):
+    """End-to-end: WAV payloads through the Arrow map with codec='real'
+    — true sample counts/rates/durations and RMS envelopes; the payload
+    column is absent from the output schema."""
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import (
+        audio_features,
+        extract_audio_features,
+    )
+
+    rng = np.random.default_rng(32)
+    clips = {
+        f"a{i}": rng.integers(-32768, 32768, size=160 + 37 * i, dtype=np.int64)
+        for i in range(4)
+    }
+    rows = [
+        (mid, bytearray(_encode_wav(s, 16000, 2, 1))) for mid, s in clips.items()
+    ]
+    df = spark.createDataFrame(rows, schema="media_id string, payload binary")
+    out = extract_audio_features(df, codec="real")
+    assert "payload" not in out.columns
+    got = {r["media_id"]: r for r in out.collect()}
+    for mid, s in clips.items():
+        r = got[mid]
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == s.size
+        assert r["duration_sec"] == s.size / 16000
+        want = audio_features(s / 32768.0)
+        assert np.allclose(np.array(r["features"]), want, atol=1e-6)
+
+
+def test_extract_media_features_real_audio_kind(spark):
+    """kind='audio' rows route through the WAV decode in the generic
+    media map under codec='real' (the former declared audio boundary):
+    null width/height, RMS-envelope features."""
+    import numpy as np
+
+    from ckg_spark.ops.multimodal import audio_features, extract_media_features
+
+    rng = np.random.default_rng(33)
+    s = rng.integers(-32768, 32768, size=200, dtype=np.int64)
+    df = spark.createDataFrame(
+        [("aud1", "audio", bytearray(_encode_wav(s, 22050, 2, 1)))],
+        schema="media_id string, kind string, payload binary",
+    )
+    r = extract_media_features(df, codec="real").collect()[0]
+    assert r["width"] is None and r["height"] is None
+    assert np.allclose(
+        np.array(r["features"]), audio_features(s / 32768.0), atol=1e-6
+    )
+
+
 def test_decode_media_unknown_format_raises():
     import pytest as _pytest
 
