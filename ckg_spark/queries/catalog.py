@@ -6208,66 +6208,83 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the already-driver-certified round-1 pack follow after the
 # window.  tests/test_catalog_oracle.py asserts the window invariants
 # (size 50, all oracled, required names).
-# Round-4 window: front the 10 queries that have NEVER appeared in any
-# driver sample (registration positions 97-109 in rounds 1-3 — with a
-# first-50 sample they would never be certified; VERDICT r03 #2). Two of
-# them (q_srp_neardup_pairs, q_tsne_embeddings) are genuinely
-# sampling-based/no-SQL-twin: the driver records its weaker rows-only
-# check for those, which is still their first driver-side evidence.
-# q_ttest_permutation_fdr stays in the window because its emission gate
-# (and twin) changed this round and must be RE-certified. The back-fill
-# keeps round-3-certified entries whose certification is freshest.
+# Round-4 window fronted the 10 never-sampled tail queries (see git
+# history for that list); its 50 rows went green/honest-rows-only in
+# CORRECTNESS_r04, so every catalog query has now been driver-sampled
+# at least once.
+# Round-5 window (VERDICT r04 #1/#2/#7): refresh every row whose LAST
+# driver certification is round 1/2 — precisely 46 of them after
+# dropping q_ivf_topk (still honestly no_oracle; its recall/plan gates
+# live in tests) and three family-redundant t-test rows (welch /
+# two-stage / posthoc: r2-green, locally gated every session, and the
+# t-test family keeps q_ttest_fdr in-window) — plus the four rows whose
+# evidence changed THIS round and must (re-)certify:
+#   q_srp_neardup_pairs    newly full-SQL-oracled (was rows-only),
+#   q_multimodal_audio     new query (WAV boundary closed),
+#   q_samr / q_ttest_permutation_fdr   repartition-before-explode
+#                          restructure (bit-identical, but the plan
+#                          changed — same precedent as round 4).
+# The refresh pack deliberately includes the whole r4-rewritten link
+# family (q_kg_mentions / q_kg_mention_topk / q_kg_comention /
+# q_kg_degree_centrality), last driver-certified in r1/r2 under the OLD
+# link implementation, and the two dedup queries that moved from
+# no_oracle to hash-twinned this round (q_minhash/q_simhash_dup_pairs).
+# ALL 50 entries are oracled — a fully value-hash-checkable window for
+# the first time.
 _DRIVER_WINDOW: list[str] = [
-    "q_bootstrap_meandiff",
-    "q_graph_closeness",
-    "q_graph_kcore",
-    "q_graph_summary",
-    "q_l2_normalize",
-    "q_pvalue_corrections",
-    "q_spearman_corr",
+    # evidence changed this round
+    "q_minhash_dup_pairs",
+    "q_simhash_dup_pairs",
     "q_srp_neardup_pairs",
-    "q_tsne_embeddings",
-    "q_wilcoxon_signed",
-    "q_kg_pipeline_smoke",
+    "q_multimodal_audio",
     "q_samr",
-    "q_mapper_nerve",
     "q_ttest_permutation_fdr",
-    "q_wgcna_modules",
-    "q_graph_triangles",
-    "q_lm_perplexity",
-    "q_dsir_select",
-    "q_tukey_hsd",
-    "q_contamination_screen",
-    "q_median_normalize",
-    "q_corr_matrix_fdr",
-    "q_rm_correlation",
-    "q_impute_median",
-    "q_impute_downshift",
-    "q_kg_communities",
-    "q_kg_pagerank",
-    "q_kaplan_meier",
-    "q_logrank",
-    "q_rm_anova",
-    "q_impute_knn",
-    "q_impute_mixed",
-    "q_stratified_sample",
-    "q_train_test_split",
-    "q_token_packing",
-    "q_quantile_normalize",
-    "q_median_polish",
-    "q_wgcna_eigengenes",
-    "q_anova_twoway",
-    "q_kg_eigenvector",
-    "q_effect_sizes",
-    "q_levene_bf",
-    "q_mannwhitney",
-    "q_single_linkage_tree",
-    "q_normality_check",
-    "q_multimodal_features",
-    "q_measurements_ready",
-    "q_pca",
-    "q_wgcna_module_trait",
-    "q_ranking_markers",
+    # r4-rewritten link stage, last certified r1/r2
+    "q_kg_mentions",
+    "q_kg_mention_topk",
+    "q_kg_comention",
+    "q_kg_degree_centrality",
+    "q_kg_ancestors",
+    "q_kg_hierarchy_rollup",
+    # the rest of the r1/r2-stale refresh pack
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q_anova_oneway",
+    "q_anti_join_idle_customers",
+    "q_bow_dup_groups",
+    "q_corr_by_group",
+    "q_cov_by_brand",
+    "q_doc_fingerprint_dups",
+    "q_doc_langid",
+    "q_doc_quality",
+    "q_doc_token_stats",
+    "q_embedding_neardup_pairs",
+    "q_embedding_topk",
+    "q_enrichment_fisher",
+    "q_event_sessions",
+    "q_events_daily",
+    "q_events_json_props",
+    "q_events_windowed",
+    "q_exact_dup_groups",
+    "q_explode_part_types",
+    "q_first_order_per_customer",
+    "q_fold_change_returnflag",
+    "q_median_price_by_brand",
+    "q_melt_part_measures",
+    "q_missing_values_per_group",
+    "q_multihop_region_revenue",
+    "q_multimodal_meta",
+    "q_ngram_jaccard",
+    "q_pivot_order_status",
+    "q_regex_route_part",
+    "q_semi_join_big_orders",
+    "q_set_difference_new_orders",
+    "q_summary_stats",
+    "q_topk_events",
+    "q_ttest_fdr",
+    "q_union_high_value_parts",
+    "q_window_rank_acctbal",
+    "q_zscore_by_group",
 ]
 
 # Rebuild the registry itself in driver-window order so ANY consumer —

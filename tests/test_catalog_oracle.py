@@ -87,29 +87,29 @@ def test_entry_smoke(spark):
 
 
 def test_driver_window_invariants():
-    """The external gate samples the first 50 entries of queries(); round 4
-    fronts the 10 never-sampled tail queries (VERDICT r03 #2). Guard:
-    exactly 50 names, all registered, all oracled except the two documented
-    sampling-based entries (which get the driver's weaker rows-only check —
-    their first driver-side evidence), required operators present, and the
-    returned dict actually leads with them."""
+    """The external gate samples the first 50 entries of queries(); round 5
+    refreshes every row whose last driver certification predates round 3
+    plus the four rows whose evidence changed this round (VERDICT r04
+    #1/#2/#7). Guard: exactly 50 names, all registered, ALL oracled (the
+    first fully value-hash-checkable window), required operators present,
+    and the returned dict actually leads with them."""
     from ckg_spark.queries.catalog import _DRIVER_WINDOW, spark_queries
 
     assert len(_DRIVER_WINDOW) == 50
     assert len(set(_DRIVER_WINDOW)) == 50
-    rows_only_ok = {"q_srp_neardup_pairs", "q_tsne_embeddings"}
     for n in _DRIVER_WINDOW:
         assert n in CATALOG, n
-        if n not in rows_only_ok:
-            assert CATALOG[n].sql is not None, f"{n} must be oracled in the window"
+        assert CATALOG[n].sql is not None, f"{n} must be oracled in the window"
     for required in (
-        # the never-driver-sampled tail (VERDICT r03 #2)
-        "q_bootstrap_meandiff", "q_graph_closeness", "q_graph_kcore",
-        "q_graph_summary", "q_l2_normalize", "q_pvalue_corrections",
-        "q_spearman_corr", "q_srp_neardup_pairs", "q_tsne_embeddings",
-        "q_wilcoxon_signed",
-        # semantics/twin changed this round -> must re-certify
-        "q_ttest_permutation_fdr",
+        # moved from no_oracle to hash-twinned this round
+        "q_minhash_dup_pairs", "q_simhash_dup_pairs", "q_srp_neardup_pairs",
+        # new query (audio boundary closed)
+        "q_multimodal_audio",
+        # plan restructured this round -> re-certify
+        "q_samr", "q_ttest_permutation_fdr",
+        # the r4-rewritten link stage, last certified r1/r2
+        "q_kg_mentions", "q_kg_mention_topk", "q_kg_comention",
+        "q_kg_degree_centrality",
     ):
         assert required in _DRIVER_WINDOW
     assert list(spark_queries())[:50] == _DRIVER_WINDOW
