@@ -467,6 +467,15 @@ def remove_repeated_spans(
     # 30k docs for identical results. So the explode emits only the span
     # INDEX (an int sequence) and each span string is computed once per
     # output row from the carried token/line array.
+    #
+    # Bytes-per-row (r5, the link-stage lesson): the exploded span stream
+    # carries ONLY (doc, idx, h) — the span TEXT never enters the h-join
+    # or the per-doc flag aggregation; both those exchanges move three
+    # ints per span. The previous shape shuffled the span strings through
+    # BOTH wide steps (join by h, then reconstruction groupBy doc) — two
+    # full corpus-text shuffle passes. Now the single text-mass exchange
+    # is the final base⋈flags join, and clean_text is rebuilt IN-ARRAY
+    # from the carried token/line array and the kept-index list.
     if mode == "lines":
         # blank lines are dropped HERE (inside the carrier array) so that
         # "no qualifying spans" and "empty array" are the same condition —
@@ -480,7 +489,7 @@ def remove_repeated_spans(
         )
         carrier = "_arr"
         n_spans_expr = F.size("_arr")
-        span_expr = F.get(F.col("_arr"), F.col("idx"))
+        span_at = lambda i: F.get(F.col("_arr"), i)  # noqa: E731
     elif mode == "token_windows":
         w = window
         base = docs.select(
@@ -491,7 +500,9 @@ def remove_repeated_spans(
         )
         carrier = "_tk"
         n_spans_expr = F.ceil(F.size("_tk") / F.lit(w)).cast("int")
-        span_expr = F.concat_ws(" ", F.slice(F.col("_tk"), F.col("idx") * w + 1, w))
+        span_at = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.slice(F.col("_tk"), i * w + 1, w)
+        )
     else:
         raise ValueError(f"unknown mode {mode!r}")
     # guard: sequence(0, -1) would DESCEND ([0, -1]) for empty docs
@@ -502,57 +513,51 @@ def remove_repeated_spans(
     # mode, empty or letterless text in token_windows mode) emits ONE
     # sentinel row with idx=null instead of vanishing from the groupBy —
     # every input doc appears in the output (clean_text='', counts 0).
-    spans = base.select("doc", carrier, F.explode_outer(seq).alias("idx")).select(
-        "doc", "idx", span_expr.alias("span")
+    # The span string is hashed HERE, in-partition, and immediately
+    # dropped: only (doc, idx, h) flows into the wide steps.
+    spans_h = base.select("doc", carrier, F.explode_outer(seq).alias("idx")).select(
+        "doc",
+        "idx",
+        F.when(
+            F.col("idx").isNotNull(),
+            F.xxhash64(F.trim(span_at(F.col("idx")))),
+        ).alias("h"),
     )
-    real = F.col("idx").isNotNull()
-    h = F.when(real, F.xxhash64(F.trim(F.col("span"))))
     rep = (
-        spans.select(h.alias("h"))
+        spans_h.select("h")
         .filter(F.col("h").isNotNull())
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(int(min_repeats)))
         .select("h")
     )
-    # ONE pass over the span stream for removal + reconstruction + counts:
-    # a LEFT join flags repeated spans, then a single per-doc aggregation
-    # rebuilds the text from unflagged spans (null-idx structs sort last
-    # and are dropped by the filter inside the transform) and counts both
-    # totals and removals. The anti-join + separate totals spelling would
-    # scan the exploded corpus twice more. No forced broadcast: the
+    # Flag + per-doc flag aggregation over the INT span stream: a LEFT
+    # join marks repeated spans, then one groupBy collects the kept span
+    # indices and both counts. No forced broadcast on the join: the
     # repeated-span table is CORPUS-proportional at crawl scale (shared
     # boilerplate across a 10^12-doc crawl is billions of distinct spans)
     # — AQE broadcasts it at runtime when it is actually small, and the
-    # join degrades to a hash shuffle (correct, bounded) when it is not.
-    flagged = spans.withColumn("h", h).join(
-        rep.withColumn("_rep", F.lit(True)), "h", "left"
+    # join degrades to a hash shuffle (correct, bounded — and now a
+    # shuffle of ints, not span text) when it is not.
+    flagged = spans_h.join(rep.withColumn("_rep", F.lit(True)), "h", "left")
+    kept = F.col("_rep").isNull() & F.col("idx").isNotNull()
+    flags = flagged.groupBy("doc").agg(
+        # collect_list skips nulls -> exactly the kept real spans
+        F.sort_array(F.collect_list(F.when(kept, F.col("idx")))).alias("_keep"),
+        F.count("idx").alias("n_spans"),  # count() skips the null sentinel
+        F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0)).alias("n_removed"),
     )
-    is_kept = F.col("_rep").isNull()
-    rebuilt = flagged.groupBy("doc").agg(
+    # Reconstruction: rebuild each document from its carried token/line
+    # array and the kept-index list — the one exchange that moves text.
+    # Precondition (as for any by-id dedup): doc ids are unique; a
+    # duplicated id would previously have merged rows in the groupBy and
+    # now fans the merged flags back out to each duplicate.
+    return base.join(flags, "doc").select(
+        "doc",
         F.concat_ws(
             " " if mode == "token_windows" else "\n",
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.when(is_kept, F.col("idx")).alias("idx"),
-                                F.when(is_kept, F.col("span")).alias("span"),
-                            )
-                        )
-                    ),
-                    lambda s: s["idx"].isNotNull(),
-                ),
-                lambda s: s["span"],
-            ),
+            F.transform(F.col("_keep"), span_at),
         ).alias("clean_text"),
-        F.count("idx").alias("n_spans"),  # count() skips the null sentinel
-        F.sum(F.when(is_kept, 0).otherwise(1)).alias("n_removed"),
-    )
-    return rebuilt.select(
-        "doc",
-        "clean_text",
         F.col("n_spans").cast("bigint").alias("n_spans"),
         F.col("n_removed").cast("bigint").alias("n_removed"),
     )

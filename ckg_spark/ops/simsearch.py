@@ -69,6 +69,12 @@ def brute_force_topk(
     )
 
 
+def _normalized(centroids: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    return centroids / norms[:, None]
+
+
 def assign_cells(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -79,29 +85,45 @@ def assign_cells(
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer with a ZERO-shuffle plan.
 
-    - Centroid seeding: a Bernoulli ``sample(fraction, seed)`` — a narrow
-      map, unlike a ``row_number`` Window which would shuffle the FULL
-      embedding table into ``n_cells`` hot partitions just to pick ~100
-      seed rows. The sampled rows (dimension-sized) collect to the driver
-      and average into per-cell centroids.
+    - Centroid seeding: an id-keyed split_u Bernoulli predicate — a
+      narrow map like ``sample()`` but DETERMINISTIC under any
+      repartitioning/re-ingestion (Spark's seeded sample draws per
+      partition, so the seeded set changes with the file layout — the
+      exact hazard split_u exists for) AND cross-engine reproducible,
+      which is what gives q_ivf_topk a full DuckDB twin. The sampled
+      rows (dimension-sized) collect to the driver and average into
+      per-cell centroids; a ``row_number`` Window would instead shuffle
+      the FULL table into ``n_cells`` hot partitions to pick ~100 rows.
+    - Centroids round to 6 dp (the repo-wide float-twin convention) so
+      the assignment consumes values both engines agree on bit-for-bit.
     - Assignment: ONE ``mapInPandas`` pass that carries every input column
       through and appends ``cell`` — no second join shuffling the vector
-      payloads against a same-cardinality assignment frame.
+      payloads against a same-cardinality assignment frame. The argmax
+      runs on ROUND(sim, 9) with lowest-cell tie-break — engine float
+      noise (~1e-16, BLAS vs sequential summation) cannot flip a
+      discontinuous selector through a 9-dp shield (the permutation-FDR
+      precedent).
 
-    Returns (embeddings + ``cell`` column, centroids ndarray). The plan
-    contains no Exchange (asserted in tests/test_plans.py)."""
+    Returns (embeddings + ``cell`` column, rounded centroids ndarray).
+    The plan contains no Exchange (asserted in tests/test_plans.py)."""
+    from .curation import split_u
+
     total = embeddings.count()  # parquet metadata count — no data scan
     target = n_cells * sample_per_cell * 4
     fraction = min(1.0, float(target) / max(total, 1))
+    # pmod-first keeps the mixed operand < 2^32 so the *131 stays inside
+    # signed-long range for ANY id magnitude (ANSI multiply throws)
+    idm = F.pmod(F.col(id_col).cast("long"), F.lit(4294967296))
     sampled = (
         embeddings.select(id_col, vec_col)
         .withColumn(
             "cell0",
-            F.pmod(
-                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(n_cells)
+            F.least(
+                F.floor(split_u(idm * 131 + F.lit(seed)) * n_cells),
+                F.lit(n_cells - 1),
             ).cast("int"),
         )
-        .sample(fraction=fraction, seed=seed)
+        .filter(split_u(idm * 137 + F.lit(seed + 1)) < F.lit(fraction))
         .collect()
     )
     by_cell: dict[int, list[np.ndarray]] = {}
@@ -113,10 +135,8 @@ def assign_cells(
             np.mean(by_cell[c], axis=0) if c in by_cell else np.zeros(dim)
             for c in range(n_cells)
         ]
-    )
-    norms = np.linalg.norm(centroids, axis=1)
-    norms[norms == 0] = 1.0
-    cn = centroids / norms[:, None]
+    ).round(6)
+    cn = _normalized(centroids)
     out_schema = StructType(
         list(embeddings.schema.fields) + [StructField("cell", IntegerType(), False)]
     )
@@ -131,21 +151,22 @@ def assign_cells(
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
+            sims = ((mat / vn[:, None]) @ cn.T).round(9)
             pdf = pdf.copy()
-            pdf["cell"] = ((mat / vn[:, None]) @ cn.T).argmax(axis=1).astype("int32")
+            pdf["cell"] = sims.argmax(axis=1).astype("int32")  # first max
             yield pdf
 
     return embeddings.mapInPandas(assign, out_schema), centroids
 
 
 def _probe_cells(centroids: np.ndarray, query: list[float], nprobe: int) -> list[int]:
-    """The nprobe cells nearest the query (by centroid cosine)."""
+    """The nprobe cells nearest the query (by centroid cosine; ROUND(9)
+    + lowest-cell tie-break, mirroring the assignment shield)."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    norms = np.linalg.norm(centroids, axis=1)
-    norms[norms == 0] = 1.0
-    sims = (centroids / norms[:, None]) @ qn
-    return sorted(int(c) for c in np.argsort(-sims)[:nprobe])
+    sims = (_normalized(centroids) @ qn).round(9)
+    order = sorted(range(len(centroids)), key=lambda c: (-sims[c], c))
+    return sorted(order[:nprobe])
 
 
 def ivf_topk(

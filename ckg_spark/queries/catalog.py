@@ -1095,12 +1095,89 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_self_pairs(emb, threshold=0.5, block_col="label")
 
 
-@register("q_ivf_topk", None, family="simsearch")
+def _ivf_oracle_sql() -> str:
+    """Full DuckDB twin of the IVF two-stage ANN query — possible since
+    the round-5 quantizer rework made every stochastic ingredient
+    portable: centroid seeding is a split_u Bernoulli predicate (not
+    Spark's partitioning-dependent sample()), centroids round to 6 dp
+    before use, and both discontinuous selectors (cell argmax, probe
+    top-nprobe) rank on ROUND(sim, 9) with lowest-cell tie-break, so
+    BLAS-vs-SQL float noise (~1e-16) cannot flip them. n_cells=8,
+    sample target 256, seed 13, nprobe=4, k=10 mirror the Spark call."""
+    from ..ops.curation import split_u_sql
+
+    idm = "(((vec_id % 4294967296) + 4294967296) % 4294967296)"
+    u_cell = split_u_sql(f"({idm} * 131 + 13)")
+    u_samp = split_u_sql(f"({idm} * 137 + 14)")
+    zero_guard = (
+        "list_inner_product({a}, {a}) = 0 OR list_inner_product({b}, {b}) = 0"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    par AS (SELECT LEAST(1.0, 256.0 / COUNT(*)) AS fraction FROM e),
+    samp AS (
+      SELECT vec_id, v,
+             CAST(LEAST(CAST(FLOOR({u_cell} * 8) AS BIGINT), 7) AS INT) AS cell0
+      FROM e, par WHERE {u_samp} < par.fraction
+    ),
+    cd AS (
+      SELECT cell0, t.u.d AS d, ROUND(AVG(t.u.x), 6) AS cx
+      FROM samp, unnest(list_transform(range(1, len(v)+1),
+                                       i -> {{'d': i, 'x': v[i]}})) AS t(u)
+      GROUP BY cell0, d
+    ),
+    cl AS (SELECT cell0, list(cx ORDER BY d) AS c FROM cd GROUP BY cell0),
+    cent AS (
+      SELECT g.cell AS cell,
+             COALESCE(cl.c, list_transform(range(64), x -> 0.0)) AS c
+      FROM range(8) g(cell) LEFT JOIN cl ON cl.cell0 = g.cell
+    ),
+    sims AS (
+      SELECT e.vec_id, e.v, cent.cell,
+             CASE WHEN {zero_guard.format(a='e.v', b='cent.c')}
+                  THEN 0.0
+                  ELSE ROUND(list_cosine_similarity(e.v, cent.c), 9) END AS sim
+      FROM e CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vec_id, v, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM (
+        SELECT cent.cell,
+               CASE WHEN {zero_guard.format(a='q.qv', b='cent.c')}
+                    THEN 0.0
+                    ELSE ROUND(list_cosine_similarity(cent.c, q.qv), 9) END AS sim
+        FROM cent, q)
+      ORDER BY sim DESC, cell ASC LIMIT 4
+    )
+    SELECT a.vec_id,
+           CAST(ROUND(CASE WHEN {zero_guard.format(a='a.v', b='q.qv')}
+                THEN 0.0
+                ELSE list_cosine_similarity(a.v, q.qv) END, 6) AS DOUBLE) AS cosine
+    FROM assigned a, q
+    WHERE a.cell IN (SELECT cell FROM probe)
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("q_ivf_topk", _ivf_oracle_sql(), family="simsearch")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN (non-SQL: quantizer + probe pruning). Runs the
-    REAL scale path: the index is materialized as cell-partitioned parquet
-    and the probe reads only the nprobe cells' partitions (partition
-    pruning at the scan, plan-asserted in tests/test_plans.py)."""
+    """IVF two-stage ANN. Runs the REAL scale path: the index is
+    materialized as cell-partitioned parquet and the probe reads only
+    the nprobe cells' partitions (partition pruning at the scan,
+    plan-asserted in tests/test_plans.py). Fully oracled since round 5:
+    the quantizer's split_u seeding / rounded centroids / round-shielded
+    selectors are cross-engine deterministic (_ivf_oracle_sql)."""
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6213,13 +6290,15 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r04, so every catalog query has now been driver-sampled
 # at least once.
 # Round-5 window (VERDICT r04 #1/#2/#7): refresh every row whose LAST
-# driver certification is round 1/2 — precisely 46 of them after
-# dropping q_ivf_topk (still honestly no_oracle; its recall/plan gates
-# live in tests) and three family-redundant t-test rows (welch /
-# two-stage / posthoc: r2-green, locally gated every session, and the
-# t-test family keeps q_ttest_fdr in-window) — plus the four rows whose
+# driver certification is round 1/2 — precisely 45 of them after
+# dropping three family-redundant t-test rows (welch / two-stage /
+# posthoc: r2-green, locally gated every session, and the t-test family
+# keeps q_ttest_fdr in-window) and q_events_windowed (the events family
+# keeps daily/topk/sessions in-window) — plus the five rows whose
 # evidence changed THIS round and must (re-)certify:
 #   q_srp_neardup_pairs    newly full-SQL-oracled (was rows-only),
+#   q_ivf_topk             newly oracled AND reseeded (split_u quantizer,
+#                          rounded centroids, round-shielded selectors),
 #   q_multimodal_audio     new query (WAV boundary closed),
 #   q_samr / q_ttest_permutation_fdr   repartition-before-explode
 #                          restructure (bit-identical, but the plan
@@ -6236,6 +6315,7 @@ _DRIVER_WINDOW: list[str] = [
     "q_minhash_dup_pairs",
     "q_simhash_dup_pairs",
     "q_srp_neardup_pairs",
+    "q_ivf_topk",
     "q_multimodal_audio",
     "q_samr",
     "q_ttest_permutation_fdr",
@@ -6264,7 +6344,6 @@ _DRIVER_WINDOW: list[str] = [
     "q_event_sessions",
     "q_events_daily",
     "q_events_json_props",
-    "q_events_windowed",
     "q_exact_dup_groups",
     "q_explode_part_types",
     "q_first_order_per_customer",

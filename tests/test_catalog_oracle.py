@@ -103,6 +103,7 @@ def test_driver_window_invariants():
     for required in (
         # moved from no_oracle to hash-twinned this round
         "q_minhash_dup_pairs", "q_simhash_dup_pairs", "q_srp_neardup_pairs",
+        "q_ivf_topk",
         # new query (audio boundary closed)
         "q_multimodal_audio",
         # plan restructured this round -> re-certify
