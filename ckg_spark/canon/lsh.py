@@ -82,19 +82,21 @@ def portable_hash64_sql_unsigned(expr: str) -> str:
 
 def portable_band_hash(band_idx: int, elems: list) -> F.Column:
     """Cross-engine band-bucket hash: fold the band's signature values
-    through a lowbias32-style xorshift-multiply round each (widths:
-    state < 2^32, *MIX < 2^58, +v < 2^58.3 — signed-long safe under
-    ANSI on both engines). 32 output bits are plenty for BUCKETING —
-    a band-hash collision only adds a candidate pair that the exact
-    verify step re-checks; what matters for the gate is that both
-    engines compute the identical value, which pure integer arithmetic
-    guarantees."""
+    through a polynomial step ``h = (h*MIX + v) mod 2^32`` — each step
+    references the running state exactly ONCE, so the expression tree
+    (and the rendered DuckDB SQL text) grows LINEARLY in rows_per_band.
+    An xorshift step (xor(h>>16,h)) would reference h twice and double
+    the tree per iteration — the 2^r plan-size trap this repo has been
+    burned by in unrolled oracles; the single xorshift finalizer is a
+    constant factor. Widths: state < 2^32, *MIX < 2^58, +v < 2^58.3 —
+    signed-long safe under ANSI on both engines. 32 output bits are
+    plenty for BUCKETING — a band-hash collision only adds a candidate
+    pair that the exact verify step re-checks; what matters for the
+    gate is that both engines compute the identical value, which pure
+    integer arithmetic guarantees."""
     h = F.lit(band_idx).cast("long")
     for e in elems:
-        h = F.pmod(
-            F.shiftright(h, 16).bitwiseXOR(h) * F.lit(PORTABLE_MIX) + e,
-            F.lit(_M32),
-        )
+        h = F.pmod(h * F.lit(PORTABLE_MIX) + e, F.lit(_M32))
     return F.shiftright(h, 16).bitwiseXOR(h)
 
 
@@ -103,10 +105,7 @@ def portable_band_hash_sql(band_idx: int, elem_exprs: list[str]) -> str:
     spelling as split_u_sql; all operands non-negative)."""
     h = str(band_idx)
     for e in elem_exprs:
-        h = (
-            f"((((xor({h} >> 16, {h}) * {PORTABLE_MIX}) + ({e})) % {_M32} "
-            f"+ {_M32}) % {_M32})"
-        )
+        h = f"(((({h} * {PORTABLE_MIX}) + ({e})) % {_M32} + {_M32}) % {_M32})"
     return f"xor({h} >> 16, {h})"
 
 

@@ -315,8 +315,6 @@ def simhash_signatures(
     computes unsigned), making the whole signature, the chunk blocking
     and the hamming verify SQL-twinnable; the voting numpy code is
     shared byte-for-byte between bases."""
-    from ..canon.lsh import portable_hash64
-
     # coalesce: null text -> empty token array (split(null) is null and
     # np.asarray(None) would crash the Python worker)
     toks = F.coalesce(
@@ -324,15 +322,29 @@ def simhash_signatures(
         F.array().cast("array<string>"),
     )
     if hash_basis == "portable":
-        token_hash = lambda t: portable_hash64(t)  # noqa: E731
+        # ONE MD5 per token: portable_hash64 references its argument's
+        # digest twice (hi and lo slice) and HOFs perform no CSE, so
+        # calling it directly inside the token lambda would run the full
+        # MD5 twice per token. Project the digest array first, then pack
+        # the two 32-bit slices from each (cheap substring/conv) hex
+        # string — identical values, half the hashing.
+        md = docs.select(
+            F.col(id_col).cast("string").alias("key"),
+            F.transform(toks, lambda t: F.md5(t)).alias("__md5__"),
+        )
+        pack = lambda m: F.shiftleft(  # noqa: E731
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long"))
+        hashed = md.select(
+            "key", F.transform(F.col("__md5__"), pack).alias("th")
+        )
     elif hash_basis == "xxhash64":
-        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+        hashed = docs.select(
+            F.col(id_col).cast("string").alias("key"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+        )
     else:
         raise ValueError(f"unknown hash_basis {hash_basis!r}")
-    hashed = docs.select(
-        F.col(id_col).cast("string").alias("key"),
-        F.transform(toks, token_hash).alias("th"),
-    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
@@ -546,17 +558,34 @@ def remove_repeated_spans(
         F.sort_array(F.collect_list(F.when(kept, F.col("idx")))).alias("_keep"),
         F.count("idx").alias("n_spans"),  # count() skips the null sentinel
         F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0)).alias("n_removed"),
+        # duplicate-id sentinel: two base rows sharing an id both emit
+        # span indices 0..n, so repeated idx values within one group is
+        # exactly the duplicate-doc signature (zero extra passes — same
+        # aggregation). A single doc can never repeat an index.
+        F.count_distinct(F.col("idx")).alias("_nidx"),
     )
     # Reconstruction: rebuild each document from its carried token/line
     # array and the kept-index list — the one exchange that moves text.
-    # Precondition (as for any by-id dedup): doc ids are unique; a
-    # duplicated id would previously have merged rows in the groupBy and
-    # now fans the merged flags back out to each duplicate.
+    # Duplicate doc ids would fan the MERGED keep-list back out to each
+    # duplicate's own (differently-sized) carrier and silently corrupt
+    # clean_text — fail loudly instead (the round-4 rid lesson: assumed-
+    # unique ids do occur in real inputs).
+    dup_guarded_keep = F.when(
+        F.col("_nidx") == F.col("n_spans"), F.col("_keep")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "remove_repeated_spans: duplicate values in the id column "
+                "(doc ids must be unique; deduplicate or disambiguate "
+                "ids upstream)"
+            )
+        ).cast("array<int>")
+    )
     return base.join(flags, "doc").select(
         "doc",
         F.concat_ws(
             " " if mode == "token_windows" else "\n",
-            F.transform(F.col("_keep"), span_at),
+            F.transform(dup_guarded_keep, span_at),
         ).alias("clean_text"),
         F.col("n_spans").cast("bigint").alias("n_spans"),
         F.col("n_removed").cast("bigint").alias("n_removed"),

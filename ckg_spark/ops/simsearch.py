@@ -106,14 +106,29 @@ def assign_cells(
 
     Returns (embeddings + ``cell`` column, rounded centroids ndarray).
     The plan contains no Exchange (asserted in tests/test_plans.py)."""
+    from ..canon.lsh import portable_hash60
     from .curation import split_u
 
     total = embeddings.count()  # parquet metadata count — no data scan
     target = n_cells * sample_per_cell * 4
     fraction = min(1.0, float(target) / max(total, 1))
     # pmod-first keeps the mixed operand < 2^32 so the *131 stays inside
-    # signed-long range for ANY id magnitude (ANSI multiply throws)
-    idm = F.pmod(F.col(id_col).cast("long"), F.lit(4294967296))
+    # signed-long range for ANY id magnitude (ANSI multiply throws).
+    # Non-numeric ids (string/UUID keys — the pre-r5 xxhash64 seeding
+    # accepted them) route through the portable MD5 hash instead of a
+    # cast('long') that would throw CAST_INVALID_INPUT under ANSI; the
+    # mixer stays cross-engine (portable_hash60 has a DuckDB twin), so
+    # a future string-keyed oracle remains constructible.
+    id_type = dict(embeddings.dtypes)[id_col]
+    numeric_id = id_type in ("tinyint", "smallint", "int", "bigint") or (
+        id_type.startswith("decimal")
+    )
+    raw_id = (
+        F.col(id_col).cast("long")
+        if numeric_id
+        else portable_hash60(F.col(id_col).cast("string"))
+    )
+    idm = F.pmod(raw_id, F.lit(4294967296))
     sampled = (
         embeddings.select(id_col, vec_col)
         .withColumn(

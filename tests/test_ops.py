@@ -86,6 +86,52 @@ def test_minhash_lsh_finds_exact_dups_with_jaccard_one(spark, corpus_texts):
             assert r["jaccard"] == 1.0
 
 
+def test_remove_repeated_spans_duplicate_ids_fail_loudly(spark):
+    """r5 review: the int-shuffle span rewrite fans the merged per-doc
+    keep-list back out to each duplicate row, which would silently
+    corrupt clean_text — duplicate ids must raise instead (detected
+    inside the existing aggregation: a single doc can never repeat a
+    span index)."""
+    from pyspark.errors import PySparkException
+
+    docs = spark.createDataFrame(
+        [("d1", "line a\nline b\nline c"), ("d1", "other text entirely")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(PySparkException):
+        dedup.remove_repeated_spans(
+            docs, "text", "doc_id", mode="lines", min_repeats=2
+        ).collect()
+    # unique ids still pass through the same plan untouched
+    ok = spark.createDataFrame(
+        [("d1", "x\ny"), ("d2", "x\nz")], ["doc_id", "text"]
+    )
+    rows = {r["doc"]: r for r in dedup.remove_repeated_spans(
+        ok, "text", "doc_id", mode="lines", min_repeats=2
+    ).collect()}
+    assert rows["d1"]["clean_text"] == "y" and rows["d2"]["clean_text"] == "z"
+    assert rows["d1"]["n_removed"] == 1
+
+
+def test_assign_cells_accepts_string_ids(spark, emb):
+    """r5 review: the split_u quantizer seeding must not narrow the
+    accepted id domain — string/UUID keys route through the portable
+    MD5 hash instead of an ANSI-throwing cast('long')."""
+    from ckg_spark.ops import simsearch
+
+    sdocs = emb.select(
+        F.concat(F.lit("vec-"), F.col("vec_id").cast("string")).alias("vid"),
+        "embedding",
+    )
+    with_cells, centroids = simsearch.assign_cells(
+        sdocs, n_cells=4, id_col="vid", vec_col="embedding"
+    )
+    rows = with_cells.select("vid", "cell").collect()
+    assert len(rows) == emb.count()
+    assert {r["cell"] for r in rows} <= set(range(4))
+    assert centroids.shape[0] == 4
+
+
 def test_portable_hash_parity_with_duckdb(spark):
     """The portable MD5/lowbias mixers (canon/lsh.py) exist so the LSH
     dedup family can carry full DuckDB value-hash oracles — assert the
